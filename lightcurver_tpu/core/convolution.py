@@ -1,0 +1,147 @@
+"""Zero-padded FFT convolution engine with Fourier-analytic placement.
+
+All convolutions in the numerical core run through the machinery here:
+
+- exact LINEAR convolution of ``(m, m)`` fine-grid images with ``(m, m)``
+  PSFs, via zero-padding to ``L = 2m`` (supports m + m - 1 <= 2m: no wrap),
+- sub-pixel placement of point sources through Fourier phase ramps on the
+  precomputed PSF transform (no image interpolation, ever), and
+- the target-resolution Gaussian ``r`` applied as its ANALYTIC Fourier
+  transform (a real Gaussian in k-space), so point sources are rendered at
+  exact sub-pixel positions.
+
+Alignment convention: a PSF array ``t`` (peak at array coordinate
+``c = (m - 1) / 2``) convolved with a gridded image places a copy of ``t``
+peak-centered on each source pixel.  This is achieved by folding the
+constant phase ``exp(+2*pi*i k.c / L)`` into the PSF transform once
+(``psf_fft_for_grid``), after which the output is read from the simple
+corner crop ``[0:m, 0:m]`` of the inverse FFT.
+
+This design makes one optimizer iteration of the joint deconvolution cost
+one ``rfft2(h)`` (shared across epochs) plus one ``irfft2`` per epoch —
+everything else is elementwise, which XLA fuses.
+"""
+
+import jax.numpy as jnp
+
+from .conventions import fwhm_to_sigma, TARGET_FWHM_FINE_PIX
+
+
+def pad_len(m):
+    """FFT length used for an (m, m) fine grid (exact linear convolution)."""
+    return 2 * m
+
+
+def freq_grids(m, dtype=jnp.float32):
+    """Return (fy, fx) frequency grids (cycles / fine pixel) for rfft2 at L=2m.
+
+    fy has shape (L, 1); fx has shape (1, L // 2 + 1): they broadcast to the
+    rfft2 output shape.
+    """
+    L = pad_len(m)
+    fy = jnp.fft.fftfreq(L).astype(dtype).reshape(L, 1)
+    fx = jnp.fft.rfftfreq(L).astype(dtype).reshape(1, L // 2 + 1)
+    return fy, fx
+
+
+def r_kernel_fft(m, s, dtype=jnp.float32):
+    """Analytic rfft2 of the unit-integral target Gaussian ``r`` at the origin.
+
+    ``r`` has FWHM = TARGET_FWHM_FINE_PIX fine pixels; its transform is the
+    real Gaussian ``exp(-2 pi^2 sigma_f^2 |f|^2)`` (DC = 1, unit integral).
+    ``s`` is accepted for signature symmetry (sigma is fixed in fine px).
+    """
+    del s
+    sigma_f = fwhm_to_sigma(TARGET_FWHM_FINE_PIX)
+    fy, fx = freq_grids(m, dtype=dtype)
+    return jnp.exp(-2.0 * jnp.pi**2 * sigma_f**2 * (fy**2 + fx**2))
+
+
+def shift_phase(m, sx, sy, dtype=jnp.float32):
+    """Phase ramp translating by (sx, sy) FINE pixels (real-valued shifts).
+
+    Returns a complex array broadcastable against rfft2 output at L = 2m.
+    sx/sy may be scalars or arrays with leading batch dims (appended dims
+    are created here).
+    """
+    fy, fx = freq_grids(m, dtype=dtype)
+    sx = jnp.asarray(sx, dtype=dtype)[..., None, None]
+    sy = jnp.asarray(sy, dtype=dtype)[..., None, None]
+    ang = -2.0 * jnp.pi * (fy * sy + fx * sx)
+    return jnp.exp(1j * ang)
+
+
+def psf_fft(t, dtype=jnp.complex64):
+    """rfft2 of a zero-padded PSF array ``t`` of shape (..., m, m)."""
+    m = t.shape[-1]
+    L = pad_len(m)
+    return jnp.fft.rfft2(t, s=(L, L)).astype(dtype)
+
+
+def grid_center_phase(m, dtype=jnp.float32):
+    """Constant phase exp(+2 pi i k . c / L) with c = (m - 1) / 2.
+
+    Folding this into a PSF transform re-centers the PSF array at index 0,
+    so that convolution with a gridded image is peak-aligned and the output
+    is the corner crop [0:m, 0:m].
+    """
+    c = (m - 1) / 2.0
+    fy, fx = freq_grids(m, dtype=dtype)
+    ang = 2.0 * jnp.pi * (fy + fx) * c
+    return jnp.exp(1j * ang)
+
+
+def psf_fft_for_grid(t):
+    """PSF transform ready for convolution with gridded images (see module doc)."""
+    m = t.shape[-1]
+    return psf_fft(t) * grid_center_phase(m)
+
+
+def convolve_grid(img, t_hat_grid):
+    """Linear 'same' convolution of gridded image(s) with a prepared PSF fft.
+
+    Args:
+        img: (..., m, m) fine-grid image.
+        t_hat_grid: output of :func:`psf_fft_for_grid` (broadcastable).
+
+    Returns:
+        (..., m, m): each img pixel spawns a peak-aligned PSF copy.
+    """
+    m = img.shape[-1]
+    L = pad_len(m)
+    img_hat = jnp.fft.rfft2(img, s=(L, L))
+    out = jnp.fft.irfft2(img_hat * t_hat_grid, s=(L, L))
+    return out[..., :m, :m]
+
+
+def render_from_fft(total_hat, m):
+    """Inverse transform + corner crop for an assembled model spectrum."""
+    L = pad_len(m)
+    return jnp.fft.irfft2(total_hat, s=(L, L))[..., :m, :m]
+
+
+def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
+    """Fourier spectrum of a sum of unit-'r' point sources, RELATIVE to a PSF.
+
+    Multiplying the result with ``psf_fft(t) * r_kernel_fft(m, s)``'s... —
+    more precisely with ``psf_fft(t)`` times :func:`r_kernel_fft` — yields
+    the spectrum of ``sum_j a_j * (t * r)(. - p_j)`` where positions are in
+    DATA pixels relative to the stamp center (the PSF's own array center
+    cancels: only the relative shift ``s * p`` appears).
+
+    Args:
+        m: fine-grid side.
+        s: subsampling factor.
+        a: (..., M) amplitudes.
+        px, py: (..., M) positions in data pixels (center-origin).
+
+    Returns:
+        complex array (..., L, L // 2 + 1).
+    """
+    fy, fx = freq_grids(m, dtype=dtype)
+    sx = (s * jnp.asarray(px, dtype=dtype))[..., None, None]
+    sy = (s * jnp.asarray(py, dtype=dtype))[..., None, None]
+    ang = -2.0 * jnp.pi * (fy * sy + fx * sx)
+    phases = jnp.exp(1j * ang)
+    amps = jnp.asarray(a, dtype=dtype)[..., None, None]
+    return (amps * phases).sum(axis=-3)

@@ -1,0 +1,268 @@
+"""Multi-epoch forward model ("deconvolution") of a blended region.
+
+Replaces the STARRED ``setup_model`` / ``Deconv`` contract the reference
+exercises at processes/star_photometry.py:66-69 and
+processes/roi_modelling.py:213-222:
+
+Per epoch ``e`` the data stamp is modelled as
+
+    D_e = down( conv(t_e, h) + sum_j a_{e,j} (t_e * r)(. - p_{e,j}) ) + mean_e
+
+with
+    - ``t_e`` the (narrow) PSF of epoch ``e`` on the fine grid,
+    - ``h`` the pixelated background channel, common to all epochs,
+    - ``r`` the target-resolution Gaussian (analytic, FWHM 2 fine px),
+    - ``p_{e,j} = R(alpha_e) c_j + (dx_e, dy_e)`` the source positions:
+      common sky positions ``c`` rotated per epoch by the frame's position
+      angle and shifted by the per-epoch pointing offset,
+    - ``down`` flux-conserving sum-pooling.
+
+Parameter pytree (kwargs), shapes for N epochs / M point sources and an
+``m x m`` fine grid:
+    kwargs_analytic: a (N*M), c_x (M), c_y (M), dx (N), dy (N), alpha (N)
+    kwargs_background: h (m*m), mean (N)
+    kwargs_sersic: {}                       (API parity; unused)
+
+``a`` is ordered ``a[e * M + j]`` so per-source light curves are
+``a[j::M]``, matching the reference's extraction at
+processes/roi_modelling.py:462.
+
+TPU design: the per-epoch PSF spectra are precomputed; one optimizer
+iteration costs a single rfft2 of ``h`` (shared across epochs) plus one
+batched irfft2 over epochs — everything else is elementwise and fuses.
+The epoch axis is the natural sharding axis (see parallel/).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grids import downsample, pixel_grid_coords
+from ..profiles import gaussian_r_kernel
+from .. import convolution as conv
+
+
+def pad_psf_to(narrow_psf, m):
+    """Center-pad per-epoch narrow PSFs (..., mp, mp) to the fine grid (m, m).
+
+    Both grids share the center-origin convention; mp and m have the same
+    parity (both are n * s with even products in practice), so the offset
+    is integer and no resampling happens.
+    """
+    mp = narrow_psf.shape[-1]
+    if mp == m:
+        return narrow_psf
+    if mp > m:
+        lo = (mp - m) // 2
+        return narrow_psf[..., lo:lo + m, lo:lo + m]
+    off = (m - mp) // 2
+    pad = [(0, 0)] * (narrow_psf.ndim - 2) + [(off, m - mp - off)] * 2
+    return jnp.pad(narrow_psf, pad)
+
+
+class DeconvModel:
+    """Static model configuration + precomputed PSF spectra.
+
+    Instances are cheap containers; all evaluation methods are pure
+    functions of the kwargs pytree, so they can be jitted / vmapped /
+    shard_mapped by callers.
+    """
+
+    def __init__(self, psf, subsampling_factor, image_size, n_epochs,
+                 n_sources):
+        """
+        Args:
+            psf: (N, mp, mp) per-epoch narrow PSFs (fine grid).
+            subsampling_factor: int s.
+            image_size: int n, data stamp side.
+            n_epochs: N.
+            n_sources: M.
+        """
+        self.s = int(subsampling_factor)
+        self.image_size = int(image_size)
+        self.n_epochs = int(n_epochs)
+        self.n_sources = int(n_sources)
+        self.m = self.image_size * self.s
+
+        psf = jnp.asarray(psf, dtype=jnp.float32)
+        psf_pad = pad_psf_to(psf, self.m)
+        # normalize each epoch's PSF to unit flux so `a` is total flux
+        psf_pad = psf_pad / psf_pad.sum(axis=(-2, -1), keepdims=True)
+        t_hat = conv.psf_fft(psf_pad)                       # (N, L, L/2+1)
+        r_hat = conv.r_kernel_fft(self.m, self.s)
+        self._ps_hat = t_hat * r_hat                        # point-source channel
+        self._grid_hat = t_hat * conv.grid_center_phase(self.m)  # h channel
+
+    # ---- geometry -----------------------------------------------------
+
+    def source_positions(self, kwargs):
+        """Per-epoch source positions p_{e,j} in data pixels (center origin).
+
+        Returns (px, py), each (N, M).
+        """
+        ka = kwargs["kwargs_analytic"]
+        cx = ka["c_x"]
+        cy = ka["c_y"]
+        th = jnp.deg2rad(ka["alpha"])[:, None]
+        px = jnp.cos(th) * cx - jnp.sin(th) * cy + ka["dx"][:, None]
+        py = jnp.sin(th) * cx + jnp.cos(th) * cy + ka["dy"][:, None]
+        return px, py
+
+    # ---- evaluation ---------------------------------------------------
+
+    def model(self, kwargs):
+        """Modelled data stamps, (N, n, n)."""
+        m, s, M = self.m, self.s, self.n_sources
+        ka = kwargs["kwargs_analytic"]
+        kb = kwargs["kwargs_background"]
+        a = ka["a"].reshape(self.n_epochs, M)
+        px, py = self.source_positions(kwargs)
+
+        # point-source spectrum, accumulated source-by-source to keep the
+        # peak memory at one (N, L, L/2+1) buffer regardless of M
+        total_hat = jnp.zeros_like(self._ps_hat)
+        for j in range(M):
+            spec = conv.point_source_spectrum(
+                m, s, a[:, j:j + 1], px[:, j:j + 1], py[:, j:j + 1])
+            total_hat = total_hat + spec
+        total_hat = total_hat * self._ps_hat
+
+        h = kb["h"].reshape(m, m)
+        L = conv.pad_len(m)
+        h_hat = jnp.fft.rfft2(h, s=(L, L))                  # one FFT, shared
+        total_hat = total_hat + h_hat * self._grid_hat
+
+        fine = conv.render_from_fft(total_hat, m)           # (N, m, m)
+        data = downsample(fine, s)
+        return data + kb["mean"][:, None, None]
+
+    def point_source_basis(self, kwargs):
+        """Unit-flux data-grid images of each source: (N, M, n, n).
+
+        The model is linear in ``a``; these are the corresponding columns,
+        used for exact Fisher flux uncertainties (core/fisher.py) and
+        linear flux refits.
+        """
+        m, s, M = self.m, self.s, self.n_sources
+        px, py = self.source_positions(kwargs)
+        ones = jnp.ones_like(px[:, :1])
+
+        def one_source(pxj, pyj):
+            spec = conv.point_source_spectrum(
+                m, s, ones, pxj[:, None], pyj[:, None])
+            fine = conv.render_from_fft(spec * self._ps_hat, m)
+            return downsample(fine, s)
+
+        basis = [one_source(px[:, j], py[:, j]) for j in range(M)]
+        return jnp.stack(basis, axis=1)
+
+    def getDeconvolved(self, kwargs, epoch=0):
+        """High-resolution two-channel output for a given epoch.
+
+        Returns (deconvolved, background_only): the background channel ``h``
+        plus the point sources rendered as target-resolution ``r``
+        profiles at their epoch positions; both (m, m), in data-flux units
+        per fine pixel.  Mirrors STARRED's ``Deconv.getDeconvolved`` as
+        used at reference processes/roi_modelling.py:387 and
+        processes/star_photometry.py:137.
+        """
+        m, s, M = self.m, self.s, self.n_sources
+        kb = kwargs["kwargs_background"]
+        h = kb["h"].reshape(m, m)
+        a = kwargs["kwargs_analytic"]["a"].reshape(self.n_epochs, M)
+        px, py = self.source_positions(kwargs)
+        img = h
+        for j in range(M):
+            img = img + a[epoch, j] * gaussian_r_kernel(
+                m, s, x0=px[epoch, j], y0=py[epoch, j])
+        return img, h
+
+
+def setup_model(data, sigma_2, s, xs, ys, subsampling_factor, initial_a=None,
+                astrometric_bound=5.0, translation_bound=5.0):
+    """Build a DeconvModel + parameter pytrees from data.
+
+    Mirrors the STARRED ``setup_model`` signature the reference calls at
+    processes/star_photometry.py:66 and processes/roi_modelling.py:213.
+
+    Args:
+        data: (N, n, n) stamps.
+        sigma_2: (N, n, n) noise variance (unused for setup; kept for
+            signature parity).
+        s: (N, mp, mp) narrow PSFs (fine grid).
+        xs, ys: (M,) initial source positions, data px, center origin.
+        subsampling_factor: int.
+        initial_a: length N*M (or M, tiled) initial fluxes; default:
+            aperture-less sum of each stamp divided by M.
+        astrometric_bound: box half-width for c_x/c_y around init (data px).
+        translation_bound: box half-width for dx/dy (data px).
+
+    Returns:
+        (model, kwargs_init, kwargs_up, kwargs_down, kwargs_fixed)
+    """
+    del sigma_2
+    data = np.asarray(data)
+    n_epochs, image_size = data.shape[0], data.shape[-1]
+    xs = np.atleast_1d(np.asarray(xs, dtype=np.float32))
+    ys = np.atleast_1d(np.asarray(ys, dtype=np.float32))
+    n_sources = xs.size
+    model = DeconvModel(s, subsampling_factor, image_size, n_epochs, n_sources)
+
+    if initial_a is None:
+        initial_a = np.tile(
+            np.nansum(data, axis=(1, 2)) / n_sources, (n_sources, 1)
+        ).T.ravel()
+    initial_a = np.asarray(initial_a, dtype=np.float32).ravel()
+    if initial_a.size == n_sources:
+        initial_a = np.tile(initial_a, n_epochs)
+    assert initial_a.size == n_epochs * n_sources
+
+    m = model.m
+    kwargs_init = {
+        "kwargs_analytic": {
+            "a": jnp.asarray(initial_a),
+            "c_x": jnp.asarray(xs),
+            "c_y": jnp.asarray(ys),
+            "dx": jnp.zeros(n_epochs, jnp.float32),
+            "dy": jnp.zeros(n_epochs, jnp.float32),
+            "alpha": jnp.zeros(n_epochs, jnp.float32),
+        },
+        "kwargs_background": {
+            "h": jnp.zeros(m * m, jnp.float32),
+            "mean": jnp.zeros(n_epochs, jnp.float32),
+        },
+        "kwargs_sersic": {},
+    }
+    big = np.inf
+    kwargs_up = {
+        "kwargs_analytic": {
+            "a": big, "c_x": xs + astrometric_bound,
+            "c_y": ys + astrometric_bound,
+            "dx": translation_bound, "dy": translation_bound, "alpha": big,
+        },
+        "kwargs_background": {"h": big, "mean": big},
+        "kwargs_sersic": {},
+    }
+    kwargs_down = {
+        "kwargs_analytic": {
+            "a": -big, "c_x": xs - astrometric_bound,
+            "c_y": ys - astrometric_bound,
+            "dx": -translation_bound, "dy": -translation_bound, "alpha": -big,
+        },
+        "kwargs_background": {"h": -big, "mean": -big},
+        "kwargs_sersic": {},
+    }
+    # default: everything except fluxes and translations fixed — the
+    # reference always overrides this explicitly
+    # (processes/star_photometry.py:74-87, processes/roi_modelling.py:260).
+    kwargs_fixed = {
+        "kwargs_analytic": {
+            "alpha": jnp.zeros(n_epochs, jnp.float32),
+        },
+        "kwargs_background": {
+            "h": jnp.zeros(m * m, jnp.float32),
+            "mean": jnp.zeros(n_epochs, jnp.float32),
+        },
+        "kwargs_sersic": {},
+    }
+    return model, kwargs_init, kwargs_up, kwargs_down, kwargs_fixed

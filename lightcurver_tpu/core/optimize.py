@@ -1,0 +1,116 @@
+"""Fixed-iteration optimizers as jitted lax.scan loops.
+
+Two methods, mirroring the reference's Optimizer(method='adabelief' |
+'l-bfgs-b') usage (reference processes/star_photometry.py:113-122,
+processes/roi_modelling.py:278,326-334):
+
+- AdaBelief (optax) with optional exponential learning-rate decay,
+- bounded L-BFGS: optax.lbfgs with zoom linesearch + projection onto the
+  box bounds after each step (the reference relies on scipy's Fortran
+  L-BFGS-B; a jit-compatible projected quasi-Newton replaces it).
+
+Both run EXACTLY n_iter iterations and return a loss history with EXACTLY
+n_iter entries — the reference pins this contract in
+tests/test_starred_calls/test_starred_calls.py:58 (no early stopping).
+
+The whole loop (not just one step) is compiled: a full 2000-iteration
+joint deconvolution is a single XLA program, so per-step host latency is
+zero and the scan body fuses.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _project(params, lower, upper):
+    return jax.tree_util.tree_map(jnp.clip, params, lower, upper)
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
+def run_adabelief(loss_fn, free0, lower, upper, n_iter,
+                  init_learning_rate=1e-3, schedule_learning_rate=True):
+    """AdaBelief with box projection.
+
+    Args:
+        loss_fn: free pytree -> scalar loss (closed over data; static).
+        free0: initial free pytree.
+        lower, upper: bounds pytrees matching free0.
+        n_iter: static number of iterations.
+        init_learning_rate: initial lr.
+        schedule_learning_rate: if True, exponential decay to 1% of the
+            initial rate over the run (matching the reference's
+            schedule_learning_rate=True behaviour).
+
+    Returns:
+        (best_free, final_free, loss_history[n_iter])
+    """
+    if schedule_learning_rate:
+        lr = optax.exponential_decay(init_learning_rate, max(n_iter, 1), 0.01)
+    else:
+        lr = init_learning_rate
+    opt = optax.adabelief(learning_rate=lr)
+    opt_state = opt.init(free0)
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        params, opt_state, best_params, best_loss = carry
+        value, grad = vg(params)
+        improved = value < best_loss
+        best_loss = jnp.where(improved, value, best_loss)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(improved, p, b), best_params, params)
+        updates, opt_state = opt.update(grad, opt_state, params)
+        params = _project(optax.apply_updates(params, updates), lower, upper)
+        return (params, opt_state, best_params, best_loss), value
+
+    init = (free0, opt_state, free0, jnp.asarray(jnp.inf, dtype=jnp.float32))
+    (final_params, _, best_params, _), history = jax.lax.scan(
+        step, init, None, length=n_iter)
+    return best_params, final_params, history
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter"))
+def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10):
+    """Projected L-BFGS with zoom linesearch (bounded quasi-Newton).
+
+    Returns:
+        (best_free, final_free, loss_history[n_iter])
+    """
+    opt = optax.lbfgs(memory_size=memory_size)
+    opt_state = opt.init(free0)
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        params, opt_state, best_params, best_loss = carry
+        value, grad = value_and_grad(params, state=opt_state)
+        improved = value < best_loss
+        best_loss = jnp.where(improved, value, best_loss)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(improved, p, b), best_params, params)
+        updates, opt_state = opt.update(
+            grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn)
+        params = _project(optax.apply_updates(params, updates), lower, upper)
+        return (params, opt_state, best_params, best_loss), value
+
+    init = (free0, opt_state, free0, jnp.asarray(jnp.inf, dtype=jnp.float32))
+    (final_params, _, best_params, _), history = jax.lax.scan(
+        step, init, None, length=n_iter)
+    return best_params, final_params, history
+
+
+def relative_loss_differential(loss_history):
+    """Plateau metric stored in the DB by the reference: change in the last
+    10% of iterations over the initial change (reference
+    processes/psf_modelling.py:205-208)."""
+    import numpy as np
+
+    lh = np.asarray(loss_history)
+    idx = int(0.9 * lh.size)
+    initial = np.nanmax(lh[:idx]) - np.nanmin(lh[:idx])
+    end = np.nanmax(lh[idx:]) - np.nanmin(lh[idx:])
+    if initial == 0:
+        return 0.0
+    return float(end / initial)
