@@ -1,0 +1,71 @@
+"""Monte-Carlo propagation of data noise into starlet coefficient weights.
+
+Functional equivalent of STARRED's ``propagate_noise(method='SLIT')`` as
+the reference uses it (processes/star_photometry.py:108-110,
+processes/roi_modelling.py:299-301): per starlet scale and per fine-grid
+pixel, the standard deviation that data noise induces on the starlet
+coefficients of the background channel.  Used as multiplicative weights W
+in the l1 penalty, so coefficients are thresholded in units of their own
+noise.
+
+Implementation: draw ``num_samples`` data-grid noise realizations
+``eps ~ N(0, sigma_px)``, push each through the ADJOINT of the forward
+linear operator (upsample-transpose, then correlate with the PSF), starlet
+transform, and take the per-coefficient std over samples.  Fully vmapped —
+this is itself a batch job on the device.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .grids import upsample_transpose
+from .starlet import starlet_transform, n_starlet_scales
+from . import convolution as conv
+
+
+def propagate_noise(model, noisemap, kwargs, wavelet_type_list=("starlet",),
+                    method="SLIT", num_samples=200, seed=1,
+                    likelihood_type="chi2", verbose=False,
+                    upsampling_factor=None, n_scales=None):
+    """Per-scale noise weight maps for the starlet-l1 regularization.
+
+    Args:
+        model: DeconvModel (provides fine-grid size, subsampling, PSFs).
+        noisemap: (N, n, n) data noise sigmas.
+        kwargs: parameter kwargs (unused; signature parity with reference
+            call sites).
+        num_samples: Monte-Carlo sample count.
+        seed: PRNG seed.
+        upsampling_factor: defaults to the model's subsampling factor.
+
+    Returns:
+        list with one element per wavelet type; element 0 is an array
+        ``(n_scales + 1, m, m)``.
+    """
+    del kwargs, method, likelihood_type, verbose
+    s = int(upsampling_factor) if upsampling_factor else model.s
+    m = model.m
+    if n_scales is None:
+        n_scales = n_starlet_scales(m)
+
+    sigma = jnp.nanmedian(jnp.asarray(noisemap, dtype=jnp.float32), axis=0)
+
+    # mean PSF across epochs, centered: use the model's precomputed
+    # point-source spectra (psf * r) as the effective smoothing operator
+    mean_ps_hat = model._ps_hat.mean(axis=0)
+
+    def one_sample(key):
+        eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
+        fine = upsample_transpose(eps, s)
+        # correlate with the PSF (adjoint of convolution): conjugate spectrum
+        L = conv.pad_len(m)
+        fine_hat = jnp.fft.rfft2(fine, s=(L, L))
+        back = jnp.fft.irfft2(fine_hat * jnp.conj(mean_ps_hat), s=(L, L))[:m, :m]
+        return starlet_transform(back, n_scales=n_scales)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+    coeffs = jax.lax.map(one_sample, keys, batch_size=32)
+    W = jnp.std(coeffs, axis=0)
+    # guard against zeros (constant coarse scale etc.)
+    W = jnp.maximum(W, 1e-12)
+    return [W]

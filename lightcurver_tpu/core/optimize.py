@@ -29,9 +29,11 @@ def _project(params, lower, upper):
     return jax.tree_util.tree_map(jnp.clip, params, lower, upper)
 
 
-@functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
-def run_adabelief(loss_fn, free0, lower, upper, n_iter,
-                  init_learning_rate=1e-3, schedule_learning_rate=True):
+@functools.partial(
+    jax.jit,
+    static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
+def _run_adabelief(loss_fn, free0, lower, upper, n_iter,
+                   init_learning_rate, schedule_learning_rate):
     """AdaBelief with box projection.
 
     Args:
@@ -72,8 +74,21 @@ def run_adabelief(loss_fn, free0, lower, upper, n_iter,
     return best_params, final_params, history
 
 
-@functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter"))
-def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10):
+def run_adabelief(loss_fn, free0, lower, upper, n_iter,
+                  init_learning_rate=1e-3, schedule_learning_rate=True):
+    """AdaBelief with box projection; see module docstring.
+
+    Returns:
+        (best_free, final_free, loss_history[n_iter])
+    """
+    return _run_adabelief(
+        loss_fn=loss_fn, free0=free0, lower=lower, upper=upper,
+        n_iter=int(n_iter), init_learning_rate=init_learning_rate,
+        schedule_learning_rate=bool(schedule_learning_rate))
+
+
+@functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter", "memory_size"))
+def _run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size):
     """Projected L-BFGS with zoom linesearch (bounded quasi-Newton).
 
     Returns:
@@ -99,6 +114,71 @@ def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10):
     (final_params, _, best_params, _), history = jax.lax.scan(
         step, init, None, length=n_iter)
     return best_params, final_params, history
+
+
+def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10):
+    """Projected L-BFGS with zoom linesearch; see module docstring.
+
+    Returns:
+        (best_free, final_free, loss_history[n_iter])
+    """
+    return _run_lbfgsb(loss_fn=loss_fn, free0=free0, lower=lower,
+                       upper=upper, n_iter=int(n_iter),
+                       memory_size=int(memory_size))
+
+
+class Optimizer:
+    """API-parity wrapper bundling a Loss, a Params and a method.
+
+    Mirrors the reference's STARRED Optimizer usage
+    (processes/star_photometry.py:113-122, processes/roi_modelling.py:278,
+    326-334): construct with ``method='adabelief' | 'l-bfgs-b'``, call
+    ``minimize(...)``, read ``loss_history``; the bound Params object is
+    updated so ``parameters.best_fit_values(as_kwargs=True)`` returns the
+    optimized kwargs.
+    """
+
+    def __init__(self, loss, parameters, method="adabelief"):
+        self.loss = loss
+        self.parameters = parameters
+        self.method = method
+        self.loss_history = None
+
+    def minimize(self, maxiter=None, max_iterations=None, min_iterations=None,
+                 init_learning_rate=1e-3, schedule_learning_rate=True,
+                 restart_from_init=False, stop_at_loss_increase=False,
+                 progress_bar=False, return_param_history=False):
+        import time
+
+        del min_iterations, stop_at_loss_increase, progress_bar
+        n_iter = int(max_iterations if max_iterations is not None else maxiter)
+        p = self.parameters
+        free0 = p.free0 if restart_from_init else p.best_fit_values(
+            as_kwargs=False)
+        loss_fn = self.loss.loss_fn
+        t0 = time.time()
+        if self.method == "adabelief":
+            best, final, hist = run_adabelief(
+                loss_fn, free0, p.lower, p.upper, n_iter,
+                init_learning_rate=init_learning_rate,
+                schedule_learning_rate=schedule_learning_rate)
+        elif self.method in ("l-bfgs-b", "lbfgsb", "l-bfgs"):
+            best, final, hist = run_lbfgsb(
+                loss_fn, free0, p.lower, p.upper, n_iter)
+        else:
+            raise ValueError(f"unknown method {self.method!r}")
+        runtime = time.time() - t0
+        import numpy as np
+
+        hist = np.asarray(hist)
+        self.loss_history = hist
+        p.set_best(best)
+        best_kwargs = p.best_fit_values(as_kwargs=True)
+        logL = float(hist[np.nanargmin(hist)]) if hist.size else float("nan")
+        extra_fields = {"loss_history": hist}
+        if return_param_history:
+            extra_fields["param_history"] = None  # not recorded (memory)
+        return best_kwargs, logL, extra_fields, runtime
 
 
 def relative_loss_differential(loss_history):

@@ -1,0 +1,84 @@
+"""Narrow-PSF forward model: analytic Moffat + free pixel grid.
+
+The PSF of a frame is fitted jointly on N star stamps:
+
+    model_i = a_i * down( conv(t_i, r(. - (x0_i, y0_i))) )
+
+with ``t = normalize(Moffat(fwhm_x, fwhm_y, beta) + g)`` the NARROW PSF on
+the fine grid (normalized to unit sum inside the evaluation, which removes
+the amplitude/normalization degeneracy), ``g`` a free pixel grid
+("background" channel in the parameter naming, for contract parity), and
+``r`` the target-resolution Gaussian carrying the per-star sub-pixel
+shifts analytically.  When field distortion is enabled, ``t_i`` is the
+reference ``t`` warped by the polynomial affine field at the star's
+position (core/psf/distortion.py).
+
+The FULL PSF (what a star looks like on the fine grid) is ``conv(t, r)``.
+
+Parameter pytree:
+    kwargs_moffat:     fwhm_x, fwhm_y, beta            (scalars)
+    kwargs_gaussian:   a (N), x0 (N), y0 (N)
+    kwargs_background: background (m*m)                 (the grid g)
+    kwargs_distortion: dilation_x, dilation_y, shear    (poly coeffs)
+"""
+
+import jax.numpy as jnp
+
+from ..grids import downsample
+from ..profiles import moffat_fine_grid
+from .. import convolution as conv
+from .distortion import distortion_fields_at, warp_psf
+
+
+class PSFModel:
+    """Static configuration for a joint N-star narrow-PSF fit."""
+
+    def __init__(self, n_stars, image_size, subsampling_factor,
+                 field_distortion=False, stamp_coordinates=None):
+        self.n_stars = int(n_stars)
+        self.image_size = int(image_size)
+        self.s = int(subsampling_factor)
+        self.m = self.image_size * self.s
+        self.field_distortion = bool(field_distortion)
+        self.stamp_coordinates = (
+            jnp.asarray(stamp_coordinates, dtype=jnp.float32)
+            if stamp_coordinates is not None else None)
+        self._r_hat = conv.r_kernel_fft(self.m, self.s)
+
+    def narrow_psf(self, kwargs):
+        """The normalized narrow PSF t on the fine grid (field center)."""
+        km = kwargs["kwargs_moffat"]
+        g = kwargs["kwargs_background"]["background"].reshape(self.m, self.m)
+        t = moffat_fine_grid(self.m, self.s, km["fwhm_x"], km["fwhm_y"],
+                             km["beta"]) + g
+        return t / t.sum()
+
+    def full_psf(self, kwargs):
+        """conv(t, r): the PSF as seen by a perfectly centered star."""
+        t = self.narrow_psf(kwargs)
+        t_hat = conv.psf_fft(t) * self._r_hat
+        L = conv.pad_len(self.m)
+        full = jnp.fft.irfft2(t_hat, s=(L, L))[: self.m, : self.m]
+        return full
+
+    def _per_star_psfs(self, kwargs):
+        """(N, m, m) narrow PSFs, distorted per star if enabled."""
+        t = self.narrow_psf(kwargs)
+        if not self.field_distortion or self.stamp_coordinates is None:
+            return jnp.broadcast_to(t, (self.n_stars, self.m, self.m))
+        dx, dy, sh = distortion_fields_at(
+            kwargs["kwargs_distortion"], self.stamp_coordinates)
+        import jax
+
+        return jax.vmap(lambda a, b, c: warp_psf(t, a, b, c))(dx, dy, sh)
+
+    def model(self, kwargs):
+        """Modelled star stamps, (N, n, n)."""
+        kg = kwargs["kwargs_gaussian"]
+        t_stack = self._per_star_psfs(kwargs)          # (N, m, m)
+        t_hat = conv.psf_fft(t_stack)                  # (N, L, L/2+1)
+        spec = conv.point_source_spectrum(
+            self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
+            kg["y0"][:, None])
+        fine = conv.render_from_fft(spec * t_hat * self._r_hat, self.m)
+        return downsample(fine, self.s)
