@@ -1,0 +1,129 @@
+"""Headline benchmark: 100-epoch joint ROI deconvolution wall time.
+
+Mirrors the BASELINE.json metric ("PSF fits/sec/chip + 100-epoch joint ROI
+deconv wall-time at chi2 parity").  The reference does the ROI joint
+deconvolution in "a few minutes at least" on CPU (reference
+docs/mkdocs/contents/tutorial.md:390); 180 s is used as the baseline.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, ...}
+
+Run: python bench.py            (uses whatever JAX backend is live)
+"""
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+
+def _setup_jax():
+    import jax
+
+    cache = pathlib.Path(__file__).parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def run_roi_deconv(scene, n_iter=2000):
+    import jax
+    import jax.numpy as jnp
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.core.deconv.loss import Loss
+    from lightcurver_tpu.core.params import Params
+    from lightcurver_tpu.core.optimize import run_adabelief
+
+    data, sigma_2 = scene["data"], scene["sigma_2"]
+    model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
+        data, sigma_2, scene["psf"], scene["xs"], scene["ys"], scene["s"])
+    # stage-2 configuration: everything free except sersic
+    params = Params(kwargs_init, {"kwargs_sersic": {}}, kwargs_up, kwargs_down)
+    loss = Loss(data, model, params, sigma_2,
+                regularization_terms="l1_starlet",
+                regularization_strength_scales=1.0,
+                regularization_strength_hf=1.0,
+                regularization_strength_positivity=100.0)
+    consts = loss.consts
+
+    def fit():
+        best, _, hist = run_adabelief(
+            loss.loss_fn, params.free0, params.lower, params.upper,
+            n_iter, init_learning_rate=1e-2, consts=consts)
+        jax.block_until_ready((best, hist))
+        return best, hist
+
+    fit()                        # compile + first run
+    t0 = time.perf_counter()
+    best, hist = fit()           # steady state
+    wall = time.perf_counter() - t0
+
+    params.set_best(best)
+    kwargs = params.best_fit_values(as_kwargs=True)
+    modelled = model.model(kwargs)
+    red_chi2 = float(jnp.nansum((jnp.asarray(data) - modelled) ** 2
+                                / jnp.asarray(sigma_2))
+                     / np.prod(data.shape))
+    return wall, red_chi2, kwargs
+
+
+def run_psf_bench(stamps, n_iter_analytic=100, n_iter_adabelief=3000):
+    from lightcurver_tpu.core.psf.build import build_psf
+
+    def fit():
+        return build_psf(stamps["data"], stamps["sigma"], stamps["s"],
+                         n_iter_analytic=n_iter_analytic,
+                         n_iter_adabelief=n_iter_adabelief)
+
+    fit()                        # compile + first run
+    t0 = time.perf_counter()
+    out = fit()
+    wall = time.perf_counter() - t0
+    return wall, out["chi2"]
+
+
+def main():
+    jax = _setup_jax()
+    from lightcurver_tpu.utilities.synthetic import (make_roi_scene,
+                                                     make_star_stamps)
+
+    scene = make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4)
+    stamps = make_star_stamps(n_stars=8, n_pix=64, s=2)
+
+    roi_wall = red_chi2 = psf_wall = psf_chi2 = None
+    for attempt in range(3):     # the backend throws transient errors
+        try:
+            roi_wall, red_chi2, _ = run_roi_deconv(scene)
+            break
+        except Exception as e:   # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# roi attempt {attempt} failed: {e}", flush=True)
+    for attempt in range(3):
+        try:
+            psf_wall, psf_chi2 = run_psf_bench(stamps)
+            break
+        except Exception as e:   # noqa: BLE001
+            if attempt == 2:
+                raise
+            print(f"# psf attempt {attempt} failed: {e}", flush=True)
+
+    baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
+    print(json.dumps({
+        "metric": "roi_deconv_100epoch_wall_s",
+        "value": round(roi_wall, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline_roi_s / roi_wall, 2),
+        "roi_reduced_chi2": round(red_chi2, 4),
+        "psf_fit_wall_s": round(psf_wall, 3),
+        "psf_fits_per_sec": round(1.0 / psf_wall, 3),
+        "psf_chi2": round(psf_chi2, 4),
+        "backend": jax.default_backend(),
+        "n_devices": jax.device_count(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

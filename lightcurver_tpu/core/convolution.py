@@ -22,9 +22,20 @@ one ``rfft2(h)`` (shared across epochs) plus one ``irfft2`` per epoch —
 everything else is elementwise, which XLA fuses.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .conventions import fwhm_to_sigma, TARGET_FWHM_FINE_PIX
+
+
+def _unit_phase(ang):
+    """exp(i*ang) via lax.complex(cos, sin).
+
+    Avoids complex ``exp`` — real cos/sin map directly onto the TPU VPU
+    (and the experimental backend has shown transient compile failures on
+    complex exponentials).
+    """
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 
 
 def pad_len(m):
@@ -68,7 +79,7 @@ def shift_phase(m, sx, sy, dtype=jnp.float32):
     sx = jnp.asarray(sx, dtype=dtype)[..., None, None]
     sy = jnp.asarray(sy, dtype=dtype)[..., None, None]
     ang = -2.0 * jnp.pi * (fy * sy + fx * sx)
-    return jnp.exp(1j * ang)
+    return _unit_phase(ang)
 
 
 def psf_fft(t, dtype=jnp.complex64):
@@ -88,7 +99,7 @@ def grid_center_phase(m, dtype=jnp.float32):
     c = (m - 1) / 2.0
     fy, fx = freq_grids(m, dtype=dtype)
     ang = 2.0 * jnp.pi * (fy + fx) * c
-    return jnp.exp(1j * ang)
+    return _unit_phase(ang)
 
 
 def psf_fft_for_grid(t):
@@ -142,6 +153,10 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     sx = (s * jnp.asarray(px, dtype=dtype))[..., None, None]
     sy = (s * jnp.asarray(py, dtype=dtype))[..., None, None]
     ang = -2.0 * jnp.pi * (fy * sy + fx * sx)
-    phases = jnp.exp(1j * ang)
     amps = jnp.asarray(a, dtype=dtype)[..., None, None]
-    return (amps * phases).sum(axis=-3)
+    # fold the amplitude into the real/imag parts BEFORE forming the
+    # complex value: one fewer complex-typed intermediate at the largest
+    # shape in the program, (..., M, L, L/2+1)
+    re = (amps * jnp.cos(ang)).sum(axis=-3)
+    im = (amps * jnp.sin(ang)).sum(axis=-3)
+    return jax.lax.complex(re, im)

@@ -13,13 +13,17 @@ Mirrors the STARRED ``Loss``/``Prior`` contract exercised by the reference
           + flux-uniformity (scatter of per-source fluxes across epochs)
           + Gaussian priors on analytic parameters.
 
-The object is static configuration; ``loss.loss_fn`` is a pure function
-(free pytree -> scalar) ready for the optimizers in core/optimize.py.
+TPU contract: ``loss_fn(free, consts)`` is a pure function whose array
+inputs (data, noise, PSF spectra, starlet weights, fixed parameters) all
+arrive via the ``consts`` pytree argument — never as closure constants
+(see core/deconv/model.py module docstring for why).  ``loss.consts`` is
+the matching bundle, ready to pass to the optimizers in core/optimize.py.
 """
 
 import jax.numpy as jnp
 
 from ..starlet import starlet_transform, n_starlet_scales
+from ..params import merge_free
 from ..profiles import gaussian_r_kernel
 
 
@@ -53,10 +57,8 @@ class Loss:
                  regularization_strength_pts_source=0.0,
                  regularization_strength_flux_uniformity=0.0,
                  W=None, prior=None):
-        self.data = jnp.asarray(data, dtype=jnp.float32)
         self.model = deconv_class
         self.params = param_class
-        self.sigma_2 = jnp.asarray(sigma_2, dtype=jnp.float32)
         self.regularization_terms = regularization_terms
         self.lambda_scales = regularization_strength_scales
         self.lambda_hf = regularization_strength_hf
@@ -68,7 +70,6 @@ class Loss:
         self.n_scales = n_starlet_scales(m)
         if W is None:
             W = jnp.ones((self.n_scales + 1, m, m), dtype=jnp.float32)
-        self.W = jnp.asarray(W, dtype=jnp.float32)
 
         # proximity weights for the pts_source term: Gaussian bumps at the
         # initial source positions (evaluated once, at the init kwargs)
@@ -80,22 +81,32 @@ class Loss:
             for j in range(self.model.n_sources):
                 g = gaussian_r_kernel(m, s, x0=px[0, j], y0=py[0, j])
                 bump = bump + g / g.max()
-            self._pts_weights = jnp.minimum(bump, 1.0)
+            pts_weights = jnp.minimum(bump, 1.0)
         else:
-            self._pts_weights = None
+            pts_weights = jnp.zeros((1, 1), dtype=jnp.float32)
 
-    # -- individual terms ------------------------------------------------
+        # everything traced code needs, as ARGUMENTS (never closures)
+        self.consts = {
+            "data": jnp.asarray(data, dtype=jnp.float32),
+            "sigma_2": jnp.asarray(sigma_2, dtype=jnp.float32),
+            "W": jnp.asarray(W, dtype=jnp.float32),
+            "pts_weights": pts_weights,
+            "fixed": param_class.fixed,
+            **self.model.spectra(),
+        }
 
-    def chi2_term(self, kwargs):
-        modelled = self.model.model(kwargs)
-        res = (self.data - modelled) ** 2 / self.sigma_2
+    # -- individual terms (pure in (kwargs, consts)) ----------------------
+
+    def chi2_term(self, kwargs, consts):
+        modelled = self.model.model(kwargs, consts)
+        res = (consts["data"] - modelled) ** 2 / consts["sigma_2"]
         return 0.5 * jnp.nansum(res)
 
-    def starlet_term(self, kwargs):
+    def starlet_term(self, kwargs, consts):
         m = self.model.m
         h = kwargs["kwargs_background"]["h"].reshape(m, m)
         coeffs = starlet_transform(h, n_scales=self.n_scales)
-        wabs = self.W * jnp.abs(coeffs)
+        wabs = consts["W"] * jnp.abs(coeffs)
         hf = wabs[0].sum()
         others = wabs[1:-1].sum()  # coarse scale is not penalized
         return self.lambda_hf * hf + self.lambda_scales * others
@@ -106,10 +117,10 @@ class Loss:
         return self.lambda_pos * (
             jnp.sum(jnp.maximum(-h, 0.0)) + jnp.sum(jnp.maximum(-a, 0.0)))
 
-    def pts_source_term(self, kwargs):
+    def pts_source_term(self, kwargs, consts):
         m = self.model.m
         h = kwargs["kwargs_background"]["h"].reshape(m, m)
-        return self.lambda_pts * jnp.sum(self._pts_weights * jnp.abs(h))
+        return self.lambda_pts * jnp.sum(consts["pts_weights"] * jnp.abs(h))
 
     def flux_uniformity_term(self, kwargs):
         a = kwargs["kwargs_analytic"]["a"].reshape(
@@ -120,20 +131,24 @@ class Loss:
 
     # -- total -----------------------------------------------------------
 
-    def __call__(self, kwargs):
-        total = self.chi2_term(kwargs)
+    def total(self, kwargs, consts):
+        out = self.chi2_term(kwargs, consts)
         if self.regularization_terms == "l1_starlet":
-            total = total + self.starlet_term(kwargs)
+            out = out + self.starlet_term(kwargs, consts)
         if self.lambda_pos > 0:
-            total = total + self.positivity_term(kwargs)
+            out = out + self.positivity_term(kwargs)
         if self.lambda_pts > 0:
-            total = total + self.pts_source_term(kwargs)
+            out = out + self.pts_source_term(kwargs, consts)
         if self.lambda_flux_uni > 0:
-            total = total + self.flux_uniformity_term(kwargs)
+            out = out + self.flux_uniformity_term(kwargs)
         if self.prior is not None:
-            total = total + self.prior.logL(kwargs)
-        return total
+            out = out + self.prior.logL(kwargs)
+        return out
 
-    def loss_fn(self, free):
-        """free pytree -> scalar, for core/optimize.py."""
-        return self(self.params.merge(free))
+    def __call__(self, kwargs):
+        """Eager convenience evaluation at full kwargs (diagnostics)."""
+        return self.total(kwargs, self.consts)
+
+    def loss_fn(self, free, consts):
+        """(free pytree, consts pytree) -> scalar, for core/optimize.py."""
+        return self.total(merge_free(free, consts["fixed"]), consts)

@@ -27,17 +27,23 @@ Parameter pytree (kwargs), shapes for N epochs / M point sources and an
 ``a[j::M]``, matching the reference's extraction at
 processes/roi_modelling.py:462.
 
-TPU design: the per-epoch PSF spectra are precomputed; one optimizer
-iteration costs a single rfft2 of ``h`` (shared across epochs) plus one
-batched irfft2 over epochs — everything else is elementwise and fuses.
-The epoch axis is the natural sharding axis (see parallel/).
+TPU design notes:
+- one optimizer iteration costs a single rfft2 of ``h`` (shared across
+  epochs) plus one batched irfft2 over epochs; everything else is
+  elementwise and fuses.  The epoch axis is the sharding axis (parallel/).
+- every large array (data, noise, PSF spectra) is threaded through traced
+  code as an ARGUMENT, never a closure: the TPU backend in this
+  environment compiles embedded array constants pathologically (hours or
+  UNIMPLEMENTED).  Evaluation methods therefore take a ``consts`` dict;
+  the eager convenience path (``model.model(kwargs)``) builds it on the
+  fly for diagnostics/parity use.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..grids import downsample, pixel_grid_coords
+from ..grids import downsample
 from ..profiles import gaussian_r_kernel
 from .. import convolution as conv
 
@@ -61,11 +67,13 @@ def pad_psf_to(narrow_psf, m):
 
 
 class DeconvModel:
-    """Static model configuration + precomputed PSF spectra.
+    """Static model configuration + the PSF stack (normalized, fine grid).
 
-    Instances are cheap containers; all evaluation methods are pure
-    functions of the kwargs pytree, so they can be jitted / vmapped /
-    shard_mapped by callers.
+    All evaluation methods are pure functions of ``(kwargs, consts)`` so
+    they can be jitted / vmapped / shard_mapped with the arrays passed as
+    arguments (see module docstring).  ``consts`` needs keys ``ps_hat``
+    (point-source channel spectra) and ``grid_hat`` (pixel-channel
+    spectra), produced by :meth:`spectra`.
     """
 
     def __init__(self, psf, subsampling_factor, image_size, n_epochs,
@@ -85,13 +93,33 @@ class DeconvModel:
         self.m = self.image_size * self.s
 
         psf = jnp.asarray(psf, dtype=jnp.float32)
-        psf_pad = pad_psf_to(psf, self.m)
+        psf = pad_psf_to(psf, self.m)
         # normalize each epoch's PSF to unit flux so `a` is total flux
-        psf_pad = psf_pad / psf_pad.sum(axis=(-2, -1), keepdims=True)
-        t_hat = conv.psf_fft(psf_pad)                       # (N, L, L/2+1)
-        r_hat = conv.r_kernel_fft(self.m, self.s)
-        self._ps_hat = t_hat * r_hat                        # point-source channel
-        self._grid_hat = t_hat * conv.grid_center_phase(self.m)  # h channel
+        self.psf_pad = psf / psf.sum(axis=(-2, -1), keepdims=True)
+        self._consts_cache = None
+
+    # ---- array preparation ---------------------------------------------
+
+    def spectra(self, psf_pad=None):
+        """Per-epoch channel spectra: ``{'ps_hat', 'grid_hat'}``.
+
+        ``ps_hat`` multiplies point-source phase ramps (includes the target
+        Gaussian r); ``grid_hat`` convolves the gridded ``h`` channel
+        (includes the center-alignment phase).  Computable in-graph.
+        """
+        if psf_pad is None:
+            psf_pad = self.psf_pad
+        t_hat = conv.psf_fft(psf_pad)
+        return {
+            "ps_hat": t_hat * conv.r_kernel_fft(self.m, self.s),
+            "grid_hat": t_hat * conv.grid_center_phase(self.m),
+        }
+
+    def consts(self):
+        """Cached eager spectra for the convenience (non-jit) API."""
+        if self._consts_cache is None:
+            self._consts_cache = self.spectra()
+        return self._consts_cache
 
     # ---- geometry -----------------------------------------------------
 
@@ -110,39 +138,37 @@ class DeconvModel:
 
     # ---- evaluation ---------------------------------------------------
 
-    def model(self, kwargs):
+    def model(self, kwargs, consts=None):
         """Modelled data stamps, (N, n, n)."""
+        if consts is None:
+            consts = self.consts()
         m, s, M = self.m, self.s, self.n_sources
         ka = kwargs["kwargs_analytic"]
         kb = kwargs["kwargs_background"]
         a = ka["a"].reshape(self.n_epochs, M)
         px, py = self.source_positions(kwargs)
 
-        # point-source spectrum, accumulated source-by-source to keep the
-        # peak memory at one (N, L, L/2+1) buffer regardless of M
-        total_hat = jnp.zeros_like(self._ps_hat)
-        for j in range(M):
-            spec = conv.point_source_spectrum(
-                m, s, a[:, j:j + 1], px[:, j:j + 1], py[:, j:j + 1])
-            total_hat = total_hat + spec
-        total_hat = total_hat * self._ps_hat
+        total_hat = conv.point_source_spectrum(m, s, a, px, py)
+        total_hat = total_hat * consts["ps_hat"]
 
         h = kb["h"].reshape(m, m)
         L = conv.pad_len(m)
         h_hat = jnp.fft.rfft2(h, s=(L, L))                  # one FFT, shared
-        total_hat = total_hat + h_hat * self._grid_hat
+        total_hat = total_hat + h_hat * consts["grid_hat"]
 
         fine = conv.render_from_fft(total_hat, m)           # (N, m, m)
         data = downsample(fine, s)
         return data + kb["mean"][:, None, None]
 
-    def point_source_basis(self, kwargs):
+    def point_source_basis(self, kwargs, consts=None):
         """Unit-flux data-grid images of each source: (N, M, n, n).
 
         The model is linear in ``a``; these are the corresponding columns,
         used for exact Fisher flux uncertainties (core/fisher.py) and
         linear flux refits.
         """
+        if consts is None:
+            consts = self.consts()
         m, s, M = self.m, self.s, self.n_sources
         px, py = self.source_positions(kwargs)
         ones = jnp.ones_like(px[:, :1])
@@ -150,7 +176,7 @@ class DeconvModel:
         def one_source(pxj, pyj):
             spec = conv.point_source_spectrum(
                 m, s, ones, pxj[:, None], pyj[:, None])
-            fine = conv.render_from_fft(spec * self._ps_hat, m)
+            fine = conv.render_from_fft(spec * consts["ps_hat"], m)
             return downsample(fine, s)
 
         basis = [one_source(px[:, j], py[:, j]) for j in range(M)]

@@ -11,9 +11,12 @@ noise.
 Implementation: draw ``num_samples`` data-grid noise realizations
 ``eps ~ N(0, sigma_px)``, push each through the ADJOINT of the forward
 linear operator (upsample-transpose, then correlate with the PSF), starlet
-transform, and take the per-coefficient std over samples.  Fully vmapped —
-this is itself a batch job on the device.
+transform, and take the per-coefficient std over samples.  Fully batched
+on-device; all arrays enter the jitted program as arguments (see
+core/optimize.py module docstring for the no-closure-constants rule).
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +24,27 @@ import jax.numpy as jnp
 from .grids import upsample_transpose
 from .starlet import starlet_transform, n_starlet_scales
 from . import convolution as conv
+
+
+@functools.partial(jax.jit, static_argnames=("m", "s", "num_samples",
+                                             "n_scales"))
+def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, seed):
+    """std of starlet coefficients of PSF-correlated upsampled noise."""
+    L = conv.pad_len(m)
+
+    def one_sample(key):
+        eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
+        fine = upsample_transpose(eps, s)
+        # correlate with the PSF (adjoint of convolution): conjugate spectrum
+        fine_hat = jnp.fft.rfft2(fine, s=(L, L))
+        back = jnp.fft.irfft2(fine_hat * jnp.conj(mean_ps_hat),
+                              s=(L, L))[:m, :m]
+        return starlet_transform(back, n_scales=n_scales)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+    coeffs = jax.lax.map(one_sample, keys, batch_size=32)
+    # guard against zeros (constant coarse scale etc.)
+    return jnp.maximum(jnp.std(coeffs, axis=0), 1e-12)
 
 
 def propagate_noise(model, noisemap, kwargs, wavelet_type_list=("starlet",),
@@ -49,23 +73,9 @@ def propagate_noise(model, noisemap, kwargs, wavelet_type_list=("starlet",),
         n_scales = n_starlet_scales(m)
 
     sigma = jnp.nanmedian(jnp.asarray(noisemap, dtype=jnp.float32), axis=0)
-
-    # mean PSF across epochs, centered: use the model's precomputed
-    # point-source spectra (psf * r) as the effective smoothing operator
-    mean_ps_hat = model._ps_hat.mean(axis=0)
-
-    def one_sample(key):
-        eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
-        fine = upsample_transpose(eps, s)
-        # correlate with the PSF (adjoint of convolution): conjugate spectrum
-        L = conv.pad_len(m)
-        fine_hat = jnp.fft.rfft2(fine, s=(L, L))
-        back = jnp.fft.irfft2(fine_hat * jnp.conj(mean_ps_hat), s=(L, L))[:m, :m]
-        return starlet_transform(back, n_scales=n_scales)
-
-    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
-    coeffs = jax.lax.map(one_sample, keys, batch_size=32)
-    W = jnp.std(coeffs, axis=0)
-    # guard against zeros (constant coarse scale etc.)
-    W = jnp.maximum(W, 1e-12)
+    # mean point-source-channel spectrum across epochs as the effective
+    # smoothing operator
+    mean_ps_hat = model.consts()["ps_hat"].mean(axis=0)
+    W = _mc_starlet_noise(sigma, mean_ps_hat, m, s, int(num_samples),
+                          int(n_scales), jnp.uint32(seed))
     return [W]

@@ -16,6 +16,14 @@ tests/test_starred_calls/test_starred_calls.py:58 (no early stopping).
 The whole loop (not just one step) is compiled: a full 2000-iteration
 joint deconvolution is a single XLA program, so per-step host latency is
 zero and the scan body fuses.
+
+TPU contract: the loss is ``loss_fn(free, consts)`` and every array it
+touches (data, noise maps, PSF spectra, regularization weights, fixed
+parameters) must arrive through the ``consts`` pytree, which is a runtime
+ARGUMENT of the compiled program.  Arrays captured as closure constants
+get embedded into the HLO and drive this environment's TPU compiler into
+pathological behaviour (minutes-to-hours compiles / UNIMPLEMENTED) —
+measured, not theoretical.
 """
 
 import functools
@@ -32,13 +40,14 @@ def _project(params, lower, upper):
 @functools.partial(
     jax.jit,
     static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
-def _run_adabelief(loss_fn, free0, lower, upper, n_iter,
+def _run_adabelief(loss_fn, free0, consts, lower, upper, n_iter,
                    init_learning_rate, schedule_learning_rate):
     """AdaBelief with box projection.
 
     Args:
-        loss_fn: free pytree -> scalar loss (closed over data; static).
+        loss_fn: (free pytree, consts pytree) -> scalar loss (static).
         free0: initial free pytree.
+        consts: pytree of arrays the loss needs (runtime argument).
         lower, upper: bounds pytrees matching free0.
         n_iter: static number of iterations.
         init_learning_rate: initial lr.
@@ -59,7 +68,7 @@ def _run_adabelief(loss_fn, free0, lower, upper, n_iter,
 
     def step(carry, _):
         params, opt_state, best_params, best_loss = carry
-        value, grad = vg(params)
+        value, grad = vg(params, consts)
         improved = value < best_loss
         best_loss = jnp.where(improved, value, best_loss)
         best_params = jax.tree_util.tree_map(
@@ -75,20 +84,28 @@ def _run_adabelief(loss_fn, free0, lower, upper, n_iter,
 
 
 def run_adabelief(loss_fn, free0, lower, upper, n_iter,
-                  init_learning_rate=1e-3, schedule_learning_rate=True):
+                  init_learning_rate=1e-3, schedule_learning_rate=True,
+                  consts=None):
     """AdaBelief with box projection; see module docstring.
+
+    ``loss_fn(free, consts)`` when ``consts`` is given, else a legacy
+    single-argument ``loss_fn(free)`` is wrapped (CPU-only paths).
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
     """
+    if consts is None:
+        fn, consts = _wrap_legacy(loss_fn), ()
+    else:
+        fn = loss_fn
     return _run_adabelief(
-        loss_fn=loss_fn, free0=free0, lower=lower, upper=upper,
+        loss_fn=fn, free0=free0, consts=consts, lower=lower, upper=upper,
         n_iter=int(n_iter), init_learning_rate=init_learning_rate,
         schedule_learning_rate=bool(schedule_learning_rate))
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter", "memory_size"))
-def _run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size):
+def _run_lbfgsb(loss_fn, free0, consts, lower, upper, n_iter, memory_size):
     """Projected L-BFGS with zoom linesearch (bounded quasi-Newton).
 
     Returns:
@@ -96,7 +113,11 @@ def _run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size):
     """
     opt = optax.lbfgs(memory_size=memory_size)
     opt_state = opt.init(free0)
-    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def bound_loss(params):
+        return loss_fn(params, consts)
+
+    value_and_grad = optax.value_and_grad_from_state(bound_loss)
 
     def step(carry, _):
         params, opt_state, best_params, best_loss = carry
@@ -106,7 +127,8 @@ def _run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size):
         best_params = jax.tree_util.tree_map(
             lambda b, p: jnp.where(improved, p, b), best_params, params)
         updates, opt_state = opt.update(
-            grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn)
+            grad, opt_state, params, value=value, grad=grad,
+            value_fn=bound_loss)
         params = _project(optax.apply_updates(params, updates), lower, upper)
         return (params, opt_state, best_params, best_loss), value
 
@@ -116,15 +138,32 @@ def _run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size):
     return best_params, final_params, history
 
 
-def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10):
+def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10,
+               consts=None):
     """Projected L-BFGS with zoom linesearch; see module docstring.
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
     """
-    return _run_lbfgsb(loss_fn=loss_fn, free0=free0, lower=lower,
+    if consts is None:
+        fn, consts = _wrap_legacy(loss_fn), ()
+    else:
+        fn = loss_fn
+    return _run_lbfgsb(loss_fn=fn, free0=free0, consts=consts, lower=lower,
                        upper=upper, n_iter=int(n_iter),
                        memory_size=int(memory_size))
+
+
+@functools.cache
+def _wrap_legacy(loss_fn):
+    """Adapt a single-argument loss to the (free, consts) signature.
+
+    Cached so repeat calls reuse the jit cache entry.
+    """
+    def fn(free, consts):
+        del consts
+        return loss_fn(free)
+    return fn
 
 
 class Optimizer:
@@ -155,16 +194,17 @@ class Optimizer:
         p = self.parameters
         free0 = p.free0 if restart_from_init else p.best_fit_values(
             as_kwargs=False)
+        consts = getattr(self.loss, "consts", None)
         loss_fn = self.loss.loss_fn
         t0 = time.time()
         if self.method == "adabelief":
             best, final, hist = run_adabelief(
                 loss_fn, free0, p.lower, p.upper, n_iter,
                 init_learning_rate=init_learning_rate,
-                schedule_learning_rate=schedule_learning_rate)
+                schedule_learning_rate=schedule_learning_rate, consts=consts)
         elif self.method in ("l-bfgs-b", "lbfgsb", "l-bfgs"):
             best, final, hist = run_lbfgsb(
-                loss_fn, free0, p.lower, p.upper, n_iter)
+                loss_fn, free0, p.lower, p.upper, n_iter, consts=consts)
         else:
             raise ValueError(f"unknown method {self.method!r}")
         runtime = time.time() - t0

@@ -16,13 +16,15 @@ Masked pixels (cosmics, neighbours) are excluded from the chi2 by weight,
 and the reduced chi2 is computed per star over unmasked pixels only.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..grids import upsample_transpose, downsample
 from ..starlet import starlet_transform, n_starlet_scales
-from ..params import Params
+from ..params import Params, merge_free
 from ..optimize import run_adabelief, run_lbfgsb
 from .. import convolution as conv
 from .distortion import zero_distortion_kwargs, DISTORTION_BASIS_SIZE
@@ -36,21 +38,60 @@ def _masked_chi2_per_star(data, model_imgs, sigma_2, masks):
     return res2.sum(axis=(-2, -1)) / jnp.maximum(good, 1)
 
 
-def _propagate_noise_to_grid_weights(model, noisemap, mean_amp, num_samples=64,
-                                     seed=0):
+@functools.lru_cache(maxsize=64)
+def _phase_losses(n_stars, n_pix, s, field_distortion):
+    """Model + the two phase losses for a given (static) configuration.
+
+    lru-cached so fitting many frames of identical geometry reuses the
+    same function objects — and therefore the optimizers' jit cache —
+    instead of recompiling per frame.  All per-frame arrays travel in the
+    ``consts`` argument.
+    """
+    model = PSFModel(n_stars, n_pix, s, field_distortion=field_distortion)
+    m = n_pix * s
+    n_sc = n_starlet_scales(m)
+
+    def pin_term(kwargs):
+        # pin star 0's position (breaks the global-shift degeneracy
+        # between the stars' sub-pixel offsets and the PSF grid)
+        kg = kwargs["kwargs_gaussian"]
+        return 0.5 * ((kg["x0"][0] / 1e-3) ** 2 + (kg["y0"][0] / 1e-3) ** 2)
+
+    def data_term(kwargs, consts):
+        imgs = model.model(kwargs, consts["stamp_coordinates"])
+        chi2 = _masked_chi2_per_star(consts["data"], imgs,
+                                     consts["sigma_2"], consts["masks"])
+        return 0.5 * chi2.sum() * n_pix**2 + pin_term(kwargs)
+
+    def loss_moffat(free, consts):
+        return data_term(merge_free(free, consts["fixed"]), consts)
+
+    def loss_pixels(free, consts):
+        kwargs = merge_free(free, consts["fixed"])
+        g = kwargs["kwargs_background"]["background"].reshape(m, m)
+        # l1 with per-coefficient noise weights: soft-thresholding at
+        # ~lambda sigma_coeff (standard starlet k-sigma denoising)
+        coeffs = starlet_transform(g, n_scales=n_sc)
+        reg = consts["lam"] * (consts["W"][:-1] * jnp.abs(coeffs[:-1])).sum()
+        return data_term(kwargs, consts) + reg
+
+    return model, loss_moffat, loss_pixels
+
+
+@functools.partial(jax.jit, static_argnames=("m", "s", "num_samples",
+                                              "n_scales"))
+def _grid_noise_weights(sigma, m, s, num_samples, n_scales, seed):
     """Per-scale noise std of starlet coefficients of the PSF pixel grid.
 
     The operator from the grid g to the stamps is (per star)
     ``a_i * down(conv(g, r))``; its adjoint applied to noise realizations
     gives the coefficient noise used as l1 weights (same scheme as
     core/noise.propagate_noise for the deconvolution background).
+    ``sigma`` is a runtime argument (no closure constants, see
+    core/optimize.py module docstring).
     """
-    m, s = model.m, model.s
-    sigma = jnp.nanmedian(jnp.asarray(noisemap, dtype=jnp.float32), axis=0)
-    sigma = sigma / jnp.maximum(mean_amp, 1e-12)
-    r_hat = model._r_hat
-    n_scales = n_starlet_scales(m)
     L = conv.pad_len(m)
+    r_hat = conv.r_kernel_fft(m, s)
 
     def one(key):
         eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
@@ -62,6 +103,15 @@ def _propagate_noise_to_grid_weights(model, noisemap, mean_amp, num_samples=64,
     keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
     coeffs = jax.lax.map(one, keys, batch_size=16)
     return jnp.maximum(jnp.std(coeffs, axis=0), 1e-12)
+
+
+def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
+                                     num_samples=64, seed=0):
+    sigma = jnp.nanmedian(jnp.asarray(noisemap, dtype=jnp.float32), axis=0)
+    sigma = sigma / jnp.maximum(mean_amp, 1e-12)
+    return _grid_noise_weights(sigma, model.m, model.s, num_samples,
+                               n_starlet_scales(model.m),
+                               jnp.uint32(seed))
 
 
 def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
@@ -112,8 +162,11 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     sigma = jnp.asarray(np.nan_to_num(noisemap / scale, nan=1e8))
     sigma_2 = sigma**2
 
-    model = PSFModel(n_stars, n_pix, s, field_distortion=field_distortion,
-                     stamp_coordinates=stamp_coordinates)
+    model, loss_moffat, loss_pixels = _phase_losses(
+        n_stars, n_pix, s, bool(field_distortion))
+    if stamp_coordinates is None:
+        stamp_coordinates = np.zeros((n_stars, 2), dtype=np.float32)
+    stamp_coordinates = jnp.asarray(stamp_coordinates, dtype=jnp.float32)
 
     fwhm0 = float(guess_fwhm_pixels) if guess_fwhm_pixels else 3.0
     fwhm0 = float(np.clip(fwhm0, 1.2, 0.45 * n_pix))
@@ -156,20 +209,12 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     }
     params1 = Params(kwargs_init, kwargs_fixed_1, kwargs_up, kwargs_down)
 
-    # pin star 0's position (breaks the global-shift degeneracy between
-    # the stars' sub-pixel offsets and the PSF grid)
-    def pin_term(kwargs):
-        kg = kwargs["kwargs_gaussian"]
-        return 0.5 * ((kg["x0"][0] / 1e-3) ** 2 + (kg["y0"][0] / 1e-3) ** 2)
-
-    def loss1(free):
-        kwargs = params1.merge(free)
-        chi2 = _masked_chi2_per_star(data, model.model(kwargs), sigma_2,
-                                     masks_j)
-        return 0.5 * chi2.sum() * n_pix**2 + pin_term(kwargs)
-
-    best1, _, hist1 = run_lbfgsb(loss1, params1.free0, params1.lower,
-                                 params1.upper, n_iter_analytic)
+    base_consts = {"data": data, "sigma_2": sigma_2, "masks": masks_j,
+                   "stamp_coordinates": stamp_coordinates}
+    consts1 = {**base_consts, "fixed": params1.fixed}
+    best1, _, hist1 = run_lbfgsb(loss_moffat, params1.free0, params1.lower,
+                                 params1.upper, n_iter_analytic,
+                                 consts=consts1)
     kwargs_1 = params1.merge(best1)
 
     # --- phase 2: pixel grid (+ optional distortion), Moffat fixed ------
@@ -183,27 +228,19 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
 
     mean_amp = jnp.mean(jnp.asarray(a0))
     W = _propagate_noise_to_grid_weights(model, noisemap / scale, mean_amp)
-    lam = regularization_strength
 
-    def loss2(free):
-        kwargs = params2.merge(free)
-        chi2 = _masked_chi2_per_star(data, model.model(kwargs), sigma_2,
-                                     masks_j)
-        g = kwargs["kwargs_background"]["background"].reshape(m, m)
-        # l1 with per-coefficient noise weights: soft-thresholding at
-        # ~lambda sigma_coeff (standard starlet k-sigma denoising)
-        coeffs = starlet_transform(g, n_scales=W.shape[0] - 1)
-        reg = lam * (W[:-1] * jnp.abs(coeffs[:-1])).sum()
-        return 0.5 * chi2.sum() * n_pix**2 + reg + pin_term(kwargs)
-
+    consts2 = {**base_consts, "W": W,
+               "lam": jnp.asarray(regularization_strength, jnp.float32),
+               "fixed": params2.fixed}
     best2, _, hist2 = run_adabelief(
-        loss2, params2.free0, params2.lower, params2.upper, n_iter_adabelief,
-        init_learning_rate=adabelief_lr, schedule_learning_rate=True)
+        loss_pixels, params2.free0, params2.lower, params2.upper,
+        n_iter_adabelief, init_learning_rate=adabelief_lr,
+        schedule_learning_rate=True, consts=consts2)
     kwargs_final = params2.merge(best2)
 
     narrow = model.narrow_psf(kwargs_final)
     full = model.full_psf(kwargs_final)
-    model_imgs = model.model(kwargs_final)
+    model_imgs = model.model(kwargs_final, stamp_coordinates)
     chi2_per_star = _masked_chi2_per_star(data, model_imgs, sigma_2, masks_j)
     chi2 = float(jnp.mean(chi2_per_star))
     residuals = scale * np.asarray(data - model_imgs)

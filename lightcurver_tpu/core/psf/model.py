@@ -43,7 +43,12 @@ class PSFModel:
         self.stamp_coordinates = (
             jnp.asarray(stamp_coordinates, dtype=jnp.float32)
             if stamp_coordinates is not None else None)
-        self._r_hat = conv.r_kernel_fft(self.m, self.s)
+
+    def _r_hat(self):
+        # computed IN-GRAPH on every call: cheap (elementwise exp over the
+        # half-spectrum) and keeps large constants out of traced programs
+        # (see core/deconv/model.py module docstring)
+        return conv.r_kernel_fft(self.m, self.s)
 
     def narrow_psf(self, kwargs):
         """The normalized narrow PSF t on the fine grid (field center)."""
@@ -56,29 +61,35 @@ class PSFModel:
     def full_psf(self, kwargs):
         """conv(t, r): the PSF as seen by a perfectly centered star."""
         t = self.narrow_psf(kwargs)
-        t_hat = conv.psf_fft(t) * self._r_hat
+        t_hat = conv.psf_fft(t) * self._r_hat()
         L = conv.pad_len(self.m)
         full = jnp.fft.irfft2(t_hat, s=(L, L))[: self.m, : self.m]
         return full
 
-    def _per_star_psfs(self, kwargs):
+    def _per_star_psfs(self, kwargs, stamp_coordinates=None):
         """(N, m, m) narrow PSFs, distorted per star if enabled."""
         t = self.narrow_psf(kwargs)
-        if not self.field_distortion or self.stamp_coordinates is None:
+        if stamp_coordinates is None:
+            stamp_coordinates = self.stamp_coordinates
+        if not self.field_distortion or stamp_coordinates is None:
             return jnp.broadcast_to(t, (self.n_stars, self.m, self.m))
         dx, dy, sh = distortion_fields_at(
-            kwargs["kwargs_distortion"], self.stamp_coordinates)
+            kwargs["kwargs_distortion"], stamp_coordinates)
         import jax
 
         return jax.vmap(lambda a, b, c: warp_psf(t, a, b, c))(dx, dy, sh)
 
-    def model(self, kwargs):
-        """Modelled star stamps, (N, n, n)."""
+    def model(self, kwargs, stamp_coordinates=None):
+        """Modelled star stamps, (N, n, n).
+
+        ``stamp_coordinates`` may be passed as a runtime argument so jitted
+        callers keep it out of closure constants.
+        """
         kg = kwargs["kwargs_gaussian"]
-        t_stack = self._per_star_psfs(kwargs)          # (N, m, m)
+        t_stack = self._per_star_psfs(kwargs, stamp_coordinates)  # (N, m, m)
         t_hat = conv.psf_fft(t_stack)                  # (N, L, L/2+1)
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])
-        fine = conv.render_from_fft(spec * t_hat * self._r_hat, self.m)
+        fine = conv.render_from_fft(spec * t_hat * self._r_hat(), self.m)
         return downsample(fine, self.s)

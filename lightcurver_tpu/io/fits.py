@@ -1,0 +1,279 @@
+"""Minimal FITS reader/writer (the subset the pipeline uses).
+
+astropy is not available in this environment; the reference relies on
+``astropy.io.fits`` for frame import and product output (reference
+processes/frame_importation.py:33-60,117-120).  This module implements the
+standard's core: 2880-byte blocks, 80-char cards, primary + IMAGE
+extensions, BITPIX in {8, 16, 32, -32, -64}, BSCALE/BZERO, big-endian
+data.  Unsupported features raise rather than mis-read.
+"""
+
+import numpy as np
+
+BLOCK = 2880
+CARD = 80
+
+_BITPIX_DTYPES = {
+    8: np.dtype(">u1"),
+    16: np.dtype(">i2"),
+    32: np.dtype(">i4"),
+    64: np.dtype(">i8"),
+    -32: np.dtype(">f4"),
+    -64: np.dtype(">f8"),
+}
+
+
+class Header:
+    """Ordered FITS header: dict-like access, preserves card order."""
+
+    def __init__(self, cards=None):
+        # cards: list of (keyword, value, comment)
+        self._cards = list(cards) if cards else []
+        self._index = {}
+        for i, (k, _, _) in enumerate(self._cards):
+            self._index.setdefault(k, i)
+
+    # -- mapping interface -------------------------------------------------
+    def __contains__(self, key):
+        return key.upper() in self._index
+
+    def __getitem__(self, key):
+        return self._cards[self._index[key.upper()]][1]
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __setitem__(self, key, value):
+        key = key.upper()
+        comment = ""
+        if isinstance(value, tuple):
+            value, comment = value
+        if key in self._index:
+            i = self._index[key]
+            self._cards[i] = (key, value, comment or self._cards[i][2])
+        else:
+            self._index[key] = len(self._cards)
+            self._cards.append((key, value, comment))
+
+    def __delitem__(self, key):
+        key = key.upper()
+        i = self._index.pop(key)
+        del self._cards[i]
+        self._index = {}
+        for j, (k, _, _) in enumerate(self._cards):
+            self._index.setdefault(k, j)
+
+    def keys(self):
+        return [k for k, _, _ in self._cards if k not in ("COMMENT",
+                                                          "HISTORY", "")]
+
+    def items(self):
+        return [(k, v) for k, v, _ in self._cards]
+
+    def cards(self):
+        return list(self._cards)
+
+    def update(self, other):
+        items = other.items() if hasattr(other, "items") else other
+        for k, v in items:
+            self[k] = v
+
+    def copy(self):
+        return Header(self._cards)
+
+    def __len__(self):
+        return len(self._cards)
+
+
+def _parse_value(raw):
+    """Parse the value field of a card."""
+    raw = raw.strip()
+    if not raw:
+        return None
+    if raw.startswith("'"):
+        # FITS strings: '' escapes a quote; value ends at unescaped '
+        out, i = [], 1
+        while i < len(raw):
+            if raw[i] == "'":
+                if i + 1 < len(raw) and raw[i + 1] == "'":
+                    out.append("'")
+                    i += 2
+                    continue
+                break
+            out.append(raw[i])
+            i += 1
+        return "".join(out).rstrip()
+    if raw == "T":
+        return True
+    if raw == "F":
+        return False
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw.replace("D", "E").replace("d", "e"))
+    except ValueError:
+        return raw
+
+
+def _parse_card(card):
+    key = card[:8].strip()
+    if key in ("COMMENT", "HISTORY") or not card[8:10] == "= ":
+        return key, card[8:].strip(), ""
+    rest = card[10:]
+    # split off comment at the first '/' outside a string
+    in_str = False
+    comment = ""
+    for i, ch in enumerate(rest):
+        if ch == "'":
+            in_str = not in_str
+        elif ch == "/" and not in_str:
+            comment = rest[i + 1:].strip()
+            rest = rest[:i]
+            break
+    return key, _parse_value(rest), comment
+
+
+def _format_card(key, value, comment=""):
+    key = key.upper()[:8].ljust(8)
+    if value is None:
+        body = ""
+    elif isinstance(value, bool):
+        body = "T".rjust(20) if value else "F".rjust(20)
+    elif isinstance(value, (int, np.integer)):
+        body = str(int(value)).rjust(20)
+    elif isinstance(value, (float, np.floating)):
+        body = np.format_float_scientific(
+            value, precision=12).replace("e", "E").rjust(20) \
+            if (value != 0 and (abs(value) >= 1e15 or abs(value) < 1e-9)) \
+            else repr(float(value)).rjust(20)
+    else:
+        s = str(value).replace("'", "''")
+        body = f"'{s:<8s}'"
+    card = f"{key}= {body}"
+    if comment:
+        card += f" / {comment}"
+    return card[:CARD].ljust(CARD)
+
+
+def _read_header(fh):
+    """Read header blocks until END; returns (Header, bytes_consumed)."""
+    cards = []
+    nbytes = 0
+    while True:
+        block = fh.read(BLOCK)
+        if len(block) < BLOCK:
+            if not cards and not block:
+                return None, 0  # clean EOF between HDUs
+            raise IOError("truncated FITS header")
+        nbytes += BLOCK
+        text = block.decode("latin-1")
+        done = False
+        for i in range(0, BLOCK, CARD):
+            card = text[i:i + CARD]
+            if card.startswith("END"):
+                done = True
+                break
+            if card.strip():
+                cards.append(_parse_card(card))
+        if done:
+            return Header(cards), nbytes
+
+
+def _data_size_bytes(header):
+    naxis = int(header.get("NAXIS", 0))
+    if naxis == 0:
+        return 0, ()
+    shape = tuple(int(header[f"NAXIS{i}"]) for i in range(naxis, 0, -1))
+    nel = int(np.prod(shape))
+    gcount = int(header.get("GCOUNT", 1))
+    pcount = int(header.get("PCOUNT", 0))
+    bitpix = int(header["BITPIX"])
+    nbytes = abs(bitpix) // 8 * gcount * (pcount + nel)
+    return nbytes, shape
+
+
+def read_fits(path, hdu_index=0, header_only=False):
+    """Read one HDU: returns ``(data, header)``; data None for NAXIS=0.
+
+    Integer data with BSCALE/BZERO is converted to float32 (matching the
+    pipeline's immediate ADU -> e-/s conversion); float data keeps its
+    precision as float32/float64.
+    """
+    with open(path, "rb") as fh:
+        idx = 0
+        while True:
+            header, _ = _read_header(fh)
+            if header is None:
+                raise IndexError(f"HDU {hdu_index} not found in {path}")
+            nbytes, shape = _data_size_bytes(header)
+            if idx == hdu_index:
+                if header_only or not shape:
+                    return None, header
+                dtype = _BITPIX_DTYPES[int(header["BITPIX"])]
+                raw = fh.read(nbytes)
+                if len(raw) < nbytes:
+                    raise IOError("truncated FITS data")
+                data = np.frombuffer(raw, dtype=dtype).reshape(shape)
+                bscale = header.get("BSCALE", 1)
+                bzero = header.get("BZERO", 0)
+                if dtype.kind in "iu" or bscale != 1 or bzero != 0:
+                    data = data.astype(np.float32) * np.float32(bscale) \
+                        + np.float32(bzero)
+                else:
+                    data = data.astype(data.dtype.newbyteorder("="))
+                return data, header
+            # skip this HDU's data (padded to block size)
+            fh.seek((nbytes + BLOCK - 1) // BLOCK * BLOCK, 1)
+            idx += 1
+
+
+def read_fits_header_many(path, hdu_indexes):
+    """Concatenated Header over several HDUs (reference concatenates
+    headers per config ``hdu_header_indexes``)."""
+    merged = Header()
+    for idx in hdu_indexes:
+        _, h = read_fits(path, hdu_index=idx, header_only=True)
+        for k, v, c in h.cards():
+            if k not in ("COMMENT", "HISTORY", ""):
+                merged[k] = (v, c)
+    return merged
+
+
+_STRUCTURAL = ("SIMPLE", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2", "NAXIS3",
+               "EXTEND", "BSCALE", "BZERO", "XTENSION", "PCOUNT", "GCOUNT")
+
+
+def write_fits(path, data, header=None):
+    """Write a single-HDU FITS file (float32 or float64 image)."""
+    data = np.asarray(data)
+    if data.dtype == np.float64:
+        bitpix = -64
+    else:
+        data = data.astype(np.float32)
+        bitpix = -32
+    cards = [
+        _format_card("SIMPLE", True, "conforms to FITS standard"),
+        _format_card("BITPIX", bitpix),
+        _format_card("NAXIS", data.ndim),
+    ]
+    for i, nax in enumerate(reversed(data.shape)):
+        cards.append(_format_card(f"NAXIS{i + 1}", int(nax)))
+    if header is not None:
+        for k, v, c in header.cards():
+            if k in _STRUCTURAL or k == "END" or not k:
+                continue
+            cards.append(_format_card(k, v, c))
+    cards.append("END".ljust(CARD))
+    head = "".join(cards).encode("latin-1")
+    head += b" " * (-len(head) % BLOCK)
+
+    payload = data.astype(data.dtype.newbyteorder(">")).tobytes()
+    payload += b"\0" * (-len(payload) % BLOCK)
+    with open(path, "wb") as fh:
+        fh.write(head)
+        fh.write(payload)

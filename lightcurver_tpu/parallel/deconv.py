@@ -1,0 +1,171 @@
+"""Epoch-sharded joint deconvolution: pjit over a 1-D ``epoch`` mesh.
+
+The joint multi-epoch fit couples per-epoch parameters (fluxes ``a``,
+pointing offsets ``dx/dy``, rotations ``alpha``, pedestals ``mean``) to
+shared parameters (pixelated background ``h``, source sky positions
+``c_x/c_y``) through a sum of per-epoch chi² terms plus regularization on
+``h``.  That structure maps onto a TPU pod slice as:
+
+- data / noise / per-epoch PSF spectra / per-epoch params: SHARDED along
+  the ``epoch`` mesh axis,
+- ``h``, ``c_x``, ``c_y``: REPLICATED; their gradients are an implicit
+  all-reduce that XLA lowers to a psum over ICI.
+
+No shard_map is needed — the loss is written as plain batched jnp ops
+(core/deconv/model.py), so committed input shardings plus XLA's sharding
+propagation produce the collective schedule.  The reference has no analog
+(it stacks all epochs on one device, reference
+processes/roi_modelling.py:154-178); this module is what makes the
+1000-epoch configuration feasible.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.deconv.model import setup_model
+from ..core.deconv.loss import Loss
+from ..core.params import Params
+from .mesh import EPOCH_AXIS
+
+# kwargs leaves with a leading epoch dimension ('a' is epoch-major flat)
+_PER_EPOCH_KEYS = frozenset({"a", "dx", "dy", "alpha", "mean"})
+
+
+def _key_name(path):
+    last = path[-1]
+    return getattr(last, "key", getattr(last, "name", None))
+
+
+def param_shardings(mesh, tree):
+    """Per-leaf NamedShardings: per-epoch leaves on ``epoch``, rest replicated."""
+    epoch = NamedSharding(mesh, P(EPOCH_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def spec(path, leaf):
+        del leaf
+        return epoch if _key_name(path) in _PER_EPOCH_KEYS else repl
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def shard_pytree(mesh, tree):
+    """device_put a kwargs pytree with :func:`param_shardings`."""
+    return jax.device_put(tree, param_shardings(mesh, tree))
+
+
+def pad_epochs(arrays, n_devices, noise_pad=1e8):
+    """Pad epoch-stacked arrays so the epoch count divides the mesh size.
+
+    Returns ``(padded_dict, n_padded)``.  ``arrays`` maps names to arrays
+    with leading epoch axis; the entry named ``'sigma'`` (noise) is padded
+    with ``noise_pad`` so dummy epochs carry ~zero statistical weight, all
+    others with zeros.
+    """
+    n = next(iter(arrays.values())).shape[0]
+    n_pad = (-n) % int(n_devices)
+    if n_pad == 0:
+        return dict(arrays), n
+    out = {}
+    for name, arr in arrays.items():
+        fill = noise_pad if name == "sigma" else 0.0
+        widths = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
+        out[name] = np.pad(np.asarray(arr), widths, constant_values=fill)
+    return out, n + n_pad
+
+
+_EPOCH_CONST_KEYS = frozenset({"data", "sigma_2", "ps_hat", "grid_hat"})
+
+
+def shard_consts(mesh, consts):
+    """Place a Loss consts bundle onto the mesh.
+
+    Epoch-stacked arrays (data, noise variance, per-epoch PSF spectra) are
+    sharded along ``epoch``; regularization weights are replicated; the
+    ``fixed`` parameter pytree follows the per-leaf parameter rules.
+    """
+    epoch = NamedSharding(mesh, P(EPOCH_AXIS))
+    repl = NamedSharding(mesh, P())
+    out = {}
+    for key, val in consts.items():
+        if key == "fixed":
+            out[key] = shard_pytree(mesh, val)
+        elif key in _EPOCH_CONST_KEYS:
+            out[key] = jax.device_put(val, epoch)
+        else:
+            out[key] = jax.device_put(val, repl)
+    return out
+
+
+def sharded_deconv_step(loss, params, learning_rate=1e-3):
+    """One jitted AdaBelief train step over whatever mesh the inputs live on.
+
+    Returns ``(step_fn, opt_state0)`` where
+    ``step_fn(free, opt_state, consts) -> (free, opt_state, loss_value)``.
+    Used by the multi-chip dry run and by callers that need custom
+    stepping; the production path is :func:`fit_deconv_sharded`.
+    """
+    opt = optax.adabelief(learning_rate=learning_rate)
+    opt_state0 = opt.init(params.free0)
+
+    @jax.jit
+    def step(free, opt_state, consts):
+        value, grad = jax.value_and_grad(loss.loss_fn)(free, consts)
+        updates, opt_state = opt.update(grad, opt_state, free)
+        free = optax.apply_updates(free, updates)
+        free = jax.tree_util.tree_map(jnp.clip, free, params.lower,
+                                      params.upper)
+        return free, opt_state, value
+
+    return step, opt_state0
+
+
+def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
+                       kwargs_fixed=None, n_iter=2000, initial_a=None,
+                       init_learning_rate=1e-2, loss_kwargs=None):
+    """End-to-end epoch-sharded joint deconvolution fit.
+
+    Args:
+        data, sigma_2: (N, n, n) stamps and noise variance.
+        psf: (N, mp, mp) per-epoch narrow PSFs.
+        xs, ys: (M,) initial source positions (data px, center origin).
+        subsampling_factor: int s.
+        mesh: 1-D mesh from :func:`..parallel.mesh.epoch_mesh`; N must be
+            divisible by its size (see :func:`pad_epochs`).
+        kwargs_fixed: fixed-parameter spec (default: the setup_model one).
+        n_iter: AdaBelief iterations (loss history has exactly this many
+            entries, matching the reference optimizer contract).
+        loss_kwargs: extra keyword args forwarded to core Loss
+            (regularization strengths, W, prior, ...).
+
+    Returns:
+        (kwargs_best, model, loss_history)
+    """
+    n_epochs = data.shape[0]
+    if n_epochs % mesh.size != 0:
+        raise ValueError(
+            f"n_epochs={n_epochs} not divisible by mesh size {mesh.size}; "
+            "pad with pad_epochs() first")
+    model, kwargs_init, kwargs_up, kwargs_down, default_fixed = setup_model(
+        data, sigma_2, psf, xs, ys, subsampling_factor, initial_a=initial_a)
+
+    params = Params(kwargs_init,
+                    kwargs_fixed if kwargs_fixed is not None else default_fixed,
+                    kwargs_up, kwargs_down)
+    params.free0 = shard_pytree(mesh, params.free0)
+    params.fixed = shard_pytree(mesh, params.fixed)
+    params.lower = shard_pytree(mesh, params.lower)
+    params.upper = shard_pytree(mesh, params.upper)
+
+    loss = Loss(data, model, params, sigma_2, **(loss_kwargs or {}))
+    consts = shard_consts(mesh, loss.consts)
+
+    from ..core.optimize import run_adabelief
+
+    best, _, history = run_adabelief(
+        loss.loss_fn, params.free0, params.lower, params.upper, n_iter,
+        init_learning_rate=init_learning_rate, consts=consts)
+    params.set_best(best)
+    return params.best_fit_values(as_kwargs=True), model, np.asarray(history)

@@ -1,0 +1,59 @@
+"""Star <-> frame assignment: which stars land in which frame footprint.
+
+Mirrors the reference (lightcurver/processes/frame_star_assignment.py:10-67):
+each frame footprint polygon is shrunk by a 15-arcsec margin — implemented
+as the intersection of four margin-translated copies, with the RA margin
+de-projected by cos(dec) — and every star inside the shrunk polygon gets
+a stars_in_frames row.
+"""
+
+import json
+import sqlite3
+
+import numpy as np
+
+from ..structure.user_config import get_user_config
+from ..utilities.geometry import SimplePolygon
+
+
+def populate_stars_in_frames():
+    """Fill the stars_in_frames join table (idempotent)."""
+    user_config = get_user_config()
+    # single connection: this loops over frames x stars
+    conn = sqlite3.connect(user_config["database_path"])
+    try:
+        footprints = conn.execute(
+            "SELECT frame_id, polygon FROM footprints").fetchall()
+        stars = conn.execute(
+            "SELECT gaia_id, ra, dec, combined_footprint_hash FROM stars"
+        ).fetchall()
+
+        margin_deg = 4.0 / 3600.0  # ~15 arcsec safety margin
+        for frame_id, footprint_str in footprints:
+            polygon = SimplePolygon(json.loads(footprint_str))
+            mean_dec = float(np.nanmean(polygon.vertices[:, 1]))
+            ra_margin = margin_deg / np.cos(np.radians(mean_dec))
+
+            # shrink = intersection of the four margin-translated copies
+            shrunk = polygon
+            for dx, dy in ((ra_margin, 0), (-ra_margin, 0),
+                           (0, margin_deg), (0, -margin_deg)):
+                shrunk = shrunk.intersection(polygon.translated(dx, dy))
+                if shrunk is None:
+                    break
+            if shrunk is None:
+                continue
+
+            for gaia_id, ra, dec, footprint_hash in stars:
+                if shrunk.contains(ra, dec):
+                    try:
+                        conn.execute(
+                            "INSERT INTO stars_in_frames (frame_id, "
+                            "star_gaia_id, combined_footprint_hash) "
+                            "VALUES (?, ?, ?)",
+                            (frame_id, gaia_id, footprint_hash))
+                    except sqlite3.IntegrityError:
+                        continue  # pair already present
+        conn.commit()
+    finally:
+        conn.close()

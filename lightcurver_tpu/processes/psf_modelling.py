@@ -1,0 +1,199 @@
+"""Per-frame narrow-PSF modelling task.
+
+Mirrors the reference task (lightcurver/processes/psf_modelling.py:64-225):
+select stars per frame, load their stamps from the regions HDF5,
+auto-mask neighbouring objects, repair NaNs, drop stars >40% masked, fit
+the two-phase narrow PSF (core/psf/build.py replaces STARRED build_psf),
+persist narrow/full PSF + distortion to HDF5, and record chi2 / Moffat
+FWHM / loss-plateau metric in the PSFs table.
+"""
+
+import logging
+from pathlib import Path
+from time import time
+
+import h5py
+import numpy as np
+
+from ..structure.database import (select_stars_for_a_frame,
+                                  execute_sqlite_query, get_pandas)
+from ..structure.user_config import get_user_config
+from ..utilities.footprint import get_combined_footprint_hash
+from ..utilities.image_coordinates import rescale_image_coordinates
+from ..core.psf.build import build_psf
+from ..core.optimize import relative_loss_differential
+from .star_extraction import _segment
+
+
+def check_psf_exists(frame_id, psf_ref, combined_footprint_hash):
+    """Is this (frame, star set, footprint) PSF already in the DB?"""
+    rows = execute_sqlite_query(
+        "SELECT 1 FROM PSFs WHERE frame_id = ? AND psf_ref = ? "
+        "AND combined_footprint_hash = ?",
+        params=(frame_id, psf_ref, combined_footprint_hash))
+    return len(rows) > 0
+
+
+def mask_surrounding_stars(data, noisemap):
+    """True = good pixel; masks every detected object except the central one.
+
+    (reference psf_modelling.py:35-61, sep segmentation replaced by the
+    in-repo connected-component segmentation)
+    """
+    data = np.nan_to_num(np.asarray(data, dtype=np.float32))
+    var = np.nan_to_num(np.asarray(noisemap, dtype=np.float32),
+                        nan=1e8) ** 2
+    labels, seg = _segment(data, var, threshold=3.0, min_area=15)
+    mask = np.ones_like(data, dtype=bool)
+    if not labels:
+        return mask
+    cy = (data.shape[0] - 1) / 2.0
+    cx = (data.shape[1] - 1) / 2.0
+    dists = []
+    for lab in labels:
+        ys, xs = np.nonzero(seg == lab)
+        w = data[ys, xs].clip(min=0) + 1e-9
+        dists.append(np.hypot((xs * w).sum() / w.sum() - cx,
+                              (ys * w).sum() / w.sum() - cy))
+    central = labels[int(np.argmin(dists))]
+    for lab in labels:
+        if lab != central:
+            mask[seg == lab] = False
+    return mask
+
+
+def _load_star_stack(regions_file, relpath, gaia_ids):
+    with h5py.File(regions_file, "r") as f:
+        base = f[relpath]
+        datas = np.array([base["data"][g][...] for g in gaia_ids])
+        noisemaps = np.array([base["noisemap"][g][...] for g in gaia_ids])
+        cosmics = np.array([base["cosmicsmask"][g][...]
+                            for g in gaia_ids]).astype(bool)
+        frame_shape = base["frame_shape"][...]
+        positions = np.array([base["image_pixel_coordinates"][g][...]
+                              for g in gaia_ids])
+    rescaled = rescale_image_coordinates(positions, frame_shape)
+    return datas, noisemaps, ~cosmics, rescaled  # True = good pixel
+
+
+def model_all_psfs():
+    """Pipeline task: build a PSF model for every eligible frame."""
+    logger = logging.getLogger("lightcurver.psf_modelling")
+    user_config = get_user_config()
+    regions_file = user_config["regions_path"]
+
+    frames = get_pandas(
+        columns=["id", "image_relpath", "exptime", "mjd", "seeing_pixels",
+                 "pixel_scale"],
+        conditions=["plate_solved = 1", "eliminated = 0",
+                    "roi_in_footprint = 1"])
+    combined_footprint_hash = get_combined_footprint_hash(
+        user_config, frames["id"].to_list())
+    logger.info(f"Building PSFs for up to {len(frames)} frames.")
+
+    for _, frame in frames.iterrows():
+        t0 = time()
+        stars = select_stars_for_a_frame(
+            frame_id=frame["id"],
+            combined_footprint_hash=combined_footprint_hash,
+            stars_to_use=user_config["stars_to_use_psf"],
+            stars_to_exclude=user_config["stars_to_exclude_psf"])
+        if len(stars) == 0:
+            logger.warning(f"Frame {frame['id']}: no reference stars, "
+                           "skipping.")
+            continue
+        psf_ref = "psf_" + "".join(sorted(stars["name"]))
+        if check_psf_exists(frame["id"], psf_ref, combined_footprint_hash) \
+                and not user_config["redo_psf"]:
+            logger.info(f"Frame {frame['id']}: PSF {psf_ref} exists, "
+                        "skipping.")
+            continue
+
+        gaia_ids = [str(g) for g in stars["gaia_id"]]
+        datas, noisemaps, good_masks, stamp_coords = _load_star_stack(
+            regions_file, frame["image_relpath"], gaia_ids)
+        auto = np.array([mask_surrounding_stars(d, n)
+                         for d, n in zip(datas, noisemaps)])
+        masks = good_masks & auto
+
+        isnan = np.isnan(datas) | np.isnan(noisemaps)
+        datas[isnan] = 0.0
+        noisemaps[isnan] = 1.0
+        masks[isnan] = False
+
+        # drop stars with > 40% masked pixels
+        n_before = len(datas)
+        frac_masked = (~masks).sum(axis=(1, 2)) / masks[0].size
+        keep = frac_masked <= 0.4
+        datas, noisemaps, masks = datas[keep], noisemaps[keep], masks[keep]
+        stamp_coords = stamp_coords[keep]
+        names = list(np.asarray(stars["name"])[keep])
+        if len(datas) == 0:
+            logger.warning(f"Frame {frame['id']}: all {n_before} stars "
+                           "too masked, skipping.")
+            continue
+
+        result = build_psf(
+            image=datas, noisemap=noisemaps,
+            subsampling_factor=user_config["subsampling_factor"],
+            n_iter_analytic=user_config["psf_n_iter_analytic"],
+            n_iter_adabelief=user_config["psf_n_iter_pixels"],
+            masks=masks, guess_method_star_position="center",
+            guess_fwhm_pixels=frame["seeing_pixels"],
+            field_distortion=user_config["field_distortion"],
+            stamp_coordinates=stamp_coords)
+
+        kwargs_moffat = result["kwargs_psf"]["kwargs_moffat"]
+        pixel_scale = frame["pixel_scale"] or 1.0
+        fwhm_arcsec = float(0.5 * (kwargs_moffat["fwhm_x"]
+                                   + kwargs_moffat["fwhm_y"]) * pixel_scale)
+        loss_history = result["adabelief_extra_fields"]["loss_history"]
+
+        # diagnostic plot
+        try:
+            from ..plotting.psf_plotting import plot_psf_diagnostic
+
+            plots_dir = (user_config["plots_dir"] / "PSFs"
+                         / str(combined_footprint_hash))
+            plots_dir.mkdir(exist_ok=True, parents=True)
+            frame_name = Path(frame["image_relpath"]).stem
+            seeing = (frame["seeing_pixels"] or 0) * pixel_scale
+            text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"
+                    f"seeing moffat: {fwhm_arcsec:.02f}")
+            plot_psf_diagnostic(
+                datas=datas, noisemaps=noisemaps,
+                residuals=result["residuals"],
+                full_psf=result["full_psf"], loss_curve=loss_history,
+                masks=masks, names=names, diagnostic_text=text,
+                save_path=plots_dir / f"{frame['id']}_{frame_name}.jpg")
+        except Exception as e:
+            logger.warning(f"PSF diagnostic plot failed: {e}")
+
+        with h5py.File(regions_file, "r+") as f:
+            frame_group = f[frame["image_relpath"]]
+            if psf_ref in frame_group:
+                del frame_group[psf_ref]
+            psf_group = frame_group.create_group(psf_ref)
+            psf_group["narrow_psf"] = np.asarray(result["narrow_psf"])
+            psf_group["full_psf"] = np.asarray(result["full_psf"])
+            psf_group["subsampling_factor"] = np.array(
+                [user_config["subsampling_factor"]])
+            distortion_group = psf_group.create_group("distortion")
+            for key, value in result["kwargs_psf"][
+                    "kwargs_distortion"].items():
+                distortion_group[key] = value
+
+        execute_sqlite_query(
+            """REPLACE INTO PSFs (frame_id, chi2,
+               relative_loss_differential, psf_ref,
+               combined_footprint_hash, subsampling_factor,
+               fwhm_moffat_arcseconds) VALUES (?, ?, ?, ?, ?, ?, ?)""",
+            params=(frame["id"], float(result["chi2"]),
+                    relative_loss_differential(loss_history), psf_ref,
+                    combined_footprint_hash,
+                    user_config["subsampling_factor"], fwhm_arcsec),
+            is_select=False)
+        logger.info(
+            f"Frame {frame['id']}: PSF {psf_ref} built "
+            f"({n_before}->{len(datas)} stars, chi2 "
+            f"{result['chi2']:.02f}, {time() - t0:.01f}s).")

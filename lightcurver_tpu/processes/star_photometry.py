@@ -1,0 +1,287 @@
+"""Joint multi-epoch PSF photometry of the reference stars.
+
+Per star: all its (good-PSF) frames are modelled JOINTLY — one point
+source pinned at the stamp center, per-epoch free flux, optional uniform
+per-epoch pedestal and/or a shared starlet-regularized pixel background —
+equivalent to PSF photometry but with the exact machinery of the final
+ROI modelling so systematics cancel (reference
+lightcurver/processes/star_photometry.py:23-151,232-373).
+"""
+
+import logging
+from datetime import datetime
+from time import time
+
+import h5py
+import numpy as np
+
+from ..structure.database import (execute_sqlite_query, executemany_sqlite,
+                                  select_stars, select_stars_for_a_frame,
+                                  get_pandas)
+from ..structure.user_config import get_user_config
+from ..utilities.chi2_selector import get_chi2_bounds
+from ..utilities.footprint import get_combined_footprint_hash
+from ..utilities.image_coordinates import rescale_image_coordinates
+from ..core.deconv.model import setup_model
+from ..core.deconv.loss import Loss
+from ..core.params import Params
+from ..core.optimize import Optimizer, relative_loss_differential
+from ..core.noise import propagate_noise
+from ..core.fisher import get_flux_uncertainties
+from ..core.psf.distortion import apply_distortion
+
+
+def do_one_star_forward_modelling(data, noisemap, psf, subsampling_factor,
+                                  n_iter=2000,
+                                  uniform_background_per_epoch=False,
+                                  starlet_global_background=True):
+    """Joint forward modelling of N epochs of one star.
+
+    Returns a dict with fluxes (data units, 1D), uncertainties, per-frame
+    reduced chi2, loss curve, residuals, the high-res model, and the
+    fitted background channel (reference star_photometry.py:23-151).
+    """
+    data = np.array(data, dtype=np.float32)
+    noisemap = np.array(noisemap, dtype=np.float32)
+    scale = float(np.nanmax(data))
+    data /= scale
+    noisemap /= scale
+    sigma_2 = noisemap**2
+
+    # flux init: stamp sum minus a border-median background estimate
+    borders = np.nanmean([
+        np.nanmedian(data[:, :1, :], axis=(1, 2)),
+        np.nanmedian(data[:, :, :1], axis=(1, 2)),
+        np.nanmedian(data[:, -1:, :], axis=(1, 2)),
+        np.nanmedian(data[:, :, -1:], axis=(1, 2)),
+    ], axis=0)
+    borders = np.nan_to_num(borders, nan=0.0)
+    a_est = np.nansum(data, axis=(1, 2)) - data[0].size * borders
+
+    model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
+        data, sigma_2, psf, np.array([0.0]), np.array([0.0]),
+        subsampling_factor, a_est)
+
+    # the point source stays pinned at the origin; free per-epoch flux
+    n_epochs = len(data)
+    m = model.m
+    kwargs_fixed = {
+        "kwargs_analytic": {
+            "alpha": kwargs_init["kwargs_analytic"]["alpha"],
+            "c_x": kwargs_init["kwargs_analytic"]["c_x"],
+            "c_y": kwargs_init["kwargs_analytic"]["c_y"],
+            "dx": kwargs_init["kwargs_analytic"]["dx"],
+            "dy": kwargs_init["kwargs_analytic"]["dy"],
+        },
+        "kwargs_background": {
+            "h": np.zeros(m * m, dtype=np.float32),
+            "mean": np.zeros(n_epochs, dtype=np.float32),
+        },
+        "kwargs_sersic": {},
+    }
+    if uniform_background_per_epoch:
+        del kwargs_fixed["kwargs_background"]["mean"]
+    if starlet_global_background:
+        del kwargs_fixed["kwargs_background"]["h"]
+
+    parameters = Params(kwargs_init, kwargs_fixed, kwargs_up, kwargs_down)
+
+    kwargs_loss = {
+        "data": data,
+        "deconv_class": model,
+        "param_class": parameters,
+        "sigma_2": sigma_2,
+        "regularization_terms": "l1_starlet",
+        "regularization_strength_scales": 3.0,
+        "regularization_strength_hf": 3.0,
+        "regularization_strength_flux_uniformity": 0.0,
+    }
+    if starlet_global_background:
+        kwargs_loss["W"] = propagate_noise(
+            model, noisemap, kwargs_init, wavelet_type_list=["starlet"],
+            method="SLIT", num_samples=200, seed=1,
+            likelihood_type="chi2",
+            upsampling_factor=subsampling_factor)[0]
+    loss = Loss(**kwargs_loss)
+    optim = Optimizer(loss, parameters, method="adabelief")
+    optim.minimize(max_iterations=n_iter, init_learning_rate=1e-3,
+                   schedule_learning_rate=True, restart_from_init=True)
+
+    kwargs_final = parameters.best_fit_values(as_kwargs=True)
+    modelled = np.asarray(model.model(kwargs_final))
+    residuals = data - modelled
+    chi2_per_frame = np.nansum(residuals**2 / sigma_2,
+                               axis=(1, 2)) / model.image_size**2
+    fluxes = scale * np.asarray(kwargs_final["kwargs_analytic"]["a"])
+    flux_uncertainties = scale * get_flux_uncertainties(
+        kwargs=kwargs_final, kwargs_up=kwargs_up, kwargs_down=kwargs_down,
+        data=data, noisemap=noisemap, model=model)
+    high_res, background_only = model.getDeconvolved(kwargs_final, 0)
+
+    return {
+        "scale": scale,
+        "kwargs_final": kwargs_final,
+        "fluxes": fluxes,
+        "fluxes_uncertainties": flux_uncertainties,
+        "chi2": float(np.nanmean(chi2_per_frame)),
+        "chi2_per_frame": np.asarray(chi2_per_frame),
+        "loss_curve": optim.loss_history,
+        "residuals": scale * residuals,
+        "deconvolved_image": scale * np.asarray(high_res),
+        "starlet_background": scale * np.asarray(background_only),
+    }
+
+
+def get_frames_for_star(combined_footprint_hash, gaia_id, psf_fit_chi2_min,
+                        psf_fit_chi2_max, only_fluxless_frames=False):
+    """Frames containing the star, gated on PSF chi2; optionally only
+    frames still missing a flux (the incremental mechanism)."""
+    query = """
+    SELECT f.*, ps.chi2, ps.psf_ref
+    FROM frames f
+    JOIN stars_in_frames sif
+        ON f.id = sif.frame_id AND sif.combined_footprint_hash = ?
+    """
+    if only_fluxless_frames:
+        query += ("LEFT JOIN star_flux_in_frame sff ON f.id = sff.frame_id "
+                  "AND sif.star_gaia_id = sff.star_gaia_id "
+                  "AND sif.combined_footprint_hash = "
+                  "sff.combined_footprint_hash\n")
+    query += """
+    JOIN PSFs ps ON f.id = ps.frame_id
+        AND sif.combined_footprint_hash = ps.combined_footprint_hash
+    WHERE sif.star_gaia_id = ?
+    """
+    if only_fluxless_frames:
+        query += "AND sff.frame_id IS NULL\n"
+    query += """
+    AND EXISTS (
+        SELECT 1 FROM PSFs ps
+        WHERE f.id = ps.frame_id AND ps.chi2 BETWEEN ? AND ?
+    )"""
+    params = (combined_footprint_hash, gaia_id, psf_fit_chi2_min,
+              psf_fit_chi2_max)
+    return execute_sqlite_query(query, params, use_pandas=True)
+
+
+def update_star_fluxes(flux_data):
+    """Upsert measured fluxes (idempotent re-runs)."""
+    executemany_sqlite(
+        """INSERT INTO star_flux_in_frame (combined_footprint_hash,
+           frame_id, star_gaia_id, flux, flux_uncertainty, chi2,
+           relative_loss_differential) VALUES (?, ?, ?, ?, ?, ?, ?)
+           ON CONFLICT(combined_footprint_hash, frame_id, star_gaia_id)
+           DO UPDATE SET flux=excluded.flux,
+           flux_uncertainty=excluded.flux_uncertainty""",
+        flux_data)
+
+
+def _load_star_epochs(user_config, h5f, frames, star, footprint_hash):
+    """Per-frame stamps + matching narrow PSFs (distortion-evaluated)."""
+    data, noisemap, mask, psf = [], [], [], []
+    for _, frame in frames.iterrows():
+        rel = frame["image_relpath"]
+        gaia_id = str(star["gaia_id"])
+        data.append(h5f[f"{rel}/data/{gaia_id}"][...])
+        noisemap.append(h5f[f"{rel}/noisemap/{gaia_id}"][...])
+        mask.append(h5f[f"{rel}/cosmicsmask/{gaia_id}"][...])
+        stars_psf = select_stars_for_a_frame(
+            frame_id=frame["id"],
+            stars_to_use=user_config["stars_to_use_psf"],
+            stars_to_exclude=user_config["stars_to_exclude_psf"],
+            combined_footprint_hash=footprint_hash)
+        psf_ref = "psf_" + "".join(sorted(stars_psf["name"]))
+        narrow_psf = h5f[f"{rel}/{psf_ref}/narrow_psf"][...]
+        if user_config["field_distortion"]:
+            dist_group = h5f[f"{rel}/{psf_ref}/distortion"]
+            kwargs_distortion = {k: dist_group[k][...] for k in dist_group}
+            position = h5f[
+                f"{rel}/image_pixel_coordinates/{gaia_id}"][...]
+            frame_shape = h5f[f"{rel}/frame_shape"][...]
+            position = rescale_image_coordinates(position, frame_shape)
+            narrow_psf = apply_distortion(narrow_psf, kwargs_distortion,
+                                          position)
+        psf.append(narrow_psf)
+    return (np.array(data), np.array(noisemap),
+            np.array(mask).astype(bool), np.array(psf))
+
+
+def do_star_photometry():
+    """Pipeline task: joint PSF photometry of every reference star."""
+    logger = logging.getLogger("lightcurver.star_photometry")
+    user_config = get_user_config()
+    frames_ini = get_pandas(
+        columns=["id"],
+        conditions=["plate_solved = 1", "eliminated = 0",
+                    "roi_in_footprint = 1"])
+    footprint_hash = get_combined_footprint_hash(
+        user_config, frames_ini["id"].to_list())
+    stars = select_stars(
+        stars_to_use=user_config["stars_to_use_norm"],
+        combined_footprint_hash=footprint_hash,
+        stars_to_exclude=user_config["stars_to_exclude_norm"])
+    logger.info(f"PSF photometry for {len(stars)} stars.")
+    only_fluxless = not user_config["redo_star_photometry"]
+    time_now = datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+
+    for _, star in stars.iterrows():
+        t0 = time()
+        chi2_min, chi2_max = get_chi2_bounds(psf_or_fluxes="psf")
+        frames = get_frames_for_star(
+            gaia_id=star["gaia_id"], psf_fit_chi2_min=chi2_min,
+            psf_fit_chi2_max=chi2_max, only_fluxless_frames=only_fluxless,
+            combined_footprint_hash=footprint_hash)
+        if len(frames) == 0:
+            logger.info(f"Star {star['name']}: up to date.")
+            continue
+
+        with h5py.File(user_config["regions_path"], "r") as h5f:
+            data, noisemap, cosmics, psf = _load_star_epochs(
+                user_config, h5f, frames, star, footprint_hash)
+        isnan = np.isnan(data) & np.isnan(noisemap)
+        data[isnan] = 0.0
+        noisemap[isnan] = 1e7
+        good = ~cosmics  # True = good pixel
+        noisemap[~good] *= 1000.0
+
+        result = do_one_star_forward_modelling(
+            data=data, noisemap=noisemap, psf=psf,
+            subsampling_factor=user_config["subsampling_factor"],
+            n_iter=user_config["star_deconv_n_iter"],
+            uniform_background_per_epoch=user_config[
+                "star_photometry_uniform_background_per_epoch"],
+            starlet_global_background=user_config[
+                "star_photometry_starlet_global_background"])
+
+        try:
+            from ..plotting.joint_modelling_plotting import \
+                plot_joint_modelling_diagnostic
+
+            plot_dir = (user_config["plots_dir"] / "star_modelling"
+                        / str(footprint_hash))
+            plot_dir.mkdir(exist_ok=True, parents=True)
+            kwargs_plot = {
+                "datas": data, "noisemaps": noisemap,
+                "residuals": result["residuals"],
+                "chi2_per_frame": result["chi2_per_frame"],
+                "loss_curve": result["loss_curve"],
+                "save_path": plot_dir / (f"{time_now}_joint_modelling_"
+                                         f"star_{star['name']}.jpg"),
+            }
+            if user_config["star_photometry_starlet_global_background"]:
+                kwargs_plot["starlet_background"] = \
+                    result["starlet_background"]
+            plot_joint_modelling_diagnostic(**kwargs_plot)
+        except Exception as e:
+            logger.warning(f"Star modelling plot failed: {e}")
+
+        rld = relative_loss_differential(result["loss_curve"])
+        flux_data = [
+            (footprint_hash, int(frame["id"]), star["gaia_id"],
+             float(result["fluxes"][j]),
+             float(result["fluxes_uncertainties"][j]),
+             float(result["chi2_per_frame"][j]), rld)
+            for j, (_, frame) in enumerate(frames.iterrows())]
+        update_star_fluxes(flux_data)
+        logger.info(f"Star {star['name']}: {len(frames)} frames, chi2 "
+                    f"{result['chi2']:.02f}, {time() - t0:.01f}s.")

@@ -1,0 +1,102 @@
+"""User-config loading and validation.
+
+One YAML file, addressed by the ``LIGHTCURVER_CONFIG`` environment
+variable; loaded fresh by every component (reference
+lightcurver/structure/user_config.py:11-85).  The key namespace is the
+reference's — it is validated by set-difference against the shipped
+example config (pipeline/example_config_file/config.yaml), exactly like
+the reference (user_config.py:88-112).
+"""
+
+import os
+from pathlib import Path
+
+import yaml
+
+from .exceptions import NoConfigFilePathInEnvironment
+from ..utilities.coordinates import SkyCoord
+
+_GAIA_BANDS = ("r_sdss", "i_sdss", "g_sdss", "V", "R", "Ic", "B_T", "V_T")
+
+
+def _as_name_list(value):
+    """'abcd' -> ['a','b','c','d']; lists/None pass through."""
+    if isinstance(value, str):
+        return list(value)
+    return value
+
+
+def get_user_config():
+    """Load, derive and return the configuration dictionary."""
+    if "LIGHTCURVER_CONFIG" not in os.environ:
+        raise NoConfigFilePathInEnvironment
+    with open(os.environ["LIGHTCURVER_CONFIG"]) as f:
+        config = yaml.safe_load(f)
+
+    # ROI: single-entry mapping name -> {coordinates: [ra, dec]}
+    roi_name = list(config["ROI"].keys())[0]
+    config["roi_name"] = roi_name
+    ra, dec = config["ROI"][roi_name]["coordinates"]
+    config["ROI_ra_deg"] = ra
+    config["ROI_dec_deg"] = dec
+    config["ROI_SkyCoord"] = SkyCoord(ra, dec)
+
+    assert "raw_dirs" in config
+    raw = config["raw_dirs"]
+    config["raw_dirs"] = ([Path(p) for p in raw] if isinstance(raw, list)
+                          else [Path(raw)])
+
+    assert "workdir" in config
+    workdir = Path(config["workdir"])
+    config["workdir"] = workdir
+    config["database_path"] = workdir / "database.sqlite3"
+    config["plots_dir"] = workdir / "plots"
+    config["logs_dir"] = workdir / "logs"
+    config["frames_dir"] = workdir / "frames"
+    config["regions_path"] = workdir / "regions.h5"
+    config["psfs_path"] = workdir / "psfs.h5"
+    for d in ("plots_dir", "logs_dir", "frames_dir"):
+        config[d].mkdir(parents=True, exist_ok=True)
+
+    for key in ("stars_to_use_psf", "stars_to_use_norm",
+                "stars_to_exclude_psf", "stars_to_exclude_norm"):
+        config[key] = _as_name_list(config[key])
+
+    band = config["photometric_band"]
+    if band in _GAIA_BANDS:
+        config["reference_absolute_photometric_survey"] = "gaia"
+    elif "panstarrs" in band:
+        if dec < -30.5:
+            raise RuntimeError(
+                "With this declination, it is unlikely you will find "
+                "pan-starrs magnitudes for absolute calibration.")
+        config["reference_absolute_photometric_survey"] = "panstarrs"
+    else:
+        raise RuntimeError(
+            f"Config check: not a photometric band we implemented: {band}")
+
+    config.setdefault("constraints_on_frame_columns_for_roi", {})
+    config.setdefault("constraints_on_normalization_coeff", {})
+    config.setdefault("fix_point_source_astrometry", False)
+    return config
+
+
+def compare_config_with_pipeline_delivered_one():
+    """Set-difference of user config keys vs the shipped example config."""
+    if "LIGHTCURVER_CONFIG" not in os.environ:
+        raise NoConfigFilePathInEnvironment
+    with open(os.environ["LIGHTCURVER_CONFIG"]) as f:
+        user = yaml.safe_load(f)
+
+    template_path = (Path(__file__).parent.parent / "pipeline"
+                     / "example_config_file" / "config.yaml")
+    with open(template_path) as f:
+        template = yaml.safe_load(f)
+
+    user_keys, template_keys = set(user), set(template)
+    missing = template_keys - user_keys
+    return {
+        "extra_keys_in_user_config": user_keys - template_keys,
+        "extra_keys_in_pipeline_config": missing,
+        "pipeline_extra_keys_values": {k: template[k] for k in missing},
+    }

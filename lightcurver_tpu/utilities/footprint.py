@@ -1,0 +1,150 @@
+"""Frame footprints: hashing, combination, persistence, sanity checks.
+
+Re-implements the reference's footprint layer
+(lightcurver/utilities/footprint.py:12-224) on the in-repo polygon
+engine (utilities/geometry.py) and TAN WCS (io/wcs.py); the SQLite JSON
+formats are kept identical (GeoJSON-style mapping for combined
+footprints, plain vertex list for per-frame ones).
+"""
+
+import json
+
+import numpy as np
+
+from ..structure.database import execute_sqlite_query, get_pandas
+from ..structure.user_config import get_user_config
+from .geometry import SimplePolygon
+
+
+def get_frames_hash(frames_ids):
+    """Deterministic identity of a SET of frames (order-insensitive).
+
+    (reference utilities/footprint.py:83-99)
+    """
+    assert len(set(frames_ids)) == len(frames_ids), \
+        "Non-unique frame ids passed to this function"
+    return hash(tuple(sorted(int(i) for i in frames_ids)))
+
+
+def get_combined_footprint_hash(user_config, frames_id_list):
+    """Footprint identity: frame-set hash, or radius hash for ROI_disk.
+
+    The ROI_disk strategy makes the hash frame-set-independent so adding
+    frames never invalidates downstream products (reference
+    utilities/footprint.py:12-28).
+    """
+    if user_config["star_selection_strategy"] != "ROI_disk":
+        return get_frames_hash(frames_id_list)
+    return hash(user_config["ROI_disk_radius_arcseconds"])
+
+
+def calc_common_and_total_footprint(list_of_footprints):
+    """Intersection and union of frame corner polygons.
+
+    Args:
+        list_of_footprints: list of (4, 2) arrays of (ra, dec) corners.
+
+    Returns:
+        (common, largest): SimplePolygons; common is None when the frames
+        share no area.
+    """
+    polygons = [SimplePolygon(fp) for fp in list_of_footprints]
+    common = polygons[0]
+    for poly in polygons[1:]:
+        common = common.intersection(poly)
+        if common is None:
+            break
+    largest = polygons[0]
+    for poly in polygons[1:]:
+        largest = largest.union(poly)
+    return common, largest
+
+
+def database_insert_single_footprint(frame_id, footprint_array):
+    execute_sqlite_query(
+        "INSERT OR REPLACE INTO footprints (frame_id, polygon) VALUES (?, ?)",
+        params=(frame_id, json.dumps(np.asarray(footprint_array).tolist())),
+        is_select=False)
+
+
+def database_get_footprint(frame_id):
+    result = execute_sqlite_query(
+        "SELECT polygon FROM footprints WHERE frame_id = ?",
+        params=(frame_id,))[0]
+    return np.array(json.loads(result[0]))
+
+
+def save_combined_footprints_to_db(frames_hash, common_footprint,
+                                   largest_footprint):
+    execute_sqlite_query(
+        "INSERT INTO combined_footprint (hash, largest, common) "
+        "VALUES (?, ?, ?)",
+        params=(frames_hash, json.dumps(largest_footprint.mapping()),
+                json.dumps(common_footprint.mapping())),
+        is_select=False)
+
+
+def load_combined_footprint_from_db(frames_hash):
+    rows = execute_sqlite_query(
+        "SELECT largest, common FROM combined_footprint WHERE hash = ?",
+        params=(frames_hash,))
+    if not rows:
+        return None
+    largest, common = rows[0]
+    return json.loads(largest), json.loads(common)
+
+
+def check_in_footprint_for_all_images():
+    """Set frames.roi_in_footprint from each frame's own WCS."""
+    from ..io.fits import read_fits
+    from ..io.wcs import TanWCS
+
+    frames = get_pandas(columns=["id", "image_relpath"],
+                        conditions=["plate_solved = 1", "eliminated = 0"])
+    user_config = get_user_config()
+    for _, frame in frames.iterrows():
+        path = user_config["workdir"] / frame["image_relpath"]
+        data, header = read_fits(path)
+        wcs = TanWCS.from_header(header)
+        shape = (int(header["NAXIS2"]), int(header["NAXIS1"]))
+        inside = wcs.contains_world(user_config["ROI_ra_deg"],
+                                    user_config["ROI_dec_deg"], shape)
+        execute_sqlite_query(
+            "UPDATE frames SET roi_in_footprint = ? WHERE id = ?",
+            params=(int(inside), frame["id"]), is_select=False)
+
+
+def identify_and_eliminate_bad_pointings():
+    """Flag frames whose pointing deviates > mean + 5 std from the rest.
+
+    (reference utilities/footprint.py:153-199)
+    """
+    rows = execute_sqlite_query(
+        """SELECT frames.id, footprints.polygon
+           FROM footprints
+           JOIN frames ON footprints.frame_id = frames.id
+           WHERE frames.eliminated != 1""",
+        use_pandas=True)
+    if len(rows) == 0:
+        return
+    ids = rows["id"].to_numpy()
+    centers = np.array([
+        np.mean(np.array(json.loads(poly)), axis=0)
+        for poly in rows["polygon"]])
+    overall = centers.mean(axis=0)
+    deviations = np.linalg.norm(centers - overall, axis=1)
+    threshold = deviations.mean() + 5.0 * deviations.std()
+    for frame_id in ids[deviations > threshold]:
+        execute_sqlite_query(
+            "UPDATE frames SET comment = 'bad_pointing', eliminated = 1 "
+            "WHERE id = ?",
+            params=(int(frame_id),), is_select=False)
+
+
+def get_angle_wcs(wcs_object):
+    """Angle to North ("North up, East left") in degrees, from the CD matrix.
+
+    (reference utilities/footprint.py:202-224)
+    """
+    cd = wcs_object.cd
+    return float(np.arctan2(-cd[0, 1], cd[1, 1]) * 180.0 / np.pi)

@@ -1,0 +1,45 @@
+"""Small statistics helpers (astropy.stats subset, numpy implementation)."""
+
+import numpy as np
+
+
+def sigma_clipped_stats(data, sigma=3.0, maxiters=5):
+    """(mean, median, std) of iteratively sigma-clipped data.
+
+    Clips about the median with the sample std, like astropy's defaults
+    (the reference calls astropy.stats.sigma_clipped_stats at
+    utilities/chi2_selector.py:35 and utilities/footprint.py:171).
+    """
+    arr = np.asarray(data, dtype=float)
+    arr = arr[np.isfinite(arr)]
+    if arr.size == 0:
+        return np.nan, np.nan, np.nan
+    mask = np.ones(arr.shape, dtype=bool)
+    for _ in range(maxiters):
+        selected = arr[mask]
+        med = np.median(selected)
+        std = np.std(selected)
+        new_mask = np.abs(arr - med) <= sigma * std
+        if new_mask.sum() == mask.sum() or new_mask.sum() == 0:
+            mask = new_mask if new_mask.sum() else mask
+            break
+        mask = new_mask
+    selected = arr[mask]
+    return float(np.mean(selected)), float(np.median(selected)), \
+        float(np.std(selected))
+
+
+def sigmaclip(data, low=4.0, high=4.0):
+    """scipy.stats.sigmaclip-compatible: iterative clip about the MEAN.
+
+    Returns (clipped_array, lower_bound, upper_bound).
+    """
+    arr = np.asarray(data, dtype=float).ravel()
+    prev = -1
+    lo = hi = np.nan
+    while arr.size != prev:
+        prev = arr.size
+        mean, std = arr.mean(), arr.std()
+        lo, hi = mean - low * std, mean + high * std
+        arr = arr[(arr >= lo) & (arr <= hi)]
+    return arr, lo, hi

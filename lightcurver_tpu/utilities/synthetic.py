@@ -1,0 +1,123 @@
+"""Host-side (numpy) synthetic-scene renderer for tests and benchmarks.
+
+Implements the same forward model as the JAX core (core/deconv/model.py)
+in pure numpy, so data generation never dispatches eager device ops —
+on the tunneled TPU backend each eager dispatch costs ~seconds, and
+benchmark setup was measured at 188 s when generated with eager JAX.
+"""
+
+import math
+
+import numpy as np
+
+_FWHM_OVER_SIGMA = 2.0 * math.sqrt(2.0 * math.log(2.0))
+TARGET_FWHM_FINE_PIX = 2.0
+
+
+def _freqs(L):
+    fy = np.fft.fftfreq(L).reshape(L, 1)
+    fx = np.fft.rfftfreq(L).reshape(1, L // 2 + 1)
+    return fy, fx
+
+
+def r_kernel_fft_np(m):
+    sigma_f = TARGET_FWHM_FINE_PIX / _FWHM_OVER_SIGMA
+    fy, fx = _freqs(2 * m)
+    return np.exp(-2.0 * np.pi**2 * sigma_f**2 * (fy**2 + fx**2))
+
+
+def moffat_np(m, s, fwhm_x, fwhm_y, beta):
+    """Unit-integral elliptical Moffat on the fine grid (numpy)."""
+    c = (m - 1) / 2.0
+    idx = (np.arange(m) - c) / s
+    y, x = np.meshgrid(idx, idx, indexing="ij")
+    root = math.sqrt(2.0 ** (1.0 / beta) - 1.0)
+    ax, ay = fwhm_x / (2 * root), fwhm_y / (2 * root)
+    u = (x / ax) ** 2 + (y / ay) ** 2
+    norm = (beta - 1.0) / (math.pi * ax * ay * s**2)
+    return (norm * (1.0 + u) ** (-beta)).astype(np.float32)
+
+
+def render_epochs_np(psf, a, px, py, s, h=None):
+    """Render clean data stamps for all epochs.
+
+    Args:
+        psf: (N, m, m) narrow PSFs (will be unit-normalized).
+        a: (N, M) fluxes.
+        px, py: (M,) or (N, M) positions, data px, center origin.
+        s: subsampling factor.
+        h: optional (m, m) background channel.
+
+    Returns:
+        (N, n, n) float32 stamps.
+    """
+    psf = np.asarray(psf, dtype=np.float64)
+    N, m = psf.shape[0], psf.shape[-1]
+    n = m // s
+    L = 2 * m
+    a = np.asarray(a, dtype=np.float64)
+    M = a.shape[1]
+    px = np.broadcast_to(np.asarray(px, dtype=np.float64), (N, M))
+    py = np.broadcast_to(np.asarray(py, dtype=np.float64), (N, M))
+    fy, fx = _freqs(L)
+    r_hat = r_kernel_fft_np(m)
+    c = (m - 1) / 2.0
+    center_phase = np.exp(1j * 2 * np.pi * (fy + fx) * c)
+
+    out = np.empty((N, n, n), dtype=np.float32)
+    for e in range(N):
+        t = psf[e] / psf[e].sum()
+        t_hat = np.fft.rfft2(t, s=(L, L))
+        spec = np.zeros_like(t_hat)
+        for j in range(M):
+            ang = -2 * np.pi * (fy * s * py[e, j] + fx * s * px[e, j])
+            spec += a[e, j] * np.exp(1j * ang)
+        total = spec * t_hat * r_hat
+        if h is not None:
+            total += np.fft.rfft2(h, s=(L, L)) * t_hat * center_phase
+        fine = np.fft.irfft2(total, s=(L, L))[:m, :m]
+        out[e] = fine.reshape(n, s, n, s).sum(axis=(1, 3)).astype(np.float32)
+    return out
+
+
+def make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4, noise_sigma=0.3,
+                   seed=7, fwhm_range=(2.2, 4.0), flux_range=(40.0, 120.0)):
+    """Synthetic multi-epoch blended-point-source scene.
+
+    Returns:
+        dict with data, sigma_2, psf, xs, ys, s, a_true.
+    """
+    rng = np.random.default_rng(seed)
+    m = n_pix * s
+    fwhms = rng.uniform(*fwhm_range, n_epochs)
+    psf = np.stack([moffat_np(m, s, f, f, beta=2.8) for f in fwhms])
+    xs = np.array([-4.0, 4.0, 0.0, -1.5], np.float32)[:n_sources]
+    ys = np.array([2.0, -3.0, 4.5, -1.0], np.float32)[:n_sources]
+    a_true = rng.uniform(*flux_range,
+                         size=(n_epochs, n_sources)).astype(np.float32)
+    clean = render_epochs_np(psf, a_true, xs[None, :], ys[None, :], s)
+    sigma = np.full_like(clean, noise_sigma)
+    data = clean + rng.normal(0, noise_sigma, clean.shape).astype(np.float32)
+    return {
+        "data": data, "sigma_2": (sigma**2).astype(np.float32),
+        "psf": psf.astype(np.float32), "xs": xs, "ys": ys, "s": s,
+        "a_true": a_true,
+    }
+
+
+def make_star_stamps(n_stars=8, n_pix=64, s=2, seed=3, fwhm_x=3.0,
+                     fwhm_y=2.6, beta=2.6, flux_range=(200.0, 800.0)):
+    """Synthetic single-frame star stamps sharing one PSF (for build_psf)."""
+    rng = np.random.default_rng(seed)
+    m = n_pix * s
+    psf = moffat_np(m, s, fwhm_x, fwhm_y, beta)
+    a = rng.uniform(*flux_range, n_stars).astype(np.float32)
+    x0 = rng.uniform(-0.4, 0.4, n_stars).astype(np.float32)
+    y0 = rng.uniform(-0.4, 0.4, n_stars).astype(np.float32)
+    psf_stack = np.broadcast_to(psf, (n_stars, m, m))
+    clean = render_epochs_np(psf_stack, a[:, None], x0[:, None], y0[:, None],
+                             s)
+    sigma = np.sqrt(np.abs(clean) + 1.0).astype(np.float32)
+    data = clean + rng.normal(0, 1, clean.shape).astype(np.float32) * sigma
+    return {"data": data, "sigma": sigma, "psf_true": psf, "a_true": a,
+            "x0": x0, "y0": y0, "s": s}

@@ -1,0 +1,97 @@
+"""FITS reader/writer and TAN WCS round trips."""
+
+import numpy as np
+import pytest
+
+
+class TestFits:
+    def test_write_read_roundtrip(self, tmp_path):
+        from lightcurver_tpu.io.fits import read_fits, write_fits, Header
+
+        data = np.random.default_rng(0).normal(
+            0, 1, (32, 48)).astype(np.float32)
+        header = Header()
+        header["MJD-OBS"] = (60123.456789, "observation date")
+        header["GAIN"] = 1.25
+        header["OBJECT"] = "J0248"
+        header["SOLVED"] = True
+        path = tmp_path / "test.fits"
+        write_fits(path, data, header)
+        out, h = read_fits(path)
+        np.testing.assert_array_equal(out, data)
+        assert h["MJD-OBS"] == pytest.approx(60123.456789)
+        assert h["GAIN"] == pytest.approx(1.25)
+        assert h["OBJECT"] == "J0248"
+        assert h["SOLVED"] is True
+
+    def test_int16_bscale(self, tmp_path):
+        """Synthesize a BITPIX=16 file with BSCALE/BZERO by hand."""
+        from lightcurver_tpu.io.fits import read_fits
+
+        cards = [
+            "SIMPLE  =                    T",
+            "BITPIX  =                   16",
+            "NAXIS   =                    2",
+            "NAXIS1  =                    4",
+            "NAXIS2  =                    2",
+            "BSCALE  =                  2.0",
+            "BZERO   =                100.0",
+            "END",
+        ]
+        head = "".join(c.ljust(80) for c in cards).encode()
+        head += b" " * (-len(head) % 2880)
+        raw = np.arange(8, dtype=">i2").tobytes()
+        raw += b"\0" * (-len(raw) % 2880)
+        path = tmp_path / "int.fits"
+        path.write_bytes(head + raw)
+        data, header = read_fits(path)
+        np.testing.assert_allclose(
+            data, np.arange(8).reshape(2, 4) * 2.0 + 100.0)
+
+
+class TestTanWCS:
+    def _wcs(self):
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        scale = 0.21 / 3600.0  # deg/px
+        return TanWCS(crval1=42.2, crval2=19.2, crpix1=50.5, crpix2=60.5,
+                      cd=[[-scale, 0.0], [0.0, scale]])
+
+    def test_roundtrip(self):
+        wcs = self._wcs()
+        for x, y in [(0.0, 0.0), (49.5, 59.5), (99.0, 119.0), (10.3, 77.8)]:
+            ra, dec = wcs.pixel_to_world(x, y)
+            x2, y2 = wcs.world_to_pixel(ra, dec)
+            assert float(x2) == pytest.approx(x, abs=1e-6)
+            assert float(y2) == pytest.approx(y, abs=1e-6)
+
+    def test_reference_pixel_maps_to_crval(self):
+        wcs = self._wcs()
+        ra, dec = wcs.pixel_to_world(49.5, 59.5)
+        assert float(ra) == pytest.approx(42.2, abs=1e-9)
+        assert float(dec) == pytest.approx(19.2, abs=1e-9)
+
+    def test_pixel_scale(self):
+        assert self._wcs().pixel_scale_arcsec() == pytest.approx(0.21,
+                                                                 rel=1e-6)
+
+    def test_header_roundtrip(self):
+        from lightcurver_tpu.io.fits import Header
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        wcs = self._wcs()
+        header = Header()
+        header.update(wcs.to_header_cards())
+        wcs2 = TanWCS.from_header(header)
+        ra1, dec1 = wcs.pixel_to_world(12.0, 34.0)
+        ra2, dec2 = wcs2.pixel_to_world(12.0, 34.0)
+        assert float(ra1) == pytest.approx(float(ra2))
+        assert float(dec1) == pytest.approx(float(dec2))
+
+    def test_separation_small_angle(self):
+        from lightcurver_tpu.utilities.coordinates import \
+            angular_separation_deg
+
+        # 1 arcsec offset in dec
+        sep = angular_separation_deg(10.0, 20.0, 10.0, 20.0 + 1 / 3600.0)
+        assert float(sep) * 3600 == pytest.approx(1.0, rel=1e-9)

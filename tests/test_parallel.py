@@ -1,0 +1,82 @@
+"""Epoch-sharded deconvolution: single-chip vs multi-chip equivalence.
+
+Runs on the 8-virtual-CPU-device backend from conftest.py, mirroring the
+driver's dryrun_multichip validation.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def toy():
+    import __graft_entry__ as ge
+
+    return ge._toy_problem(n_epochs=8, n_pix=16, s=2, n_sources=2)
+
+
+def test_dryrun_multichip_executes():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    modelled, chi2 = jax.jit(fn)(*args)
+    assert modelled.shape == (8, 16, 16)
+    assert np.isfinite(float(chi2))
+
+
+def test_sharded_fit_matches_single_device(toy):
+    """The epoch-sharded fit must agree with the single-device fit."""
+    from lightcurver_tpu.parallel.mesh import epoch_mesh
+    from lightcurver_tpu.parallel.deconv import fit_deconv_sharded
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.core.deconv.loss import Loss
+    from lightcurver_tpu.core.params import Params
+    from lightcurver_tpu.core.optimize import run_adabelief
+
+    data, sigma_2, psf, xs, ys, s = toy
+    n_iter = 150
+
+    # single device
+    model, kwargs_init, kwargs_up, kwargs_down, kwargs_fixed = setup_model(
+        data, sigma_2, psf, xs, ys, s)
+    params = Params(kwargs_init, kwargs_fixed, kwargs_up, kwargs_down)
+    loss = Loss(data, model, params, sigma_2)
+    best, _, hist_single = run_adabelief(
+        loss.loss_fn, params.free0, params.lower, params.upper, n_iter,
+        init_learning_rate=1e-2, consts=loss.consts)
+    params.set_best(best)
+    kwargs_single = params.best_fit_values(as_kwargs=True)
+
+    # sharded over 8 devices
+    mesh = epoch_mesh(8)
+    kwargs_sharded, _, hist_sharded = fit_deconv_sharded(
+        data, sigma_2, psf, xs, ys, s, mesh, n_iter=n_iter,
+        init_learning_rate=1e-2)
+
+    assert hist_sharded.shape == (n_iter,)
+    np.testing.assert_allclose(
+        np.asarray(hist_sharded), np.asarray(hist_single),
+        rtol=2e-4, atol=1e-3)
+    a_1 = np.asarray(kwargs_single["kwargs_analytic"]["a"])
+    a_8 = np.asarray(kwargs_sharded["kwargs_analytic"]["a"])
+    np.testing.assert_allclose(a_8, a_1, rtol=1e-3, atol=1e-3)
+
+
+def test_pad_epochs():
+    from lightcurver_tpu.parallel.deconv import pad_epochs
+
+    arrays = {"data": np.ones((5, 4, 4)), "sigma": np.ones((5, 4, 4))}
+    padded, n = pad_epochs(arrays, 8)
+    assert n == 8
+    assert padded["data"].shape == (8, 4, 4)
+    assert padded["data"][5:].sum() == 0.0
+    assert (padded["sigma"][5:] == 1e8).all()

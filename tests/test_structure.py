@@ -1,0 +1,113 @@
+"""Database schema/queries and config loading on a temp workdir."""
+
+import os
+import sqlite3
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    """Minimal config + initialized database in a temp dir."""
+    config = {
+        "workdir": str(tmp_path),
+        "raw_dirs": [str(tmp_path / "raw")],
+        "ROI": {"testroi": {"coordinates": [42.2031, 19.22528]}},
+        "photometric_band": "r_sdss",
+        "stars_to_use_psf": "abc",
+        "stars_to_use_norm": None,
+        "stars_to_exclude_psf": None,
+        "stars_to_exclude_norm": None,
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump(config))
+    monkeypatch.setenv("LIGHTCURVER_CONFIG", str(cfg_path))
+    from lightcurver_tpu.structure.database import initialize_database
+
+    initialize_database()
+    return tmp_path
+
+
+def test_config_derivations(workdir):
+    from lightcurver_tpu.structure.user_config import get_user_config
+
+    config = get_user_config()
+    assert config["roi_name"] == "testroi"
+    assert config["ROI_ra_deg"] == 42.2031
+    assert config["stars_to_use_psf"] == ["a", "b", "c"]
+    assert config["reference_absolute_photometric_survey"] == "gaia"
+    assert config["database_path"].name == "database.sqlite3"
+    assert config["plots_dir"].exists()
+
+
+def test_schema_tables(workdir):
+    conn = sqlite3.connect(workdir / "database.sqlite3")
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert {"frames", "footprints", "combined_footprint", "stars",
+            "catalog_star_photometry", "stars_in_frames", "PSFs",
+            "star_flux_in_frame", "normalization_coefficients",
+            "absolute_zeropoints"} <= tables
+
+
+def test_star_selection_queries(workdir):
+    from lightcurver_tpu.structure.database import (
+        execute_sqlite_query, select_stars, select_stars_for_a_frame)
+
+    fp = 12345
+    for i, (name, dist) in enumerate(
+            zip("abcde", [10.0, 20.0, 30.0, 40.0, 50.0])):
+        execute_sqlite_query(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec, "
+            "gaia_id, distance_to_roi_arcsec) VALUES (?, ?, ?, ?, ?, ?)",
+            params=(fp, name, 42.0 + i * 0.01, 19.0, f"gaia{i}", dist),
+            is_select=False)
+    execute_sqlite_query(
+        "INSERT INTO frames (id, mjd) VALUES (1, 60000.0)", is_select=False)
+    for i in range(3):
+        execute_sqlite_query(
+            "INSERT INTO stars_in_frames (frame_id, star_gaia_id, "
+            "combined_footprint_hash) VALUES (?, ?, ?)",
+            params=(1, f"gaia{i}", fp), is_select=False)
+
+    # top-N closest
+    top2 = select_stars(fp, stars_to_use=2)
+    assert list(top2["name"]) == ["a", "b"]
+    # named list
+    named = select_stars(fp, stars_to_use=["d", "e"])
+    assert set(named["name"]) == {"d", "e"}
+    # exclusion wins
+    excl = select_stars(fp, stars_to_use=3, stars_to_exclude="b")
+    assert list(excl["name"]) == ["a", "c"]
+    # per-frame join
+    per_frame = select_stars_for_a_frame(1, fp)
+    assert set(per_frame["name"]) == {"a", "b", "c"}
+
+
+def test_upsert_semantics(workdir):
+    from lightcurver_tpu.structure.database import (execute_sqlite_query,
+                                                    get_pandas)
+
+    q = ("INSERT OR REPLACE INTO PSFs (combined_footprint_hash, frame_id, "
+         "chi2, psf_ref, subsampling_factor) VALUES (?, ?, ?, ?, ?)")
+    execute_sqlite_query(q, params=(1, 1, 1.5, "abc", 2), is_select=False)
+    execute_sqlite_query(q, params=(1, 1, 1.1, "abc", 2), is_select=False)
+    psfs = get_pandas(table="PSFs")
+    assert len(psfs) == 1
+    assert psfs["chi2"][0] == pytest.approx(1.1)
+
+
+def test_header_parser_plugin(workdir):
+    plugin_dir = workdir / "header_parser"
+    plugin_dir.mkdir()
+    (plugin_dir / "parse_header.py").write_text(
+        "def parse_header(header):\n"
+        "    return {'mjd': header['MJD-OBS'], 'gain': 1.2, 'exptime': 30.}\n")
+    from lightcurver_tpu.structure.user_header_parser import \
+        load_custom_header_parser
+
+    parser = load_custom_header_parser()
+    out = parser({"MJD-OBS": 60123.5})
+    assert out == {"mjd": 60123.5, "gain": 1.2, "exptime": 30.0}

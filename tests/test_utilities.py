@@ -1,0 +1,126 @@
+"""Utilities: polygons, naming, grouping, magnitudes, stats."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestGeometry:
+    def test_intersection_of_offset_squares(self):
+        from lightcurver_tpu.utilities.geometry import SimplePolygon
+
+        a = SimplePolygon([(0, 0), (2, 0), (2, 2), (0, 2)])
+        b = SimplePolygon([(1, 1), (3, 1), (3, 3), (1, 3)])
+        inter = a.intersection(b)
+        assert inter.area == pytest.approx(1.0)
+        union = a.union(b)
+        # convex hull of two offset unit-overlap squares
+        assert union.area >= 7.0
+
+    def test_contains_and_margin(self):
+        from lightcurver_tpu.utilities.geometry import SimplePolygon
+
+        sq = SimplePolygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+        assert sq.contains(5, 5)
+        assert not sq.contains(11, 5)
+        assert sq.buffered_contains(5, 5, margin=1.0)
+        assert not sq.buffered_contains(0.5, 5, margin=1.0)
+
+    def test_mapping_roundtrip(self):
+        from lightcurver_tpu.utilities.geometry import SimplePolygon
+
+        sq = SimplePolygon([(0, 0), (2, 0), (2, 2), (0, 2)])
+        m = sq.mapping()
+        assert m["type"] == "Polygon"
+        sq2 = SimplePolygon.from_mapping(m)
+        assert sq2.area == pytest.approx(sq.area)
+
+
+def test_star_names():
+    from lightcurver_tpu.utilities.star_naming import generate_star_names
+
+    names = generate_star_names(30)
+    assert names[:3] == ["a", "b", "c"]
+    assert names[25] == "z"
+    assert names[26] == "aa"
+    assert names[27] == "ab"
+
+
+def test_rescale_image_coordinates():
+    from lightcurver_tpu.utilities.image_coordinates import \
+        rescale_image_coordinates
+
+    # center of a 100x200 image (x along columns=200)
+    out = rescale_image_coordinates(
+        np.array([[99.5, 49.5]]), image_shape=(100, 200))
+    np.testing.assert_allclose(out, [[0.0, 0.0]], atol=1e-12)
+    # bottom-left corner
+    out = rescale_image_coordinates(
+        np.array([[0.0, 0.0]]), image_shape=(100, 200))
+    np.testing.assert_allclose(out, [[-99.5 / 200, -49.5 / 100]])
+
+
+class TestGrouping:
+    def _frame(self):
+        return pd.DataFrame({
+            "mjd": [60000.0, 60000.01, 60000.02, 60002.0, 60002.01],
+            "A_flux": [10.0, 10.2, 9.8, 12.0, 12.4],
+            "A_d_flux": [0.1, 0.1, 0.1, 0.2, 0.2],
+        })
+
+    def test_grouping_by_gap(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            group_observations
+
+        out = group_observations(self._frame(), threshold=0.8)
+        assert len(out) == 2
+        assert out["A_count_flux"].tolist() == [3, 2]
+        # equal weights -> plain mean
+        assert out["A_flux"][0] == pytest.approx(10.0)
+        assert out["A_d_flux"][0] == pytest.approx(0.1 / np.sqrt(3))
+
+    def test_magnitudes_asymmetric(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            convert_flux_to_magnitude
+
+        df = pd.DataFrame({
+            "mjd": [1.0, 2.0],
+            "A_flux": [100.0, 1.0],
+            "A_d_flux": [10.0, 2.0],   # second: flux - err < 0 -> NaN up
+            "zeropoint": [25.0, 25.0],
+        })
+        out = convert_flux_to_magnitude(df)
+        assert out["A_mag"][0] == pytest.approx(-2.5 * np.log10(100) + 25)
+        expected_down = (-2.5 * np.log10(100) + 25) - \
+            (-2.5 * np.log10(110) + 25)
+        assert out["A_d_mag_down"][0] == pytest.approx(expected_down)
+        assert np.isnan(out["A_d_mag_up"][1])
+
+    def test_missing_zeropoint_warns(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            convert_flux_to_magnitude
+
+        df = pd.DataFrame({"A_flux": [10.0], "A_d_flux": [1.0]})
+        with pytest.warns(RuntimeWarning):
+            out = convert_flux_to_magnitude(df)
+        assert out["A_mag"][0] == pytest.approx(-2.5 * np.log10(10.0))
+
+
+def test_sigma_clipped_stats():
+    from lightcurver_tpu.utilities.stats import sigma_clipped_stats
+
+    rng = np.random.default_rng(1)
+    data = rng.normal(5.0, 1.0, 1000)
+    data[:10] = 1000.0  # outliers
+    mean, median, std = sigma_clipped_stats(data, sigma=3.0)
+    assert mean == pytest.approx(5.0, abs=0.15)
+    assert std == pytest.approx(1.0, abs=0.15)
+
+
+def test_proper_motion():
+    from lightcurver_tpu.utilities.coordinates import apply_proper_motion
+
+    # 1000 mas/yr in dec for 10 years = 10 arcsec
+    ra, dec = apply_proper_motion(10.0, 0.0, 0.0, 1000.0, 2016.0,
+                                  51544.5 + 26 * 365.25)  # J2026
+    assert (dec - 0.0) * 3600 == pytest.approx(10.0, rel=1e-6)
