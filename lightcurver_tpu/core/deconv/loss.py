@@ -14,17 +14,24 @@ Mirrors the STARRED ``Loss``/``Prior`` contract exercised by the reference
           + Gaussian priors on analytic parameters.
 
 TPU contract: ``loss_fn(free, consts)`` is a pure function whose array
-inputs (data, noise, PSF spectra, starlet weights, fixed parameters) all
-arrive via the ``consts`` pytree argument — never as closure constants
-(see core/deconv/model.py module docstring for why).  ``loss.consts`` is
-the matching bundle, ready to pass to the optimizers in core/optimize.py.
+inputs (data, noise, PSF spectra, starlet weights, regularization
+strengths, prior means/sigmas, fixed parameters) all arrive via the
+``consts`` pytree argument — never as closure constants (see
+core/deconv/model.py module docstring for why).  The function object is
+CACHED per static configuration (geometry + active terms + prior
+structure), so fitting many problems of identical shape — each star's
+photometry, each frame's PSF — reuses one compiled program instead of
+recompiling per instance.
 """
+
+import functools
 
 import jax.numpy as jnp
 
 from ..starlet import starlet_transform, n_starlet_scales
 from ..params import merge_free
 from ..profiles import gaussian_r_kernel
+from .model import DeconvModel
 
 
 class Prior:
@@ -37,6 +44,17 @@ class Prior:
     def __init__(self, prior_analytic=None):
         self.prior_analytic = prior_analytic or []
 
+    def names(self):
+        return tuple(name for name, _, _ in self.prior_analytic)
+
+    def consts(self):
+        return {
+            "means": {name: jnp.asarray(mean, jnp.float32)
+                      for name, mean, _ in self.prior_analytic},
+            "sigmas": {name: jnp.asarray(sigma, jnp.float32)
+                       for name, _, sigma in self.prior_analytic},
+        }
+
     def logL(self, kwargs):
         out = 0.0
         for name, mean, sigma in self.prior_analytic:
@@ -44,6 +62,53 @@ class Prior:
             out = out + 0.5 * jnp.sum(
                 ((val - jnp.asarray(mean)) / jnp.asarray(sigma)) ** 2)
         return out
+
+
+@functools.lru_cache(maxsize=128)
+def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
+                   use_flux_uni, prior_names):
+    """One pure (free, consts) -> scalar per static configuration."""
+    model = DeconvModel.for_eval(*model_config)
+    m = model.m
+    n_sc = n_starlet_scales(m)
+
+    def fn(free, consts):
+        kwargs = merge_free(free, consts["fixed"])
+        modelled = model.model(kwargs, consts)
+        res = (consts["data"] - modelled) ** 2 / consts["sigma_2"]
+        total = 0.5 * jnp.nansum(res)
+
+        if use_starlet:
+            h = kwargs["kwargs_background"]["h"].reshape(m, m)
+            coeffs = starlet_transform(h, n_scales=n_sc)
+            wabs = consts["W"] * jnp.abs(coeffs)
+            total = total + consts["lambda_hf"] * wabs[0].sum() \
+                + consts["lambda_scales"] * wabs[1:-1].sum()
+        if use_pos:
+            h = kwargs["kwargs_background"]["h"]
+            a = kwargs["kwargs_analytic"]["a"]
+            total = total + consts["lambda_pos"] * (
+                jnp.sum(jnp.maximum(-h, 0.0))
+                + jnp.sum(jnp.maximum(-a, 0.0)))
+        if use_pts:
+            h = kwargs["kwargs_background"]["h"].reshape(m, m)
+            total = total + consts["lambda_pts"] * jnp.sum(
+                consts["pts_weights"] * jnp.abs(h))
+        if use_flux_uni:
+            a = kwargs["kwargs_analytic"]["a"].reshape(
+                model.n_epochs, model.n_sources)
+            mean = jnp.mean(a, axis=0)
+            var = jnp.mean((a - mean) ** 2, axis=0)
+            total = total + consts["lambda_flux_uni"] * jnp.sum(
+                var / (mean**2 + 1e-12))
+        for name in prior_names:
+            val = kwargs["kwargs_analytic"][name]
+            mean = consts["prior_means"][name]
+            sigma = consts["prior_sigmas"][name]
+            total = total + 0.5 * jnp.sum(((val - mean) / sigma) ** 2)
+        return total
+
+    return fn
 
 
 class Loss:
@@ -59,21 +124,28 @@ class Loss:
                  W=None, prior=None):
         self.model = deconv_class
         self.params = param_class
-        self.regularization_terms = regularization_terms
-        self.lambda_scales = regularization_strength_scales
-        self.lambda_hf = regularization_strength_hf
-        self.lambda_pos = regularization_strength_positivity
-        self.lambda_pts = regularization_strength_pts_source
-        self.lambda_flux_uni = regularization_strength_flux_uniformity
         self.prior = prior
         m = self.model.m
         self.n_scales = n_starlet_scales(m)
+        use_starlet = regularization_terms == "l1_starlet"
+        use_pos = regularization_strength_positivity > 0
+        use_pts = regularization_strength_pts_source > 0
+        use_flux_uni = regularization_strength_flux_uniformity > 0
+        prior_names = prior.names() if prior is not None else ()
+        self._fn = _build_loss_fn(self.model.config(), use_starlet,
+                                  use_pos, use_pts, use_flux_uni,
+                                  prior_names)
+        # expose the SHARED function object (not a bound method) so the
+        # optimizers' jit cache hits across Loss instances of identical
+        # configuration
+        self.loss_fn = self._fn
+
         if W is None:
             W = jnp.ones((self.n_scales + 1, m, m), dtype=jnp.float32)
 
         # proximity weights for the pts_source term: Gaussian bumps at the
         # initial source positions (evaluated once, at the init kwargs)
-        if self.lambda_pts > 0:
+        if use_pts:
             kw0 = param_class.merge(param_class.free0)
             px, py = self.model.source_positions(kw0)
             s = self.model.s
@@ -92,63 +164,22 @@ class Loss:
             "W": jnp.asarray(W, dtype=jnp.float32),
             "pts_weights": pts_weights,
             "fixed": param_class.fixed,
+            "lambda_scales": jnp.float32(regularization_strength_scales),
+            "lambda_hf": jnp.float32(regularization_strength_hf),
+            "lambda_pos": jnp.float32(regularization_strength_positivity),
+            "lambda_pts": jnp.float32(regularization_strength_pts_source),
+            "lambda_flux_uni": jnp.float32(
+                regularization_strength_flux_uniformity),
             **self.model.spectra(),
         }
-
-    # -- individual terms (pure in (kwargs, consts)) ----------------------
-
-    def chi2_term(self, kwargs, consts):
-        modelled = self.model.model(kwargs, consts)
-        res = (consts["data"] - modelled) ** 2 / consts["sigma_2"]
-        return 0.5 * jnp.nansum(res)
-
-    def starlet_term(self, kwargs, consts):
-        m = self.model.m
-        h = kwargs["kwargs_background"]["h"].reshape(m, m)
-        coeffs = starlet_transform(h, n_scales=self.n_scales)
-        wabs = consts["W"] * jnp.abs(coeffs)
-        hf = wabs[0].sum()
-        others = wabs[1:-1].sum()  # coarse scale is not penalized
-        return self.lambda_hf * hf + self.lambda_scales * others
-
-    def positivity_term(self, kwargs):
-        h = kwargs["kwargs_background"]["h"]
-        a = kwargs["kwargs_analytic"]["a"]
-        return self.lambda_pos * (
-            jnp.sum(jnp.maximum(-h, 0.0)) + jnp.sum(jnp.maximum(-a, 0.0)))
-
-    def pts_source_term(self, kwargs, consts):
-        m = self.model.m
-        h = kwargs["kwargs_background"]["h"].reshape(m, m)
-        return self.lambda_pts * jnp.sum(consts["pts_weights"] * jnp.abs(h))
-
-    def flux_uniformity_term(self, kwargs):
-        a = kwargs["kwargs_analytic"]["a"].reshape(
-            self.model.n_epochs, self.model.n_sources)
-        mean = jnp.mean(a, axis=0)
-        var = jnp.mean((a - mean) ** 2, axis=0)
-        return self.lambda_flux_uni * jnp.sum(var / (mean**2 + 1e-12))
-
-    # -- total -----------------------------------------------------------
-
-    def total(self, kwargs, consts):
-        out = self.chi2_term(kwargs, consts)
-        if self.regularization_terms == "l1_starlet":
-            out = out + self.starlet_term(kwargs, consts)
-        if self.lambda_pos > 0:
-            out = out + self.positivity_term(kwargs)
-        if self.lambda_pts > 0:
-            out = out + self.pts_source_term(kwargs, consts)
-        if self.lambda_flux_uni > 0:
-            out = out + self.flux_uniformity_term(kwargs)
-        if self.prior is not None:
-            out = out + self.prior.logL(kwargs)
-        return out
+        if prior is not None:
+            pc = prior.consts()
+            self.consts["prior_means"] = pc["means"]
+            self.consts["prior_sigmas"] = pc["sigmas"]
 
     def __call__(self, kwargs):
         """Eager convenience evaluation at full kwargs (diagnostics)."""
-        return self.total(kwargs, self.consts)
-
-    def loss_fn(self, free, consts):
-        """(free pytree, consts pytree) -> scalar, for core/optimize.py."""
-        return self.total(merge_free(free, consts["fixed"]), consts)
+        free = kwargs  # evaluate with everything considered free
+        consts = dict(self.consts)
+        consts["fixed"] = {}
+        return self._fn(free, consts)

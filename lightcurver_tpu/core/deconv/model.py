@@ -92,11 +92,29 @@ class DeconvModel:
         self.n_sources = int(n_sources)
         self.m = self.image_size * self.s
 
-        psf = jnp.asarray(psf, dtype=jnp.float32)
-        psf = pad_psf_to(psf, self.m)
-        # normalize each epoch's PSF to unit flux so `a` is total flux
-        self.psf_pad = psf / psf.sum(axis=(-2, -1), keepdims=True)
+        if psf is not None:
+            psf = jnp.asarray(psf, dtype=jnp.float32)
+            psf = pad_psf_to(psf, self.m)
+            # normalize each epoch's PSF to unit flux so `a` is total flux
+            self.psf_pad = psf / psf.sum(axis=(-2, -1), keepdims=True)
+        else:
+            self.psf_pad = None
         self._consts_cache = None
+
+    @classmethod
+    def for_eval(cls, subsampling_factor, image_size, n_epochs, n_sources):
+        """PSF-less instance for pure evaluation with explicit consts.
+
+        All evaluation methods only need the static configuration when
+        the spectra arrive via ``consts``; this enables sharing one
+        traced loss function across problems of identical geometry.
+        """
+        return cls(None, subsampling_factor, image_size, n_epochs,
+                   n_sources)
+
+    def config(self):
+        """Hashable static configuration (for loss-function caching)."""
+        return (self.s, self.image_size, self.n_epochs, self.n_sources)
 
     # ---- array preparation ---------------------------------------------
 

@@ -1,21 +1,27 @@
 """Isotropic undecimated wavelet (starlet / a-trous) transform in JAX.
 
-First-generation starlet with the B3-spline kernel [1, 4, 6, 4, 1] / 16 and
-mirror boundary handling.  Used for the sparsity regularization of the
+First-generation starlet with the B3-spline kernel [1, 4, 6, 4, 1] / 16
+and mirror boundary handling.  Used for the sparsity regularization of the
 pixelated background channel, matching the reference's 'l1_starlet'
 regularization (reference processes/star_photometry.py:100,
 processes/roi_modelling.py:314 via STARRED's Loss).
 
 The inverse is the plain sum over scales (first-generation starlet),
 which is exact by construction: detail_j = c_j - c_{j+1} telescopes.
+
+TPU implementation note: the separable a-trous smoothing is expressed as
+five shifted-slice adds per axis (pad + slice + weighted sum) instead of
+``conv_general_dilated`` — single-channel tiny-kernel convolutions map
+terribly onto the TPU convolution path (measured: dominated the joint
+deconvolution iteration AND inflated XLA compile times to minutes), while
+shifted adds are pure VPU elementwise work that fuses.
 """
 
 import math
 
-import jax
 import jax.numpy as jnp
 
-_B3 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+_W = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
 def n_starlet_scales(size):
@@ -23,26 +29,30 @@ def n_starlet_scales(size):
     return int(math.log2(size))
 
 
-def _smooth_axis_last(x2d, dilation):
-    """1-D a-trous B3 smoothing along the last axis (mirror boundary)."""
+def _smooth_axis(x, dilation, axis):
+    """1-D a-trous B3 smoothing along ``axis`` (mirror boundary)."""
     pad = 2 * dilation
-    xp = jnp.pad(x2d, ((0, 0), (pad, pad)), mode="symmetric")
-    lhs = xp[None, None, :, :]  # NCHW: H = rows, W = padded cols
-    kernel = _B3.astype(x2d.dtype).reshape(1, 1, 1, 5)
-    out = jax.lax.conv_general_dilated(
-        lhs, kernel, window_strides=(1, 1), padding="VALID",
-        rhs_dilation=(1, dilation),
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,  # photometric accuracy: never bf16 here
-    )
-    return out[0, 0]
+    pad_widths = [(0, 0)] * x.ndim
+    pad_widths[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_widths, mode="symmetric")
+    n = x.shape[axis]
+
+    out = _W[0] * _slice_axis(xp, 0, n, axis)
+    for k in range(1, 5):
+        out = out + _W[k] * _slice_axis(xp, k * dilation, n, axis)
+    return out
+
+
+def _slice_axis(x, start, length, axis):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(start, start + length)
+    return x[tuple(idx)]
 
 
 def _smooth_once(img, dilation):
     """Separable a-trous smoothing at a given dilation (mirror boundary)."""
-    out = _smooth_axis_last(img, dilation)
-    out = _smooth_axis_last(out.T, dilation).T
-    return out
+    out = _smooth_axis(img, dilation, axis=-1)
+    return _smooth_axis(out, dilation, axis=-2)
 
 
 def starlet_transform(img, n_scales=None):

@@ -1,0 +1,167 @@
+"""Task wrappers: pending-work discovery + host multiprocessing fan-out.
+
+The per-frame host tasks (importation, plate solving, re-extraction) run
+in a multiprocessing Pool with queue-based logging, like the reference
+(lightcurver/pipeline/task_wrappers.py:26-203).  SQLite writes from
+workers are safe through WAL + busy timeouts (structure/database.py).
+"""
+
+import functools
+import json
+import logging
+import logging.handlers
+import os
+from multiprocessing import Pool, Manager
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..structure.user_config import get_user_config
+from ..structure.database import get_pandas, execute_sqlite_query
+from ..processes.frame_importation import process_new_frame
+from ..processes.plate_solving import (
+    solve_one_image_and_update_database, select_frames_needing_plate_solving)
+from ..utilities.footprint import (
+    calc_common_and_total_footprint, get_frames_hash,
+    save_combined_footprints_to_db, identify_and_eliminate_bad_pointings)
+from ..processes.star_extraction import extract_sources_from_sky_sub_image
+
+
+def worker_init(log_queue):
+    logger = logging.getLogger(f"worker-{os.getpid()}")
+    logger.setLevel(logging.INFO)
+    logger.addHandler(logging.handlers.QueueHandler(log_queue))
+    logger.propagate = False
+
+
+def log_process(func):
+    """Log the frame identifier (last arg) then call func without it."""
+    @functools.wraps(func)
+    def wrapper(args):
+        logger = logging.getLogger(f"Process-{os.getpid()}")
+        logger.info(f"{func.__name__} .... processing item {args[-1]}")
+        return func(*args[:-1])
+    return wrapper
+
+
+def _pool_run(worker, jobs):
+    """Run jobs in a Pool with queue logging; serial for 1 process."""
+    user_config = get_user_config()
+    n_proc = int(user_config.get("multiprocessing_cpu_count", 1) or 1)
+    if n_proc <= 1 or len(jobs) <= 1:
+        for job in jobs:
+            worker(job)
+        return
+    log_queue = Manager().Queue()
+    base_logger = logging.getLogger("lightcurver")
+    listener = logging.handlers.QueueListener(log_queue,
+                                              *base_logger.handlers)
+    listener.start()
+    try:
+        with Pool(processes=n_proc, initializer=worker_init,
+                  initargs=(log_queue,)) as pool:
+            pool.map(worker, jobs)
+    finally:
+        listener.stop()
+
+
+@log_process
+def process_new_frame_wrapper(*args):
+    process_new_frame(*args)
+
+
+def read_convert_skysub_character_catalog():
+    """Import every raw frame not yet in the DB (anti-join on file name)."""
+    logger = logging.getLogger("lightcurver.importation")
+    user_config = get_user_config()
+    pattern = user_config.get("files_match_pattern", "*")
+    available = sorted(sum(
+        (list(raw_dir.glob(pattern)) for raw_dir in user_config["raw_dirs"]),
+        start=[]))
+    imported = get_pandas(columns=["original_image_path", "id"])
+    if not imported.empty:
+        imported_names = {Path(p).name
+                          for p in imported["original_image_path"]}
+    else:
+        imported_names = set()
+    new_frames = [f for f in available if f.name not in imported_names]
+    logger.info(f"Importing {len(new_frames)} new frames from "
+                f"{user_config['raw_dirs']}.")
+    _pool_run(process_new_frame_wrapper,
+              [(frame, user_config, frame.name) for frame in new_frames])
+
+
+@log_process
+def solve_one_image_and_update_database_wrapper(*args):
+    solve_one_image_and_update_database(*args)
+
+
+def plate_solve_all_frames():
+    """Plate-solve every frame selected by the config strategy."""
+    logger = logging.getLogger("lightcurver.plate_solving")
+    user_config = get_user_config()
+    workdir = Path(user_config["workdir"])
+    frames = select_frames_needing_plate_solving(user_config, logger)
+    logger.info(f"Ready to plate solve {len(frames)} frames.")
+    _pool_run(solve_one_image_and_update_database_wrapper, [
+        (workdir / row["image_relpath"], workdir / row["sources_relpath"],
+         user_config, row["id"], row["id"])
+        for _, row in frames.iterrows()])
+
+
+def calc_common_and_total_footprint_and_save():
+    """Combine footprints (if not already done for this frame set)."""
+    logger = logging.getLogger(
+        "lightcurver.combined_footprint_calculation")
+    identify_and_eliminate_bad_pointings()
+    rows = execute_sqlite_query(
+        """SELECT frames.id, footprints.polygon FROM footprints
+           JOIN frames ON footprints.frame_id = frames.id
+           WHERE frames.eliminated != 1""")
+    frames_hash = get_frames_hash([r[0] for r in rows])
+    count = execute_sqlite_query(
+        "SELECT COUNT(*) FROM combined_footprint WHERE hash = ?",
+        params=(frames_hash,))[0][0]
+    if count > 0:
+        logger.info(f"Footprint {frames_hash} already calculated.")
+        return
+    polygons = [np.array(json.loads(r[1])) for r in rows]
+    common, largest = calc_common_and_total_footprint(polygons)
+
+    user_config = get_user_config()
+    try:
+        from ..plotting.footprint_plotting import plot_footprints
+
+        plot_path = user_config["plots_dir"] / "footprints.jpg"
+        plot_footprints(polygons, common, largest, save_path=plot_path)
+        logger.info(f"Footprint plot saved at {plot_path}.")
+    except Exception as e:
+        logger.warning(f"Footprint plot failed: {e}")
+    save_combined_footprints_to_db(frames_hash, common, largest)
+    logger.info(f"Combined footprint {frames_hash} saved to DB.")
+
+
+@log_process
+def extract_sources_from_sky_sub_image_wrapper(*args):
+    extract_sources_from_sky_sub_image(*args)
+
+
+def source_extract_all_images(conditions=None):
+    """Manual utility: re-extract sources of (a subset of) frames."""
+    logger = logging.getLogger("lightcurver.source_extraction")
+    user_config = get_user_config()
+    workdir = Path(user_config["workdir"])
+    frames = get_pandas(
+        columns=["id", "image_relpath", "sources_relpath", "exptime",
+                 "background_rms_electron_per_second"],
+        conditions=conditions)
+    logger.info(f"Extracting sources from {len(frames)} frames.")
+    _pool_run(extract_sources_from_sky_sub_image_wrapper, [
+        (workdir / row["image_relpath"], workdir / row["sources_relpath"],
+         user_config["source_extraction_threshold"],
+         user_config["source_extraction_min_area"],
+         row["exptime"], row["background_rms_electron_per_second"],
+         user_config["plots_dir"] / "source_extraction"
+         / f"{Path(row['image_relpath']).stem}.jpg",
+         row["id"]) for _, row in frames.iterrows()])

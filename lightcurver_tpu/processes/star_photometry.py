@@ -62,16 +62,15 @@ def do_one_star_forward_modelling(data, noisemap, psf, subsampling_factor,
         data, sigma_2, psf, np.array([0.0]), np.array([0.0]),
         subsampling_factor, a_est)
 
-    # the point source stays pinned at the origin; free per-epoch flux
+    # the point source STARTS at the origin (plate solving + proper
+    # motions put it there); positions stay free so per-epoch
+    # miscentering is absorbed — only rotation, background grid and
+    # pedestal are fixed, as in the reference (star_photometry.py:74-87)
     n_epochs = len(data)
     m = model.m
     kwargs_fixed = {
         "kwargs_analytic": {
             "alpha": kwargs_init["kwargs_analytic"]["alpha"],
-            "c_x": kwargs_init["kwargs_analytic"]["c_x"],
-            "c_y": kwargs_init["kwargs_analytic"]["c_y"],
-            "dx": kwargs_init["kwargs_analytic"]["dx"],
-            "dy": kwargs_init["kwargs_analytic"]["dy"],
         },
         "kwargs_background": {
             "h": np.zeros(m * m, dtype=np.float32),

@@ -1,0 +1,73 @@
+"""``lc_init``: scaffold a working directory (reference
+lightcurver/scripts/initialize.py:28-89).
+
+Copies the template config, writes a stub header parser, and fills in the
+ROI interactively or from arguments.
+"""
+
+import argparse
+from pathlib import Path
+
+import yaml
+
+_TEMPLATE = (Path(__file__).parent.parent / "pipeline"
+             / "example_config_file" / "config.yaml")
+
+_HEADER_PARSER_STUB = '''\
+def parse_header(header):
+    raise RuntimeError('Adjust the header parser function at {path}')
+    # example:
+    # exptime = header['EXPTIME']
+    # gain = header['GAIN']
+    # mjd = header['MJD-OBS']
+    # return {{'exptime': exptime, 'gain': gain, 'mjd': mjd}}
+'''
+
+
+def initialize():
+    parser = argparse.ArgumentParser(
+        description="Initialize a lightcurver_tpu working directory.")
+    parser.add_argument("--workdir", type=str, default=".",
+                        help="Path to the desired working directory.")
+    parser.add_argument("--roi_name", type=str, default=None)
+    parser.add_argument("--roi_ra", type=float, default=None)
+    parser.add_argument("--roi_dec", type=float, default=None)
+    parser.add_argument("--photom_band", type=str, default=None)
+    args = parser.parse_args()
+
+    workdir = Path(args.workdir).absolute()
+    workdir.mkdir(exist_ok=True)
+    print(f"Initializing working directory at {workdir}")
+
+    config_path = workdir / "config.yaml"
+    config_path.write_text(_TEMPLATE.read_text())
+
+    parser_dir = workdir / "header_parser"
+    parser_dir.mkdir(exist_ok=True)
+    parser_file = parser_dir / "parse_header.py"
+    parser_file.write_text(_HEADER_PARSER_STUB.format(path=parser_file))
+
+    if args.roi_name is None:
+        args.roi_name = input("Name of the target? ").strip()
+    if args.roi_ra is None:
+        args.roi_ra = float(input("Right ascension of the target? "))
+    if args.roi_dec is None:
+        args.roi_dec = float(input("Declination of the target? "))
+    if args.photom_band is None:
+        args.photom_band = input(
+            "Photometric band of the observations? ").strip()
+
+    with open(config_path) as f:
+        config = yaml.safe_load(f)
+    config["workdir"] = str(workdir)
+    config["ROI"] = {args.roi_name:
+                     {"coordinates": [args.roi_ra, args.roi_dec]}}
+    config["photometric_band"] = args.photom_band
+    with open(config_path, "w") as f:
+        yaml.dump(config, f, sort_keys=False)
+    print(f"Adapt the header parser at {parser_file}.")
+    print(f"Prepared rough configuration at {config_path} -- refine it.")
+
+
+if __name__ == "__main__":
+    initialize()
