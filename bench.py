@@ -48,16 +48,20 @@ def run_roi_deconv(scene, n_iter=2000):
                 regularization_strength_positivity=100.0)
     consts = loss.consts
 
-    def fit():
+    def fit(free0):
         best, _, hist = run_adabelief(
-            loss.loss_fn, params.free0, params.lower, params.upper,
+            loss.loss_fn, free0, params.lower, params.upper,
             n_iter, init_learning_rate=1e-2, consts=consts)
-        jax.block_until_ready((best, hist))
+        # fetch a value: on the tunneled backend block_until_ready
+        # returns before execution finishes; a host transfer does not
+        float(hist[-1])
         return best, hist
 
-    fit()                        # compile + first run
+    fit(params.free0)            # compile + first run
+    # perturbed restart so no caching layer can replay the result
+    free1 = jax.tree_util.tree_map(lambda x: x * (1 + 1e-6), params.free0)
     t0 = time.perf_counter()
-    best, hist = fit()           # steady state
+    best, hist = fit(free1)      # steady state
     wall = time.perf_counter() - t0
 
     params.set_best(best)
@@ -69,30 +73,39 @@ def run_roi_deconv(scene, n_iter=2000):
     return wall, red_chi2, kwargs
 
 
-def run_psf_bench(stamps, n_iter_analytic=100, n_iter_adabelief=3000):
-    from lightcurver_tpu.core.psf.build import build_psf
+def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
+                  n_iter_analytic=100, n_iter_adabelief=3000):
+    """Batched per-frame PSF fits; returns (fits/sec, mean chi2)."""
+    from lightcurver_tpu.core.psf.batched import build_psf_batched
+    from lightcurver_tpu.utilities.synthetic import make_star_stamps
 
-    def fit():
-        return build_psf(stamps["data"], stamps["sigma"], stamps["s"],
-                         n_iter_analytic=n_iter_analytic,
-                         n_iter_adabelief=n_iter_adabelief)
+    frames = [make_star_stamps(n_stars=n_stars, n_pix=n_pix, s=s, seed=i,
+                               fwhm_x=2.4 + 0.1 * i, fwhm_y=2.4 + 0.1 * i)
+              for i in range(n_frames)]
+    data = np.stack([f["data"] for f in frames])
+    sigma = np.stack([f["sigma"] for f in frames])
 
-    fit()                        # compile + first run
+    def fit(d):
+        # build_psf_batched fetches every output to numpy, which forces
+        # completion (honest timing on the tunneled backend)
+        return build_psf_batched(d, sigma, s,
+                                 n_iter_analytic=n_iter_analytic,
+                                 n_iter_adabelief=n_iter_adabelief)
+
+    fit(data)                    # compile + first run
     t0 = time.perf_counter()
-    out = fit()
+    out = fit(data * np.float32(1 + 1e-6))
     wall = time.perf_counter() - t0
-    return wall, out["chi2"]
+    return n_frames / wall, float(out["chi2"].mean())
 
 
 def main():
     jax = _setup_jax()
-    from lightcurver_tpu.utilities.synthetic import (make_roi_scene,
-                                                     make_star_stamps)
+    from lightcurver_tpu.utilities.synthetic import make_roi_scene
 
     scene = make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4)
-    stamps = make_star_stamps(n_stars=8, n_pix=64, s=2)
 
-    roi_wall = red_chi2 = psf_wall = psf_chi2 = None
+    roi_wall = red_chi2 = fits_per_sec = psf_chi2 = None
     for attempt in range(3):     # the backend throws transient errors
         try:
             roi_wall, red_chi2, _ = run_roi_deconv(scene)
@@ -103,7 +116,7 @@ def main():
             print(f"# roi attempt {attempt} failed: {e}", flush=True)
     for attempt in range(3):
         try:
-            psf_wall, psf_chi2 = run_psf_bench(stamps)
+            fits_per_sec, psf_chi2 = run_psf_bench()
             break
         except Exception as e:   # noqa: BLE001
             if attempt == 2:
@@ -111,14 +124,16 @@ def main():
             print(f"# psf attempt {attempt} failed: {e}", flush=True)
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
+    baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
     print(json.dumps({
         "metric": "roi_deconv_100epoch_wall_s",
         "value": round(roi_wall, 3),
         "unit": "s",
         "vs_baseline": round(baseline_roi_s / roi_wall, 2),
         "roi_reduced_chi2": round(red_chi2, 4),
-        "psf_fit_wall_s": round(psf_wall, 3),
-        "psf_fits_per_sec": round(1.0 / psf_wall, 3),
+        "psf_fits_per_sec": round(fits_per_sec, 3),
+        "psf_fits_per_sec_vs_baseline": round(
+            fits_per_sec / baseline_psf_fits_per_sec, 2),
         "psf_chi2": round(psf_chi2, 4),
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),

@@ -149,14 +149,20 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     Returns:
         complex array (..., L, L // 2 + 1).
     """
-    fy, fx = freq_grids(m, dtype=dtype)
-    sx = (s * jnp.asarray(px, dtype=dtype))[..., None, None]
-    sy = (s * jnp.asarray(py, dtype=dtype))[..., None, None]
-    ang = -2.0 * jnp.pi * (fy * sy + fx * sx)
+    # the phase is SEPARABLE: exp(-2πi(fy·sy + fx·sx)) =
+    # exp(-2πi fy·sy) ⊗ exp(-2πi fx·sx).  Evaluating cos/sin on the two
+    # 1-D factors costs O(L) transcendentals per source instead of
+    # O(L²/2) on the broadcast grid (~40x less VPU-transcendental work at
+    # L=256); the outer products are plain multiplies, which fuse with
+    # the reduction over sources.
+    L = pad_len(m)
+    fy = jnp.fft.fftfreq(L).astype(dtype)                  # (L,)
+    fx = jnp.fft.rfftfreq(L).astype(dtype)                 # (L/2+1,)
+    ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
+    ax = -2.0 * jnp.pi * fx * (s * jnp.asarray(px, dtype=dtype))[..., None]
+    cy, sy_ = jnp.cos(ay)[..., :, None], jnp.sin(ay)[..., :, None]
+    cx, sx_ = jnp.cos(ax)[..., None, :], jnp.sin(ax)[..., None, :]
     amps = jnp.asarray(a, dtype=dtype)[..., None, None]
-    # fold the amplitude into the real/imag parts BEFORE forming the
-    # complex value: one fewer complex-typed intermediate at the largest
-    # shape in the program, (..., M, L, L/2+1)
-    re = (amps * jnp.cos(ang)).sum(axis=-3)
-    im = (amps * jnp.sin(ang)).sum(axis=-3)
+    re = (amps * (cy * cx - sy_ * sx_)).sum(axis=-3)
+    im = (amps * (cy * sx_ + sy_ * cx)).sum(axis=-3)
     return jax.lax.complex(re, im)

@@ -37,12 +37,9 @@ def _project(params, lower, upper):
     return jax.tree_util.tree_map(jnp.clip, params, lower, upper)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
-def _run_adabelief(loss_fn, free0, consts, lower, upper, n_iter,
+def adabelief_scan(loss_fn, free0, consts, lower, upper, n_iter,
                    init_learning_rate, schedule_learning_rate):
-    """AdaBelief with box projection.
+    """AdaBelief scan body (traceable: vmap/jit/shard_map-compatible).
 
     Args:
         loss_fn: (free pytree, consts pytree) -> scalar loss (static).
@@ -83,6 +80,11 @@ def _run_adabelief(loss_fn, free0, consts, lower, upper, n_iter,
     return best_params, final_params, history
 
 
+_run_adabelief = jax.jit(
+    adabelief_scan,
+    static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
+
+
 def run_adabelief(loss_fn, free0, lower, upper, n_iter,
                   init_learning_rate=1e-3, schedule_learning_rate=True,
                   consts=None):
@@ -104,9 +106,9 @@ def run_adabelief(loss_fn, free0, lower, upper, n_iter,
         schedule_learning_rate=bool(schedule_learning_rate))
 
 
-@functools.partial(jax.jit, static_argnames=("loss_fn", "n_iter", "memory_size"))
-def _run_lbfgsb(loss_fn, free0, consts, lower, upper, n_iter, memory_size):
-    """Projected L-BFGS with zoom linesearch (bounded quasi-Newton).
+def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
+                memory_size=10):
+    """Projected L-BFGS scan body (traceable; zoom linesearch inside).
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
@@ -136,6 +138,10 @@ def _run_lbfgsb(loss_fn, free0, consts, lower, upper, n_iter, memory_size):
     (final_params, _, best_params, _), history = jax.lax.scan(
         step, init, None, length=n_iter)
     return best_params, final_params, history
+
+
+_run_lbfgsb = jax.jit(
+    lbfgsb_scan, static_argnames=("loss_fn", "n_iter", "memory_size"))
 
 
 def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10,

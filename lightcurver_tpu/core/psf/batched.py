@@ -1,0 +1,218 @@
+"""Batched (vmapped-over-frames) narrow-PSF fitting: the throughput path.
+
+The reference fits PSFs one frame at a time in a serial Python loop
+(reference processes/psf_modelling.py:92, ~2-3 s/frame on a gaming GPU);
+here the full two-phase fit — bounded L-BFGS Moffat, then AdaBelief pixel
+grid with Monte-Carlo starlet weights — is a single pure function of one
+frame's arrays, vmapped over the frame axis and jitted once.  Frames with
+different star counts are padded with fully-masked dummy stars (their
+chi2 weight is zero), so one compiled program serves a whole bucket.
+
+This is the "PSF fits/sec/chip" metric of BASELINE.json.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..starlet import n_starlet_scales
+from ..optimize import adabelief_scan, lbfgsb_scan
+from .build import (_phase_losses, _grid_noise_weights_impl,
+                    _masked_chi2_per_star)
+from .distortion import zero_distortion_kwargs
+
+
+def _bounds(n_stars, n_pix, m):
+    big = jnp.inf
+    upper = {
+        "kwargs_moffat": {
+            "fwhm_x": jnp.asarray(0.9 * n_pix, jnp.float32),
+            "fwhm_y": jnp.asarray(0.9 * n_pix, jnp.float32),
+            "beta": jnp.asarray(10.0, jnp.float32)},
+        "kwargs_gaussian": {
+            "a": jnp.full((n_stars,), big, jnp.float32),
+            "x0": jnp.full((n_stars,), 3.0, jnp.float32),
+            "y0": jnp.full((n_stars,), 3.0, jnp.float32)},
+        "kwargs_background": {
+            "background": jnp.full((m * m,), big, jnp.float32)},
+        "kwargs_distortion": {
+            k: jnp.full((5,), 0.5, jnp.float32)
+            for k in ("dilation_x", "dilation_y", "shear")},
+    }
+    lower = {
+        "kwargs_moffat": {
+            "fwhm_x": jnp.asarray(0.8, jnp.float32),
+            "fwhm_y": jnp.asarray(0.8, jnp.float32),
+            "beta": jnp.asarray(1.15, jnp.float32)},
+        "kwargs_gaussian": {
+            "a": jnp.zeros((n_stars,), jnp.float32),
+            "x0": jnp.full((n_stars,), -3.0, jnp.float32),
+            "y0": jnp.full((n_stars,), -3.0, jnp.float32)},
+        "kwargs_background": {
+            "background": jnp.full((m * m,), -big, jnp.float32)},
+        "kwargs_distortion": {
+            k: jnp.full((5,), -0.5, jnp.float32)
+            for k in ("dilation_x", "dilation_y", "shear")},
+    }
+    return lower, upper
+
+
+def _subset(tree, spec):
+    """Extract the sub-pytree of ``tree`` matching the structure of spec."""
+    return {k: (_subset(tree[k], v) if isinstance(v, dict) else tree[k])
+            for k, v in spec.items()}
+
+
+def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
+                   n_stars, n_pix, s, field_distortion, n_iter_analytic,
+                   n_iter_adabelief, regularization_strength,
+                   adabelief_lr):
+    """Pure single-frame two-phase PSF fit (fully traceable)."""
+    model, loss_moffat, loss_pixels = _phase_losses(
+        n_stars, n_pix, s, field_distortion)
+    m = n_pix * s
+
+    scale = jnp.nanmax(jnp.where(masks, data, -jnp.inf))
+    scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale, 1.0)
+    d = jnp.nan_to_num(data / scale)
+    sig = jnp.nan_to_num(noisemap / scale, nan=1e8)
+    sigma_2 = sig**2
+
+    fwhm0 = jnp.clip(fwhm0, 1.2, 0.45 * n_pix).astype(jnp.float32)
+    a0 = jnp.clip(jnp.sum(jnp.where(masks, d, 0.0), axis=(1, 2)),
+                  1e-3, None)
+
+    kwargs_init = {
+        "kwargs_moffat": {"fwhm_x": fwhm0, "fwhm_y": fwhm0,
+                          "beta": jnp.asarray(2.5, jnp.float32)},
+        "kwargs_gaussian": {"a": a0,
+                            "x0": jnp.zeros(n_stars, jnp.float32),
+                            "y0": jnp.zeros(n_stars, jnp.float32)},
+        "kwargs_background": {
+            "background": jnp.zeros(m * m, jnp.float32)},
+        "kwargs_distortion": zero_distortion_kwargs(),
+    }
+    lower, upper = _bounds(n_stars, n_pix, m)
+
+    base_consts = {"data": d, "sigma_2": sigma_2, "masks": masks,
+                   "stamp_coordinates": stamp_coords}
+
+    # ---- phase 1: Moffat (grid + distortion fixed) ----------------------
+    fixed1_spec = {"kwargs_background": {"background": None},
+                   "kwargs_distortion": {"dilation_x": None,
+                                         "dilation_y": None,
+                                         "shear": None}}
+    free1 = {"kwargs_moffat": kwargs_init["kwargs_moffat"],
+             "kwargs_gaussian": kwargs_init["kwargs_gaussian"]}
+    fixed1 = _subset(kwargs_init, fixed1_spec)
+    consts1 = {**base_consts, "fixed": fixed1}
+    best1, _, hist1 = lbfgsb_scan(
+        loss_moffat, free1, consts1,
+        {k: _subset(lower, {k: free1[k]})[k] for k in free1},
+        {k: _subset(upper, {k: free1[k]})[k] for k in free1},
+        n_iter_analytic)
+
+    # ---- phase 2: pixel grid (+ distortion), Moffat fixed ---------------
+    free2 = {"kwargs_gaussian": best1["kwargs_gaussian"],
+             "kwargs_background": kwargs_init["kwargs_background"]}
+    fixed2 = {"kwargs_moffat": best1["kwargs_moffat"]}
+    if field_distortion:
+        free2["kwargs_distortion"] = kwargs_init["kwargs_distortion"]
+    else:
+        fixed2["kwargs_distortion"] = kwargs_init["kwargs_distortion"]
+
+    sigma_med = jnp.median(sig, axis=0) / jnp.maximum(jnp.mean(a0), 1e-12)
+    W = _grid_noise_weights_impl(sigma_med, m, s, 64, n_starlet_scales(m),
+                                 key)
+    consts2 = {**base_consts, "W": W,
+               "lam": jnp.asarray(regularization_strength, jnp.float32),
+               "fixed": fixed2}
+    best2, _, hist2 = adabelief_scan(
+        loss_pixels, free2, consts2,
+        {k: _subset(lower, {k: free2[k]})[k] for k in free2},
+        {k: _subset(upper, {k: free2[k]})[k] for k in free2},
+        n_iter_adabelief, adabelief_lr, True)
+
+    kwargs_final = {**best2, "kwargs_moffat": best1["kwargs_moffat"]}
+    if not field_distortion:
+        kwargs_final["kwargs_distortion"] = \
+            kwargs_init["kwargs_distortion"]
+    narrow = model.narrow_psf(kwargs_final)
+    full = model.full_psf(kwargs_final)
+    model_imgs = model.model(kwargs_final, stamp_coords)
+    chi2_per_star = _masked_chi2_per_star(d, model_imgs, sigma_2, masks)
+    n_good = masks.sum(axis=(1, 2))
+    chi2 = jnp.sum(jnp.where(n_good > 0, chi2_per_star, 0.0)) \
+        / jnp.maximum((n_good > 0).sum(), 1)
+    return {
+        "narrow_psf": narrow,
+        "full_psf": full,
+        "chi2": chi2,
+        "chi2_per_star": chi2_per_star,
+        "scale": scale,
+        "kwargs_moffat": kwargs_final["kwargs_moffat"],
+        "kwargs_distortion": kwargs_final["kwargs_distortion"],
+        "residuals": scale * (d - model_imgs),
+        "loss_history_analytic": hist1,
+        "loss_history_pixels": hist2,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_stars", "n_pix", "s", "field_distortion",
+                     "n_iter_analytic", "n_iter_adabelief"))
+def _fit_frames(data, noisemap, masks, stamp_coords, fwhm0, keys, n_stars,
+                n_pix, s, field_distortion, n_iter_analytic,
+                n_iter_adabelief, regularization_strength, adabelief_lr):
+    fit = functools.partial(
+        _fit_one_frame, n_stars=n_stars, n_pix=n_pix, s=s,
+        field_distortion=field_distortion,
+        n_iter_analytic=n_iter_analytic,
+        n_iter_adabelief=n_iter_adabelief,
+        regularization_strength=regularization_strength,
+        adabelief_lr=adabelief_lr)
+    return jax.vmap(fit)(data, noisemap, masks, stamp_coords, fwhm0, keys)
+
+
+def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
+                      stamp_coordinates=None, guess_fwhm_pixels=None,
+                      n_iter_analytic=100, n_iter_adabelief=3000,
+                      field_distortion=False, regularization_strength=1.0,
+                      adabelief_lr=5e-4, seed=0):
+    """Fit the narrow PSFs of many frames in one compiled program.
+
+    Args:
+        images: (F, N, n, n) star stamps — F frames, N stars each (pad
+            missing stars with zeros and masks=False).
+        noisemaps: (F, N, n, n) noise sigmas.
+        subsampling_factor: int s.
+        masks: (F, N, n, n) bool, True = good pixel.
+        stamp_coordinates: (F, N, 2) rescaled star positions (distortion).
+        guess_fwhm_pixels: (F,) per-frame seeing guess.
+
+    Returns:
+        dict of stacked per-frame results (numpy).
+    """
+    images = np.asarray(images, dtype=np.float32)
+    n_frames, n_stars, n_pix = images.shape[:3]
+    if masks is None:
+        masks = np.isfinite(images)
+    if stamp_coordinates is None:
+        stamp_coordinates = np.zeros((n_frames, n_stars, 2), np.float32)
+    if guess_fwhm_pixels is None:
+        guess_fwhm_pixels = np.full((n_frames,), 3.0, np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_frames)
+    out = _fit_frames(
+        jnp.asarray(images),
+        jnp.asarray(np.asarray(noisemaps, dtype=np.float32)),
+        jnp.asarray(np.asarray(masks, dtype=bool)),
+        jnp.asarray(np.asarray(stamp_coordinates, dtype=np.float32)),
+        jnp.asarray(np.asarray(guess_fwhm_pixels, dtype=np.float32)),
+        keys, n_stars, int(n_pix), int(subsampling_factor),
+        bool(field_distortion), int(n_iter_analytic),
+        int(n_iter_adabelief), float(regularization_strength),
+        float(adabelief_lr))
+    return jax.tree_util.tree_map(np.asarray, out)

@@ -78,9 +78,7 @@ def _phase_losses(n_stars, n_pix, s, field_distortion):
     return model, loss_moffat, loss_pixels
 
 
-@functools.partial(jax.jit, static_argnames=("m", "s", "num_samples",
-                                              "n_scales"))
-def _grid_noise_weights(sigma, m, s, num_samples, n_scales, seed):
+def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key):
     """Per-scale noise std of starlet coefficients of the PSF pixel grid.
 
     The operator from the grid g to the stamps is (per star)
@@ -100,9 +98,14 @@ def _grid_noise_weights(sigma, m, s, num_samples, n_scales, seed):
         back = jnp.fft.irfft2(fine_hat * jnp.conj(r_hat), s=(L, L))[:m, :m]
         return starlet_transform(back, n_scales=n_scales)
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+    keys = jax.random.split(key, num_samples)
     coeffs = jax.lax.map(one, keys, batch_size=16)
     return jnp.maximum(jnp.std(coeffs, axis=0), 1e-12)
+
+
+_grid_noise_weights = jax.jit(
+    _grid_noise_weights_impl,
+    static_argnames=("m", "s", "num_samples", "n_scales"))
 
 
 def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
@@ -111,7 +114,7 @@ def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
     sigma = sigma / jnp.maximum(mean_amp, 1e-12)
     return _grid_noise_weights(sigma, model.m, model.s, num_samples,
                                n_starlet_scales(model.m),
-                               jnp.uint32(seed))
+                               jax.random.PRNGKey(seed))
 
 
 def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,

@@ -86,8 +86,12 @@ class PSFModel:
         callers keep it out of closure constants.
         """
         kg = kwargs["kwargs_gaussian"]
-        t_stack = self._per_star_psfs(kwargs, stamp_coordinates)  # (N, m, m)
-        t_hat = conv.psf_fft(t_stack)                  # (N, L, L/2+1)
+        if self.field_distortion:
+            t_stack = self._per_star_psfs(kwargs, stamp_coordinates)
+            t_hat = conv.psf_fft(t_stack)              # (N, L, L/2+1)
+        else:
+            # one shared PSF: one forward FFT instead of N identical ones
+            t_hat = conv.psf_fft(self.narrow_psf(kwargs))  # (L, L/2+1)
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])

@@ -1,0 +1,101 @@
+"""Native (C++) host-preprocessing backend, loaded via ctypes.
+
+The shared library is compiled on first use (g++, cached next to the
+source); every caller gracefully falls back to the numpy/scipy
+implementations when the toolchain or binary is unavailable.
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "lightcurver_native.cpp"
+_LIB = _HERE / "liblightcurver_native.so"
+
+_lib = None
+_tried = False
+
+
+def _compile():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_LIB), str(_SRC)]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+
+
+def load():
+    """Return the ctypes library, or None when unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LIGHTCURVER_DISABLE_NATIVE"):
+        return None
+    try:
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _compile()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.lc_background_mesh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.lc_extract_sources.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_void_p]
+        lib.lc_extract_sources.restype = ctypes.c_int
+        _lib = lib
+    except Exception as e:  # toolchain missing, compile error, ...
+        logging.getLogger("lightcurver.native").info(
+            f"native backend unavailable ({e}); using numpy fallbacks")
+        _lib = None
+    return _lib
+
+
+def _fptr(array):
+    return array.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def background_mesh(image, gy, gx, mask=None):
+    """(back_grid, rms_grid) via the native mesh estimator, or None."""
+    lib = load()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    ny, nx = image.shape
+    back = np.empty((gy, gx), dtype=np.float32)
+    rms = np.empty((gy, gx), dtype=np.float32)
+    if mask is not None:
+        mask = np.ascontiguousarray(mask, dtype=np.uint8)
+        mask_ptr = mask.ctypes.data_as(ctypes.c_void_p)
+    else:
+        mask_ptr = None
+    lib.lc_background_mesh(_fptr(image), mask_ptr, ny, nx, gy, gx,
+                           _fptr(back), _fptr(rms))
+    return back.astype(float), rms.astype(float)
+
+
+def extract_sources(image, variance, threshold, min_area,
+                    max_sources=100000):
+    """Native source extraction; returns an (n, 8) float array or None.
+
+    Columns: x, y, flux, a, b, npix, peak, positive_flux.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    variance = np.ascontiguousarray(
+        np.broadcast_to(variance, image.shape), dtype=np.float32)
+    ny, nx = image.shape
+    out = np.empty((max_sources, 8), dtype=np.float32)
+    n = lib.lc_extract_sources(_fptr(image), _fptr(variance), ny, nx,
+                               float(threshold), int(min_area),
+                               _fptr(out), max_sources, None)
+    return out[:n].copy()

@@ -60,13 +60,27 @@ def _moments(image, seg, labels):
 
 def extract_stars(image_background_subtracted, variance_map,
                   detection_threshold=3, min_area=10, debug_plot_path=None):
-    """Detect point-ish sources; returns a DataFrame, brightest first."""
+    """Detect point-ish sources; returns a DataFrame, brightest first.
+
+    Uses the C++ flood-fill extractor (native/) when available — the
+    reference's equivalent stage ran on the C library sep — with the
+    numpy/scipy implementation as fallback.
+    """
     image = np.asarray(image_background_subtracted, dtype=np.float32)
-    labels, seg = _segment(image, variance_map, detection_threshold,
-                           min_area)
-    sources = pd.DataFrame(
-        _moments(image, seg, labels),
-        columns=["x", "y", "flux", "a", "b", "npix", "peak"])
+    from ..native import extract_sources as native_extract
+
+    rows = native_extract(image, variance_map, detection_threshold,
+                          min_area)
+    if rows is not None:
+        sources = pd.DataFrame(
+            rows[:, :7],
+            columns=["x", "y", "flux", "a", "b", "npix", "peak"])
+    else:
+        labels, seg = _segment(image, variance_map, detection_threshold,
+                               min_area)
+        sources = pd.DataFrame(
+            _moments(image, seg, labels),
+            columns=["x", "y", "flux", "a", "b", "npix", "peak"])
 
     sources["xcentroid"] = sources["x"]
     sources["ycentroid"] = sources["y"]
