@@ -66,11 +66,15 @@ class Prior:
 
 @functools.lru_cache(maxsize=128)
 def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
-                   use_flux_uni, prior_names):
+                   use_flux_uni, prior_names, starlet_backend="xla"):
     """One pure (free, consts) -> scalar per static configuration."""
     model = DeconvModel.for_eval(*model_config)
     m = model.m
     n_sc = n_starlet_scales(m)
+    if starlet_backend == "pallas":
+        from ...ops.starlet_op import starlet_transform as _starlet
+    else:
+        _starlet = starlet_transform
 
     def fn(free, consts):
         kwargs = merge_free(free, consts["fixed"])
@@ -80,7 +84,7 @@ def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
 
         if use_starlet:
             h = kwargs["kwargs_background"]["h"].reshape(m, m)
-            coeffs = starlet_transform(h, n_scales=n_sc)
+            coeffs = _starlet(h, n_scales=n_sc)
             wabs = consts["W"] * jnp.abs(coeffs)
             total = total + consts["lambda_hf"] * wabs[0].sum() \
                 + consts["lambda_scales"] * wabs[1:-1].sum()
@@ -132,9 +136,12 @@ class Loss:
         use_pts = regularization_strength_pts_source > 0
         use_flux_uni = regularization_strength_flux_uniformity > 0
         prior_names = prior.names() if prior is not None else ()
+        from ...ops import get_backend as _ops_backend
+
         self._fn = _build_loss_fn(self.model.config(), use_starlet,
                                   use_pos, use_pts, use_flux_uni,
-                                  prior_names)
+                                  prior_names,
+                                  starlet_backend=_ops_backend())
         # expose the SHARED function object (not a bound method) so the
         # optimizers' jit cache hits across Loss instances of identical
         # configuration

@@ -76,8 +76,123 @@ def _load_star_stack(regions_file, relpath, gaia_ids):
     return datas, noisemaps, ~cosmics, rescaled  # True = good pixel
 
 
+def _prepare_frame_job(user_config, regions_file, frame,
+                       combined_footprint_hash, logger):
+    """Load + mask one frame's star stack; None when nothing to fit."""
+    stars = select_stars_for_a_frame(
+        frame_id=frame["id"],
+        combined_footprint_hash=combined_footprint_hash,
+        stars_to_use=user_config["stars_to_use_psf"],
+        stars_to_exclude=user_config["stars_to_exclude_psf"])
+    if len(stars) == 0:
+        logger.warning(f"Frame {frame['id']}: no reference stars, "
+                       "skipping.")
+        return None
+    psf_ref = "psf_" + "".join(sorted(stars["name"]))
+    if check_psf_exists(frame["id"], psf_ref, combined_footprint_hash) \
+            and not user_config["redo_psf"]:
+        logger.info(f"Frame {frame['id']}: PSF {psf_ref} exists, "
+                    "skipping.")
+        return None
+
+    gaia_ids = [str(g) for g in stars["gaia_id"]]
+    datas, noisemaps, good_masks, stamp_coords = _load_star_stack(
+        regions_file, frame["image_relpath"], gaia_ids)
+    auto = np.array([mask_surrounding_stars(d, n)
+                     for d, n in zip(datas, noisemaps)])
+    masks = good_masks & auto
+    isnan = np.isnan(datas) | np.isnan(noisemaps)
+    datas[isnan] = 0.0
+    noisemaps[isnan] = 1.0
+    masks[isnan] = False
+
+    # drop stars with > 40% masked pixels
+    n_before = len(datas)
+    frac_masked = (~masks).sum(axis=(1, 2)) / masks[0].size
+    keep = frac_masked <= 0.4
+    datas, noisemaps, masks = datas[keep], noisemaps[keep], masks[keep]
+    stamp_coords = stamp_coords[keep]
+    names = list(np.asarray(stars["name"])[keep])
+    if len(datas) == 0:
+        logger.warning(f"Frame {frame['id']}: all {n_before} stars too "
+                       "masked, skipping.")
+        return None
+    return {
+        "frame": frame, "psf_ref": psf_ref, "data": datas,
+        "noisemap": noisemaps, "masks": masks,
+        "stamp_coords": stamp_coords, "names": names,
+        "n_before": n_before,
+    }
+
+
+def _fit_jobs_batched(user_config, jobs):
+    """Fit several same-stamp-size frames in one compiled program.
+
+    Star counts are padded to the batch maximum with fully-masked dummy
+    slices (zero chi2 weight); returns a per-job result list with the
+    build_psf result-dict surface.
+    """
+    from ..core.psf.batched import build_psf_batched
+
+    n_max = max(len(job["data"]) for job in jobs)
+    n_pix = jobs[0]["data"].shape[-1]
+
+    def pad(arr, fill, dtype=np.float32):
+        out = np.full((len(jobs), n_max) + arr[0].shape[1:], fill,
+                      dtype=dtype)
+        return out
+
+    data = pad([j["data"] for j in jobs], 0.0)
+    noise = pad([j["noisemap"] for j in jobs], 1.0)
+    masks = np.zeros((len(jobs), n_max, n_pix, n_pix), dtype=bool)
+    coords = np.zeros((len(jobs), n_max, 2), dtype=np.float32)
+    fwhm0 = np.zeros(len(jobs), dtype=np.float32)
+    for i, job in enumerate(jobs):
+        k = len(job["data"])
+        data[i, :k] = job["data"]
+        noise[i, :k] = job["noisemap"]
+        masks[i, :k] = job["masks"]
+        coords[i, :k] = job["stamp_coords"]
+        fwhm0[i] = job["frame"]["seeing_pixels"] or 3.0
+
+    out = build_psf_batched(
+        data, noise, user_config["subsampling_factor"], masks=masks,
+        stamp_coordinates=coords, guess_fwhm_pixels=fwhm0,
+        n_iter_analytic=user_config["psf_n_iter_analytic"],
+        n_iter_adabelief=user_config["psf_n_iter_pixels"],
+        field_distortion=user_config["field_distortion"])
+
+    results = []
+    for i, job in enumerate(jobs):
+        k = len(job["data"])
+        results.append({
+            "narrow_psf": out["narrow_psf"][i],
+            "full_psf": out["full_psf"][i],
+            "chi2": float(out["chi2"][i]),
+            "chi2_per_star": out["chi2_per_star"][i, :k],
+            "residuals": out["residuals"][i, :k],
+            "kwargs_psf": {
+                "kwargs_moffat": {
+                    key: out["kwargs_moffat"][key][i]
+                    for key in out["kwargs_moffat"]},
+                "kwargs_distortion": {
+                    key: out["kwargs_distortion"][key][i]
+                    for key in out["kwargs_distortion"]},
+            },
+            "adabelief_extra_fields": {
+                "loss_history": out["loss_history_pixels"][i]},
+        })
+    return results
+
+
 def model_all_psfs():
-    """Pipeline task: build a PSF model for every eligible frame."""
+    """Pipeline task: build a PSF model for every eligible frame.
+
+    Frames are fitted in BATCHES (one vmapped compiled program per
+    bucket) instead of the reference's serial per-frame loop — the
+    pipeline's main per-frame GPU/TPU cost (reference
+    psf_modelling.py:92, tutorial: 2-3 s/frame).
+    """
     logger = logging.getLogger("lightcurver.psf_modelling")
     user_config = get_user_config()
     regions_file = user_config["regions_path"]
@@ -91,109 +206,87 @@ def model_all_psfs():
         user_config, frames["id"].to_list())
     logger.info(f"Building PSFs for up to {len(frames)} frames.")
 
+    jobs = []
     for _, frame in frames.iterrows():
+        job = _prepare_frame_job(user_config, regions_file, frame,
+                                 combined_footprint_hash, logger)
+        if job is not None:
+            jobs.append(job)
+    if not jobs:
+        return
+
+    batch_size = int(user_config.get("psf_fit_batch_size", 16) or 16)
+    for lo in range(0, len(jobs), batch_size):
+        chunk = jobs[lo:lo + batch_size]
         t0 = time()
-        stars = select_stars_for_a_frame(
-            frame_id=frame["id"],
-            combined_footprint_hash=combined_footprint_hash,
-            stars_to_use=user_config["stars_to_use_psf"],
-            stars_to_exclude=user_config["stars_to_exclude_psf"])
-        if len(stars) == 0:
-            logger.warning(f"Frame {frame['id']}: no reference stars, "
-                           "skipping.")
-            continue
-        psf_ref = "psf_" + "".join(sorted(stars["name"]))
-        if check_psf_exists(frame["id"], psf_ref, combined_footprint_hash) \
-                and not user_config["redo_psf"]:
-            logger.info(f"Frame {frame['id']}: PSF {psf_ref} exists, "
-                        "skipping.")
-            continue
+        results = _fit_jobs_batched(user_config, chunk)
+        logger.info(f"Fitted {len(chunk)} PSFs in {time() - t0:.1f}s "
+                    "(batched).")
+        for job, result in zip(chunk, results):
+            _store_psf_result(user_config, regions_file, job, result,
+                              combined_footprint_hash, logger)
 
-        gaia_ids = [str(g) for g in stars["gaia_id"]]
-        datas, noisemaps, good_masks, stamp_coords = _load_star_stack(
-            regions_file, frame["image_relpath"], gaia_ids)
-        auto = np.array([mask_surrounding_stars(d, n)
-                         for d, n in zip(datas, noisemaps)])
-        masks = good_masks & auto
 
-        isnan = np.isnan(datas) | np.isnan(noisemaps)
-        datas[isnan] = 0.0
-        noisemaps[isnan] = 1.0
-        masks[isnan] = False
+def _store_psf_result(user_config, regions_file, job, result,
+                      combined_footprint_hash, logger):
+    """Bookkeeping for one fitted frame: plot, HDF5, DB row."""
+    frame = job["frame"]
+    psf_ref = job["psf_ref"]
+    datas, noisemaps, masks = job["data"], job["noisemap"], job["masks"]
+    names = job["names"]
+    n_before = job["n_before"]
 
-        # drop stars with > 40% masked pixels
-        n_before = len(datas)
-        frac_masked = (~masks).sum(axis=(1, 2)) / masks[0].size
-        keep = frac_masked <= 0.4
-        datas, noisemaps, masks = datas[keep], noisemaps[keep], masks[keep]
-        stamp_coords = stamp_coords[keep]
-        names = list(np.asarray(stars["name"])[keep])
-        if len(datas) == 0:
-            logger.warning(f"Frame {frame['id']}: all {n_before} stars "
-                           "too masked, skipping.")
-            continue
+    kwargs_moffat = result["kwargs_psf"]["kwargs_moffat"]
+    pixel_scale = frame["pixel_scale"] or 1.0
+    fwhm_arcsec = float(0.5 * (kwargs_moffat["fwhm_x"]
+                               + kwargs_moffat["fwhm_y"]) * pixel_scale)
+    loss_history = result["adabelief_extra_fields"]["loss_history"]
 
-        result = build_psf(
-            image=datas, noisemap=noisemaps,
-            subsampling_factor=user_config["subsampling_factor"],
-            n_iter_analytic=user_config["psf_n_iter_analytic"],
-            n_iter_adabelief=user_config["psf_n_iter_pixels"],
-            masks=masks, guess_method_star_position="center",
-            guess_fwhm_pixels=frame["seeing_pixels"],
-            field_distortion=user_config["field_distortion"],
-            stamp_coordinates=stamp_coords)
+    # diagnostic plot
+    try:
+        from ..plotting.psf_plotting import plot_psf_diagnostic
 
-        kwargs_moffat = result["kwargs_psf"]["kwargs_moffat"]
-        pixel_scale = frame["pixel_scale"] or 1.0
-        fwhm_arcsec = float(0.5 * (kwargs_moffat["fwhm_x"]
-                                   + kwargs_moffat["fwhm_y"]) * pixel_scale)
-        loss_history = result["adabelief_extra_fields"]["loss_history"]
+        plots_dir = (user_config["plots_dir"] / "PSFs"
+                     / str(combined_footprint_hash))
+        plots_dir.mkdir(exist_ok=True, parents=True)
+        frame_name = Path(frame["image_relpath"]).stem
+        seeing = (frame["seeing_pixels"] or 0) * pixel_scale
+        text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"
+                f"seeing moffat: {fwhm_arcsec:.02f}")
+        plot_psf_diagnostic(
+            datas=datas, noisemaps=noisemaps,
+            residuals=result["residuals"],
+            full_psf=result["full_psf"], loss_curve=loss_history,
+            masks=masks, names=names, diagnostic_text=text,
+            save_path=plots_dir / f"{frame['id']}_{frame_name}.jpg")
+    except Exception as e:
+        logger.warning(f"PSF diagnostic plot failed: {e}")
 
-        # diagnostic plot
-        try:
-            from ..plotting.psf_plotting import plot_psf_diagnostic
+    with h5py.File(regions_file, "r+") as f:
+        frame_group = f[frame["image_relpath"]]
+        if psf_ref in frame_group:
+            del frame_group[psf_ref]
+        psf_group = frame_group.create_group(psf_ref)
+        psf_group["narrow_psf"] = np.asarray(result["narrow_psf"])
+        psf_group["full_psf"] = np.asarray(result["full_psf"])
+        psf_group["subsampling_factor"] = np.array(
+            [user_config["subsampling_factor"]])
+        distortion_group = psf_group.create_group("distortion")
+        for key, value in result["kwargs_psf"][
+                "kwargs_distortion"].items():
+            distortion_group[key] = value
 
-            plots_dir = (user_config["plots_dir"] / "PSFs"
-                         / str(combined_footprint_hash))
-            plots_dir.mkdir(exist_ok=True, parents=True)
-            frame_name = Path(frame["image_relpath"]).stem
-            seeing = (frame["seeing_pixels"] or 0) * pixel_scale
-            text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"
-                    f"seeing moffat: {fwhm_arcsec:.02f}")
-            plot_psf_diagnostic(
-                datas=datas, noisemaps=noisemaps,
-                residuals=result["residuals"],
-                full_psf=result["full_psf"], loss_curve=loss_history,
-                masks=masks, names=names, diagnostic_text=text,
-                save_path=plots_dir / f"{frame['id']}_{frame_name}.jpg")
-        except Exception as e:
-            logger.warning(f"PSF diagnostic plot failed: {e}")
-
-        with h5py.File(regions_file, "r+") as f:
-            frame_group = f[frame["image_relpath"]]
-            if psf_ref in frame_group:
-                del frame_group[psf_ref]
-            psf_group = frame_group.create_group(psf_ref)
-            psf_group["narrow_psf"] = np.asarray(result["narrow_psf"])
-            psf_group["full_psf"] = np.asarray(result["full_psf"])
-            psf_group["subsampling_factor"] = np.array(
-                [user_config["subsampling_factor"]])
-            distortion_group = psf_group.create_group("distortion")
-            for key, value in result["kwargs_psf"][
-                    "kwargs_distortion"].items():
-                distortion_group[key] = value
-
-        execute_sqlite_query(
-            """REPLACE INTO PSFs (frame_id, chi2,
-               relative_loss_differential, psf_ref,
-               combined_footprint_hash, subsampling_factor,
-               fwhm_moffat_arcseconds) VALUES (?, ?, ?, ?, ?, ?, ?)""",
-            params=(frame["id"], float(result["chi2"]),
-                    relative_loss_differential(loss_history), psf_ref,
-                    combined_footprint_hash,
-                    user_config["subsampling_factor"], fwhm_arcsec),
-            is_select=False)
-        logger.info(
-            f"Frame {frame['id']}: PSF {psf_ref} built "
-            f"({n_before}->{len(datas)} stars, chi2 "
-            f"{result['chi2']:.02f}, {time() - t0:.01f}s).")
+    execute_sqlite_query(
+        """REPLACE INTO PSFs (frame_id, chi2,
+           relative_loss_differential, psf_ref,
+           combined_footprint_hash, subsampling_factor,
+           fwhm_moffat_arcseconds) VALUES (?, ?, ?, ?, ?, ?, ?)""",
+        params=(frame["id"], float(result["chi2"]),
+                relative_loss_differential(loss_history), psf_ref,
+                combined_footprint_hash,
+                user_config["subsampling_factor"], fwhm_arcsec),
+        is_select=False)
+    logger.info(
+        f"Frame {frame['id']}: PSF {psf_ref} built "
+        f"({n_before}->{len(datas)} stars, chi2 "
+        f"{result['chi2']:.02f}).")
