@@ -1,0 +1,179 @@
+"""Batched (vmapped-over-stars) joint PSF photometry.
+
+The reference measures each reference star with its own serial 2000-
+iteration fit (processes/star_photometry.py:257); here the whole fit of
+one star — scaling, initialization, AdaBelief loop, per-frame chi2,
+closed-form Fisher flux errors — is a pure function vmapped over the
+star axis and jitted once, so a field's worth of stars runs as a single
+device program.  Stars with unequal epoch counts are padded with
+zero-weight dummy epochs (noise 1e7).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import DeconvModel, pad_psf_to
+from .loss import _build_loss_fn
+from ..optimize import adabelief_scan
+from ..noise import _mc_starlet_noise
+from ..starlet import n_starlet_scales
+from .. import convolution as conv
+from ..grids import downsample
+from ..fisher import _diag_fisher
+
+
+def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
+                  n_iter, uniform_background_per_epoch,
+                  starlet_global_background, lr):
+    """Pure single-star joint fit (fully traceable)."""
+    model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
+    m = model.m
+
+    scale = jnp.nanmax(data)
+    scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale, 1.0)
+    d = data / scale
+    sig = noisemap / scale
+    sigma_2 = sig**2
+
+    # flux init: stamp sum minus a border-median background estimate
+    borders = jnp.nanmean(jnp.stack([
+        jnp.nanmedian(d[:, :1, :], axis=(1, 2)),
+        jnp.nanmedian(d[:, :, :1], axis=(1, 2)),
+        jnp.nanmedian(d[:, -1:, :], axis=(1, 2)),
+        jnp.nanmedian(d[:, :, -1:], axis=(1, 2)),
+    ]), axis=0)
+    borders = jnp.nan_to_num(borders)
+    a0 = jnp.nansum(d, axis=(1, 2)) - d[0].size * borders
+
+    psf_pad = pad_psf_to(psf, m)
+    psf_pad = psf_pad / psf_pad.sum(axis=(-2, -1), keepdims=True)
+    spectra = model.spectra(psf_pad)
+
+    free = {
+        "kwargs_analytic": {
+            "a": a0,
+            "c_x": jnp.zeros(1, jnp.float32),
+            "c_y": jnp.zeros(1, jnp.float32),
+            "dx": jnp.zeros(n_epochs, jnp.float32),
+            "dy": jnp.zeros(n_epochs, jnp.float32),
+        },
+        "kwargs_background": {},
+        "kwargs_sersic": {},
+    }
+    fixed = {
+        "kwargs_analytic": {"alpha": jnp.zeros(n_epochs, jnp.float32)},
+        "kwargs_background": {},
+        "kwargs_sersic": {},
+    }
+    if uniform_background_per_epoch:
+        free["kwargs_background"]["mean"] = jnp.zeros(n_epochs,
+                                                      jnp.float32)
+    else:
+        fixed["kwargs_background"]["mean"] = jnp.zeros(n_epochs,
+                                                       jnp.float32)
+    if starlet_global_background:
+        free["kwargs_background"]["h"] = jnp.zeros(m * m, jnp.float32)
+    else:
+        fixed["kwargs_background"]["h"] = jnp.zeros(m * m, jnp.float32)
+
+    inf = jnp.inf
+    bound5 = 5.0
+    lower = jax.tree_util.tree_map(lambda x: jnp.full_like(x, -inf), free)
+    upper = jax.tree_util.tree_map(lambda x: jnp.full_like(x, inf), free)
+    for name in ("c_x", "c_y", "dx", "dy"):
+        lower["kwargs_analytic"][name] = jnp.full_like(
+            free["kwargs_analytic"][name], -bound5)
+        upper["kwargs_analytic"][name] = jnp.full_like(
+            free["kwargs_analytic"][name], bound5)
+
+    loss_fn = _build_loss_fn(model.config(),
+                             starlet_global_background,  # use_starlet
+                             False, False, False, ())
+    consts = {
+        "data": d, "sigma_2": sigma_2, "fixed": fixed,
+        "lambda_scales": jnp.float32(3.0), "lambda_hf": jnp.float32(3.0),
+        "lambda_pos": jnp.float32(0.0), "lambda_pts": jnp.float32(0.0),
+        "lambda_flux_uni": jnp.float32(0.0),
+        "pts_weights": jnp.zeros((1, 1), jnp.float32),
+        **spectra,
+    }
+    if starlet_global_background:
+        consts["W"] = _mc_starlet_noise(
+            jnp.nanmedian(sig, axis=0), spectra["ps_hat"].mean(axis=0),
+            m, s, 200, n_starlet_scales(m), key)
+    else:
+        consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
+                               jnp.float32)
+
+    best, _, history = adabelief_scan(
+        loss_fn, free, consts, lower, upper, n_iter, lr, True)
+
+    kwargs = {**best, "kwargs_analytic": {**best["kwargs_analytic"],
+                                          **fixed["kwargs_analytic"]}}
+    kwargs["kwargs_background"] = {**best.get("kwargs_background", {}),
+                                   **fixed["kwargs_background"]}
+    modelled = model.model(kwargs, spectra)
+    residuals = d - modelled
+    chi2_per_frame = jnp.nansum(residuals**2 / sigma_2,
+                                axis=(1, 2)) / image_size**2
+    basis = model.point_source_basis(kwargs, spectra)
+    flux_err = _diag_fisher(basis, sigma_2)[:, 0]
+    h = kwargs["kwargs_background"]["h"].reshape(m, m)
+
+    return {
+        "fluxes": scale * kwargs["kwargs_analytic"]["a"],
+        "fluxes_uncertainties": scale * flux_err,
+        "chi2_per_frame": chi2_per_frame,
+        "chi2": jnp.nanmean(chi2_per_frame),
+        "loss_history": history,
+        "residuals": scale * residuals,
+        "starlet_background": scale * h,
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_epochs", "image_size", "s", "n_iter",
+                     "uniform_background_per_epoch",
+                     "starlet_global_background"))
+def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
+               uniform_background_per_epoch, starlet_global_background,
+               lr):
+    fit = functools.partial(
+        _fit_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
+        n_iter=n_iter,
+        uniform_background_per_epoch=uniform_background_per_epoch,
+        starlet_global_background=starlet_global_background, lr=lr)
+    return jax.vmap(fit)(data, noisemap, psf, keys)
+
+
+def fit_stars_batched(data, noisemap, psf, subsampling_factor,
+                      n_iter=2000, uniform_background_per_epoch=False,
+                      starlet_global_background=False, lr=1e-3, seed=0):
+    """Joint PSF photometry of many stars in one compiled program.
+
+    Args:
+        data, noisemap: (S, N, n, n) — S stars, N epochs each (pad
+            missing epochs with data 0 / noise 1e7).
+        psf: (S, N, mp, mp) narrow PSFs.
+        subsampling_factor: int s.
+
+    Returns:
+        dict of stacked per-star results (numpy), matching the
+        single-star ``do_one_star_forward_modelling`` surface.
+    """
+    data = np.nan_to_num(np.asarray(data, dtype=np.float32))
+    noisemap = np.nan_to_num(np.asarray(noisemap, dtype=np.float32),
+                             nan=1e7)
+    n_stars, n_epochs, image_size = data.shape[:3]
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_stars)
+    out = _fit_stars(
+        jnp.asarray(data), jnp.asarray(noisemap),
+        jnp.asarray(np.asarray(psf, dtype=np.float32)), keys,
+        int(n_epochs), int(image_size), int(subsampling_factor),
+        int(n_iter), bool(uniform_background_per_epoch),
+        bool(starlet_global_background), float(lr))
+    return jax.tree_util.tree_map(np.asarray, out)

@@ -40,3 +40,36 @@ def get_flux_uncertainties(kwargs, kwargs_up, kwargs_down, data, noisemap,
     basis = model.point_source_basis(kwargs)
     err = _diag_fisher(basis, sigma_2)          # (N, M)
     return np.asarray(err).reshape(-1)          # flat, matching a's layout
+
+
+class FisherCovariance:
+    """API-parity shim for STARRED's FisherCovariance
+    (reference utilities/starred_utilities.py:36-39 usage:
+    ``FisherCovariance(parameters, optim, diagonal_only=True)`` then
+    ``get_kwargs_sigma()``).
+
+    Only the flux block is populated analytically (the model is linear in
+    the fluxes, so the diagonal Fisher information is exact); other
+    parameters get NaN sigmas, mirroring the diagonal-only reference use.
+    """
+
+    def __init__(self, parameters, optim, diagonal_only=True):
+        del diagonal_only
+        self.parameters = parameters
+        self.loss = optim.loss
+        self.model = optim.loss.model
+
+    def get_kwargs_sigma(self):
+        kwargs = self.parameters.best_fit_values(as_kwargs=True)
+        noise = jnp.sqrt(self.loss.consts["sigma_2"])
+        flux_sigma = get_flux_uncertainties(
+            kwargs=kwargs, kwargs_up=None, kwargs_down=None, data=None,
+            noisemap=noise, model=self.model)
+
+        def nan_like(tree):
+            return jax.tree_util.tree_map(
+                lambda x: np.full(np.shape(x), np.nan), tree)
+
+        out = nan_like(kwargs)
+        out["kwargs_analytic"]["a"] = flux_sigma
+        return out

@@ -206,7 +206,13 @@ def _load_star_epochs(user_config, h5f, frames, star, footprint_hash):
 
 
 def do_star_photometry():
-    """Pipeline task: joint PSF photometry of every reference star."""
+    """Pipeline task: joint PSF photometry of every reference star.
+
+    Stars are fitted in one BATCHED (vmapped) program per bucket —
+    epochs padded to the bucket maximum with zero-weight dummies —
+    instead of the reference's serial per-star loop
+    (star_photometry.py:257).
+    """
     logger = logging.getLogger("lightcurver.star_photometry")
     user_config = get_user_config()
     frames_ini = get_pandas(
@@ -223,9 +229,10 @@ def do_star_photometry():
     only_fluxless = not user_config["redo_star_photometry"]
     time_now = datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
 
+    # gather per-star jobs (host IO)
+    jobs = []
+    chi2_min, chi2_max = get_chi2_bounds(psf_or_fluxes="psf")
     for _, star in stars.iterrows():
-        t0 = time()
-        chi2_min, chi2_max = get_chi2_bounds(psf_or_fluxes="psf")
         frames = get_frames_for_star(
             gaia_id=star["gaia_id"], psf_fit_chi2_min=chi2_min,
             psf_fit_chi2_max=chi2_max, only_fluxless_frames=only_fluxless,
@@ -233,54 +240,104 @@ def do_star_photometry():
         if len(frames) == 0:
             logger.info(f"Star {star['name']}: up to date.")
             continue
-
         with h5py.File(user_config["regions_path"], "r") as h5f:
             data, noisemap, cosmics, psf = _load_star_epochs(
                 user_config, h5f, frames, star, footprint_hash)
         isnan = np.isnan(data) & np.isnan(noisemap)
         data[isnan] = 0.0
         noisemap[isnan] = 1e7
-        good = ~cosmics  # True = good pixel
-        noisemap[~good] *= 1000.0
+        noisemap[cosmics] *= 1000.0  # cosmics True = bad pixel
+        jobs.append({"star": star, "frames": frames, "data": data,
+                     "noisemap": noisemap, "psf": psf})
+    if not jobs:
+        return
 
-        result = do_one_star_forward_modelling(
-            data=data, noisemap=noisemap, psf=psf,
-            subsampling_factor=user_config["subsampling_factor"],
-            n_iter=user_config["star_deconv_n_iter"],
-            uniform_background_per_epoch=user_config[
-                "star_photometry_uniform_background_per_epoch"],
-            starlet_global_background=user_config[
-                "star_photometry_starlet_global_background"])
+    t0 = time()
+    results = _fit_star_jobs_batched(user_config, jobs)
+    logger.info(f"Fitted {len(jobs)} stars jointly in "
+                f"{time() - t0:.1f}s (batched).")
 
-        try:
-            from ..plotting.joint_modelling_plotting import \
-                plot_joint_modelling_diagnostic
+    for job, result in zip(jobs, results):
+        _store_star_result(user_config, job, result, footprint_hash,
+                           time_now, logger)
 
-            plot_dir = (user_config["plots_dir"] / "star_modelling"
-                        / str(footprint_hash))
-            plot_dir.mkdir(exist_ok=True, parents=True)
-            kwargs_plot = {
-                "datas": data, "noisemaps": noisemap,
-                "residuals": result["residuals"],
-                "chi2_per_frame": result["chi2_per_frame"],
-                "loss_curve": result["loss_curve"],
-                "save_path": plot_dir / (f"{time_now}_joint_modelling_"
-                                         f"star_{star['name']}.jpg"),
-            }
-            if user_config["star_photometry_starlet_global_background"]:
-                kwargs_plot["starlet_background"] = \
-                    result["starlet_background"]
-            plot_joint_modelling_diagnostic(**kwargs_plot)
-        except Exception as e:
-            logger.warning(f"Star modelling plot failed: {e}")
 
-        rld = relative_loss_differential(result["loss_curve"])
-        flux_data = [
-            (footprint_hash, int(frame["id"]), star["gaia_id"],
-             float(result["fluxes"][j]),
-             float(result["fluxes_uncertainties"][j]),
-             float(result["chi2_per_frame"][j]), rld)
-            for j, (_, frame) in enumerate(frames.iterrows())]
-        update_star_fluxes(flux_data)
-        logger.info(f"Star {star['name']}: {len(frames)} frames, chi2 "
-                    f"{result['chi2']:.02f}, {time() - t0:.01f}s.")
+def _fit_star_jobs_batched(user_config, jobs):
+    """Pad stars to a common epoch count and fit them in one program."""
+    from ..core.deconv.batched import fit_stars_batched
+
+    n_max = max(len(j["data"]) for j in jobs)
+    n_pix = jobs[0]["data"].shape[-1]
+    mp = jobs[0]["psf"].shape[-1]
+    S = len(jobs)
+    data = np.zeros((S, n_max, n_pix, n_pix), np.float32)
+    noise = np.full((S, n_max, n_pix, n_pix), 1e7, np.float32)
+    psf = np.zeros((S, n_max, mp, mp), np.float32)
+    for i, job in enumerate(jobs):
+        k = len(job["data"])
+        data[i, :k] = job["data"]
+        noise[i, :k] = job["noisemap"]
+        psf[i, :k] = job["psf"]
+        psf[i, k:] = job["psf"][0]  # dummy epochs need a valid PSF
+
+    out = fit_stars_batched(
+        data, noise, psf, user_config["subsampling_factor"],
+        n_iter=user_config["star_deconv_n_iter"],
+        uniform_background_per_epoch=user_config[
+            "star_photometry_uniform_background_per_epoch"],
+        starlet_global_background=user_config[
+            "star_photometry_starlet_global_background"])
+
+    results = []
+    for i, job in enumerate(jobs):
+        k = len(job["data"])
+        results.append({
+            "fluxes": out["fluxes"][i, :k],
+            "fluxes_uncertainties": out["fluxes_uncertainties"][i, :k],
+            "chi2_per_frame": out["chi2_per_frame"][i, :k],
+            "chi2": float(np.nanmean(out["chi2_per_frame"][i, :k])),
+            "loss_curve": out["loss_history"][i],
+            "residuals": out["residuals"][i, :k],
+            "starlet_background": out["starlet_background"][i],
+        })
+    return results
+
+
+def _store_star_result(user_config, job, result, footprint_hash,
+                       time_now, logger):
+    """Plots + DB upsert for one fitted star."""
+    star, frames = job["star"], job["frames"]
+    data, noisemap = job["data"], job["noisemap"]
+
+    try:
+        from ..plotting.joint_modelling_plotting import \
+            plot_joint_modelling_diagnostic
+
+        plot_dir = (user_config["plots_dir"] / "star_modelling"
+                    / str(footprint_hash))
+        plot_dir.mkdir(exist_ok=True, parents=True)
+        kwargs_plot = {
+            "datas": data, "noisemaps": noisemap,
+            "residuals": result["residuals"],
+            "chi2_per_frame": result["chi2_per_frame"],
+            "loss_curve": result["loss_curve"],
+            "save_path": plot_dir / (f"{time_now}_joint_modelling_"
+                                     f"star_{star['name']}.jpg"),
+        }
+        if user_config["star_photometry_starlet_global_background"]:
+            kwargs_plot["starlet_background"] = \
+                result["starlet_background"]
+        plot_joint_modelling_diagnostic(**kwargs_plot)
+    except Exception as e:
+        logger.warning(f"Star modelling plot failed: {e}")
+
+    rld = relative_loss_differential(result["loss_curve"])
+    flux_data = [
+        (footprint_hash, int(frame["id"]), star["gaia_id"],
+         float(result["fluxes"][j]),
+         float(result["fluxes_uncertainties"][j]),
+         float(result["chi2_per_frame"][j]), rld)
+        for j, (_, frame) in enumerate(frames.iterrows())]
+    update_star_fluxes(flux_data)
+    logger.info(f"Star {star['name']}: {len(frames)} frames, chi2 "
+                f"{result['chi2']:.02f}.")
