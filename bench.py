@@ -140,5 +140,66 @@ def main():
     }))
 
 
+def run_config(n):
+    """The five BASELINE.json benchmark configurations.
+
+    1. single-epoch Moffat PSF fits, 5 frames of 64x64 stamps
+    2. full narrow-PSF model per frame, 100 frames
+    3. joint photometry of 10 stars x 100 epochs
+    4. 100-epoch joint ROI deconvolution (the headline, = main())
+    5. survey scale: 1000-epoch joint deconvolution
+    """
+    jax = _setup_jax()
+    from lightcurver_tpu.utilities.synthetic import (make_roi_scene,
+                                                     make_star_stamps)
+
+    if n == 1:
+        fps, chi2 = run_psf_bench(n_frames=5, n_stars=1, n_pix=64,
+                                  n_iter_analytic=100, n_iter_adabelief=0)
+        out = {"config": 1, "metric": "moffat_fits_per_sec", "value": fps,
+               "chi2": chi2}
+    elif n == 2:
+        fps, chi2 = run_psf_bench(n_frames=100, n_stars=8, n_pix=64)
+        out = {"config": 2, "metric": "psf_fits_per_sec_100frames",
+               "value": fps, "chi2": chi2}
+    elif n == 3:
+        from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+
+        stars = [make_star_stamps(n_stars=100, n_pix=24, s=2, seed=i)
+                 for i in range(10)]
+        data = np.stack([s["data"] for s in stars])
+        noise = np.stack([s["sigma"] for s in stars])
+        m = stars[0]["psf_true"].shape[-1]
+        psf = np.stack([np.broadcast_to(s["psf_true"], (100, m, m))
+                        for s in stars])
+        fit_stars_batched(data, noise, psf, 2, n_iter=2000)  # compile
+        t0 = time.perf_counter()
+        res = fit_stars_batched(data * np.float32(1 + 1e-6), noise, psf,
+                                2, n_iter=2000)
+        wall = time.perf_counter() - t0
+        out = {"config": 3,
+               "metric": "joint_photometry_10stars_100epochs_wall_s",
+               "value": wall, "chi2": float(res["chi2"].mean())}
+    elif n == 4:
+        scene = make_roi_scene(n_epochs=100)
+        wall, chi2, _ = run_roi_deconv(scene)
+        out = {"config": 4, "metric": "roi_deconv_100epoch_wall_s",
+               "value": wall, "chi2": chi2}
+    elif n == 5:
+        scene = make_roi_scene(n_epochs=1000)
+        wall, chi2, _ = run_roi_deconv(scene)
+        out = {"config": 5, "metric": "roi_deconv_1000epoch_wall_s",
+               "value": wall, "chi2": chi2}
+    else:
+        raise SystemExit(f"unknown config {n}")
+    out["backend"] = jax.default_backend()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1:
+        run_config(int(sys.argv[1]))
+    else:
+        main()

@@ -203,6 +203,30 @@ class Optimizer:
         consts = getattr(self.loss, "consts", None)
         loss_fn = self.loss.loss_fn
         t0 = time.time()
+
+        # optional profiler hook: set LIGHTCURVER_JAX_PROFILE_DIR to
+        # capture a jax/XLA trace of the optimization
+        import contextlib
+        import os
+
+        profile_dir = os.environ.get("LIGHTCURVER_JAX_PROFILE_DIR")
+        if profile_dir:
+            import jax
+
+            profile_cm = jax.profiler.trace(profile_dir)
+        else:
+            profile_cm = contextlib.nullcontext()
+        with profile_cm:
+            return self._minimize_inner(
+                loss_fn, free0, n_iter, init_learning_rate,
+                schedule_learning_rate, consts, return_param_history, t0)
+
+    def _minimize_inner(self, loss_fn, free0, n_iter, init_learning_rate,
+                        schedule_learning_rate, consts,
+                        return_param_history, t0):
+        import time
+
+        p = self.parameters
         if self.method == "adabelief":
             best, final, hist = run_adabelief(
                 loss_fn, free0, p.lower, p.upper, n_iter,

@@ -93,6 +93,19 @@ def alternate_plate_solve_gaia():
             strip_wcs_cards(header)
             header.update(wcs_new.to_header_cards())
             write_fits(frame_path, data, header)
+            try:
+                from ..plotting.sources_plotting import \
+                    plot_coordinates_and_sources_on_image
+
+                plot_dir = (user_config["plots_dir"]
+                            / "gaia_plate_solve_diagnostic")
+                plot_dir.mkdir(parents=True, exist_ok=True)
+                plot_coordinates_and_sources_on_image(
+                    data, sources=sources, gaia_coords=(ra_e, dec_e),
+                    wcs=wcs_new,
+                    save_path=plot_dir / f"{frame_path.stem}.jpg")
+            except Exception as e:
+                logger.warning(f"Gaia solve plot failed: {e}")
             post_plate_solve_steps(frame_path=frame_path,
                                    user_config=user_config,
                                    frame_id=frame["id"])
