@@ -152,17 +152,26 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     # the phase is SEPARABLE: exp(-2πi(fy·sy + fx·sx)) =
     # exp(-2πi fy·sy) ⊗ exp(-2πi fx·sx).  Evaluating cos/sin on the two
     # 1-D factors costs O(L) transcendentals per source instead of
-    # O(L²/2) on the broadcast grid (~40x less VPU-transcendental work at
-    # L=256); the outer products are plain multiplies, which fuse with
-    # the reduction over sources.
+    # O(L²/2) on the broadcast grid (~40x fewer transcendentals at
+    # L=256).  The source sum of outer products is then TWO batched
+    # GEMMs with contraction 2M — MXU work with no (..., M, L, L/2+1)
+    # intermediate ever materialized:
+    #   re + i·im = Σ_j a_j (cy_j + i·sy_j)(cx_j + i·sx_j)
+    #   re = [a·cy, -a·sy] @ [cx, sx]   (stacked along the j axis)
+    #   im = [a·sy,  a·cy] @ [cx, sx]
     L = pad_len(m)
     fy = jnp.fft.fftfreq(L).astype(dtype)                  # (L,)
     fx = jnp.fft.rfftfreq(L).astype(dtype)                 # (L/2+1,)
     ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
     ax = -2.0 * jnp.pi * fx * (s * jnp.asarray(px, dtype=dtype))[..., None]
-    cy, sy_ = jnp.cos(ay)[..., :, None], jnp.sin(ay)[..., :, None]
-    cx, sx_ = jnp.cos(ax)[..., None, :], jnp.sin(ax)[..., None, :]
-    amps = jnp.asarray(a, dtype=dtype)[..., None, None]
-    re = (amps * (cy * cx - sy_ * sx_)).sum(axis=-3)
-    im = (amps * (cy * sx_ + sy_ * cx)).sum(axis=-3)
+    cy, sy_ = jnp.cos(ay), jnp.sin(ay)                     # (..., M, L)
+    cx, sx_ = jnp.cos(ax), jnp.sin(ax)                     # (..., M, Lh)
+    amps = jnp.asarray(a, dtype=dtype)[..., None]
+    u_re = jnp.concatenate([amps * cy, -amps * sy_], axis=-2)
+    u_im = jnp.concatenate([amps * sy_, amps * cy], axis=-2)
+    v = jnp.concatenate([cx, sx_], axis=-2)                # (..., 2M, Lh)
+    re = jnp.einsum("...jy,...jx->...yx", u_re, v,
+                    preferred_element_type=dtype)
+    im = jnp.einsum("...jy,...jx->...yx", u_im, v,
+                    preferred_element_type=dtype)
     return jax.lax.complex(re, im)

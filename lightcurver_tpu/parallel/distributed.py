@@ -1,0 +1,44 @@
+"""Multi-host initialization for pod-scale epoch sharding.
+
+Single-host multi-chip needs nothing: `epoch_mesh()` sees all local
+devices.  Across hosts (v5e pods and beyond), call
+:func:`initialize_distributed` once per process before any jax use; the
+epoch mesh then spans every chip in the slice and XLA routes the shared-
+parameter psums over ICI within a slice and DCN across slices.
+"""
+
+import logging
+import os
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """jax.distributed.initialize with environment auto-detection.
+
+    On Cloud TPU the three arguments are auto-detected; elsewhere set
+    them explicitly or via JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID.  Safe to call when already initialized (no-op).
+    """
+    import jax
+
+    logger = logging.getLogger("lightcurver.distributed")
+    kwargs = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs["coordinator_address"] = (
+            coordinator_address
+            or os.environ["JAX_COORDINATOR_ADDRESS"])
+        kwargs["num_processes"] = int(
+            num_processes or os.environ.get("JAX_NUM_PROCESSES", 1))
+        kwargs["process_id"] = int(
+            process_id or os.environ.get("JAX_PROCESS_ID", 0))
+    try:
+        jax.distributed.initialize(**kwargs)
+        logger.info(
+            f"jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{jax.device_count()} global devices.")
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            logger.info("jax.distributed already initialized.")
+        else:
+            raise

@@ -206,25 +206,41 @@ def model_all_psfs():
         user_config, frames["id"].to_list())
     logger.info(f"Building PSFs for up to {len(frames)} frames.")
 
-    jobs = []
-    for _, frame in frames.iterrows():
-        job = _prepare_frame_job(user_config, regions_file, frame,
-                                 combined_footprint_hash, logger)
-        if job is not None:
-            jobs.append(job)
-    if not jobs:
-        return
-
     batch_size = int(user_config.get("psf_fit_batch_size", 16) or 16)
-    for lo in range(0, len(jobs), batch_size):
-        chunk = jobs[lo:lo + batch_size]
-        t0 = time()
-        results = _fit_jobs_batched(user_config, chunk)
-        logger.info(f"Fitted {len(chunk)} PSFs in {time() - t0:.1f}s "
-                    "(batched).")
-        for job, result in zip(chunk, results):
-            _store_psf_result(user_config, regions_file, job, result,
-                              combined_footprint_hash, logger)
+    frame_rows = [frame for _, frame in frames.iterrows()]
+
+    def prepare_chunk(rows):
+        """Host-side IO + masking for one bucket of frames."""
+        chunk = []
+        for frame in rows:
+            job = _prepare_frame_job(user_config, regions_file, frame,
+                                     combined_footprint_hash, logger)
+            if job is not None:
+                chunk.append(job)
+        return chunk
+
+    # streaming loader: the NEXT bucket's HDF5 reads + segmentation run
+    # on a worker thread while the device fits the current bucket
+    from concurrent.futures import ThreadPoolExecutor
+
+    buckets = [frame_rows[lo:lo + batch_size]
+               for lo in range(0, len(frame_rows), batch_size)]
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(prepare_chunk, buckets[0]) if buckets \
+            else None
+        for i in range(len(buckets)):
+            chunk = pending.result()
+            pending = pool.submit(prepare_chunk, buckets[i + 1]) \
+                if i + 1 < len(buckets) else None
+            if not chunk:
+                continue
+            t0 = time()
+            results = _fit_jobs_batched(user_config, chunk)
+            logger.info(f"Fitted {len(chunk)} PSFs in {time() - t0:.1f}s "
+                        "(batched).")
+            for job, result in zip(chunk, results):
+                _store_psf_result(user_config, regions_file, job, result,
+                                  combined_footprint_hash, logger)
 
 
 def _store_psf_result(user_config, regions_file, job, result,

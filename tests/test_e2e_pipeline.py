@@ -259,3 +259,77 @@ def test_rerun_is_incremental(pipeline_run):
     assert len(_query("SELECT * FROM PSFs")) == N_FRAMES
     assert len(_query("SELECT * FROM star_flux_in_frame")) == \
         N_FRAMES * len(STAR_OFFSETS)
+
+
+def test_adapt_wcs_recovers_injected_fault(pipeline_run, workdir):
+    """Reference e2e scenario: SQL-flip one frame to unsolved, switch the
+    strategy to adapt_wcs_from_reference, and check it gets re-solved by
+    source-pattern matching against a solved frame."""
+    from lightcurver_tpu.structure.database import execute_sqlite_query
+    from lightcurver_tpu.processes.\
+        alternate_plate_solving_adapt_existing_wcs import \
+        alternate_plate_solve_adapt_ref
+    import lightcurver_tpu.structure.user_config as uc
+
+    execute_sqlite_query(
+        "UPDATE frames SET plate_solved = 0, attempted_plate_solve = 0 "
+        "WHERE id = 2", is_select=False)
+
+    config = uc.get_user_config()  # sanity: loads fine
+    assert config["already_plate_solved"] == 1
+
+    # run the alternate solver directly (the strategy dispatch is
+    # exercised by WorkflowManager tests)
+    import yaml
+
+    cfg_path = workdir / "config.yaml"
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["plate_solve_frames"] = "all_not_plate_solved"
+    cfg["reference_frame_for_wcs"] = 1
+    cfg_path.write_text(yaml.dump(cfg))
+
+    alternate_plate_solve_adapt_ref()
+    solved = _query("SELECT plate_solved FROM frames WHERE id = 2")
+    assert int(solved["plate_solved"][0]) == 1
+    # the re-derived WCS must land the ROI within a fraction of a pixel
+    from lightcurver_tpu.io.fits import read_fits
+    from lightcurver_tpu.io.wcs import TanWCS
+
+    frames = _query("SELECT image_relpath FROM frames WHERE id = 2")
+    _, header = read_fits(workdir / frames["image_relpath"][0],
+                          header_only=True)
+    wcs = TanWCS.from_header(header)
+    x, y = wcs.world_to_pixel(ROI_RA, ROI_DEC)
+    true_wcs = _make_wcs(FRAME_DITHER_PX[1])
+    xt, yt = true_wcs.world_to_pixel(ROI_RA, ROI_DEC)
+    assert abs(float(x) - float(xt)) < 0.3
+    assert abs(float(y) - float(yt)) < 0.3
+
+    # restore config for any later tests
+    cfg["plate_solve_frames"] = "all_never_attempted"
+    cfg["reference_frame_for_wcs"] = None
+    cfg_path.write_text(yaml.dump(cfg))
+
+
+def test_field_distortion_redo(pipeline_run, workdir):
+    """Re-run PSF modelling with field_distortion=True (redo path)."""
+    import yaml
+    from lightcurver_tpu.pipeline.workflow_manager import WorkflowManager
+
+    cfg_path = workdir / "config.yaml"
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["field_distortion"] = True
+    cfg["redo_psf"] = True
+    cfg["psf_n_iter_analytic"] = 20
+    cfg["psf_n_iter_pixels"] = 60
+    cfg_path.write_text(yaml.dump(cfg))
+    try:
+        WorkflowManager().run(start_step="psf_modeling",
+                              stop_step="psf_modeling")
+        psfs = _query("SELECT * FROM PSFs")
+        assert len(psfs) == N_FRAMES
+        assert (psfs["chi2"] < 3.0).all()
+    finally:
+        cfg["field_distortion"] = False
+        cfg["redo_psf"] = False
+        cfg_path.write_text(yaml.dump(cfg))
