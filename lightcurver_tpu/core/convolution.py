@@ -167,11 +167,24 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     cy, sy_ = jnp.cos(ay), jnp.sin(ay)                     # (..., M, L)
     cx, sx_ = jnp.cos(ax), jnp.sin(ax)                     # (..., M, Lh)
     amps = jnp.asarray(a, dtype=dtype)[..., None]
+    n_sources = cy.shape[-2]
+    if n_sources == 1:
+        # single source: plain outer product (the GEMM detour measurably
+        # hurts the per-star PSF/photometry fits)
+        u_re = (amps * cy)[..., 0, :, None]
+        u_im = (amps * sy_)[..., 0, :, None]
+        vx_c = cx[..., 0, None, :]
+        vx_s = sx_[..., 0, None, :]
+        re = u_re * vx_c - u_im * vx_s
+        im = u_re * vx_s + u_im * vx_c
+        return jax.lax.complex(re, im)
     u_re = jnp.concatenate([amps * cy, -amps * sy_], axis=-2)
     u_im = jnp.concatenate([amps * sy_, amps * cy], axis=-2)
     v = jnp.concatenate([cx, sx_], axis=-2)                # (..., 2M, Lh)
     re = jnp.einsum("...jy,...jx->...yx", u_re, v,
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=dtype)
     im = jnp.einsum("...jy,...jx->...yx", u_im, v,
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=dtype)
     return jax.lax.complex(re, im)

@@ -115,6 +115,11 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                                           **fixed["kwargs_analytic"]}}
     kwargs["kwargs_background"] = {**best.get("kwargs_background", {}),
                                    **fixed["kwargs_background"]}
+    # exact GLS flux polish at the fitted positions/background: removes
+    # the optimizer's convergence tail on the (linear) flux axis
+    from ..fisher import linear_flux_solve
+
+    kwargs = linear_flux_solve(kwargs, d, sigma_2, model, spectra)
     modelled = model.model(kwargs, spectra)
     residuals = d - modelled
     chi2_per_frame = jnp.nansum(residuals**2 / sigma_2,

@@ -27,6 +27,46 @@ def _diag_fisher(basis, sigma_2):
     return 1.0 / jnp.sqrt(info)
 
 
+def linear_flux_solve(kwargs, data, sigma_2, model, consts=None):
+    """Exact per-epoch GLS solution for the fluxes at fixed positions.
+
+    The model is linear in ``a``: per epoch solve the MxM normal
+    equations  (B W Bᵀ) a = B W r  with B the unit-flux source images and
+    r the data minus the flux-independent channels (background + mean).
+    Polishing the iterative fit with this step removes the optimizer's
+    convergence tail on the flux axis — sub-mmag photometric accuracy at
+    high SNR regardless of iteration budget.  Fully traceable.
+    """
+    if consts is None:
+        consts = model.consts()
+    basis = model.point_source_basis(kwargs, consts)     # (N, M, n, n)
+    zero_flux = {
+        **kwargs,
+        "kwargs_analytic": {
+            **kwargs["kwargs_analytic"],
+            "a": 0.0 * kwargs["kwargs_analytic"]["a"],
+        },
+    }
+    baseline = model.model(zero_flux, consts)            # (N, n, n)
+    w = 1.0 / sigma_2
+    r = jnp.nan_to_num(data - baseline)
+    bw = basis * w[:, None, :, :]
+    gram = jnp.einsum("nmyx,nkyx->nmk", bw, jnp.nan_to_num(basis),
+                      precision=jax.lax.Precision.HIGHEST)
+    rhs = jnp.einsum("nmyx,nyx->nm", bw, r,
+                     precision=jax.lax.Precision.HIGHEST)
+    # regularize degenerate epochs (fully masked): identity fallback
+    eye = jnp.eye(gram.shape[-1], dtype=gram.dtype) * 1e-12
+    a = jnp.linalg.solve(gram + eye, rhs[..., None])[..., 0]  # (N, M)
+    return {
+        **kwargs,
+        "kwargs_analytic": {
+            **kwargs["kwargs_analytic"],
+            "a": a.reshape(kwargs["kwargs_analytic"]["a"].shape),
+        },
+    }
+
+
 def get_flux_uncertainties(kwargs, kwargs_up, kwargs_down, data, noisemap,
                            model):
     """1-sigma uncertainties for each entry of kwargs['kwargs_analytic']['a'].

@@ -314,6 +314,13 @@ def do_modelling_of_roi():
              W=W, prior=astrometric_prior),
         lr=1e-4, schedule=False)
 
+    # exact GLS flux polish at the fitted positions and background
+    from ..core.fisher import linear_flux_solve
+    import jax.numpy as jnp
+
+    kwargs_final = linear_flux_solve(
+        kwargs_final, jnp.asarray(data), jnp.asarray(noisemap**2), model)
+
     out_dir = roi_cutouts_file.parent
     ka = kwargs_final["kwargs_analytic"]
     x_pixels = np.asarray(ka["c_x"]) + float(np.asarray(ka["dx"])[0]) \

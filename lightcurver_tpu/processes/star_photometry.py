@@ -107,6 +107,12 @@ def do_one_star_forward_modelling(data, noisemap, psf, subsampling_factor,
                    schedule_learning_rate=True, restart_from_init=True)
 
     kwargs_final = parameters.best_fit_values(as_kwargs=True)
+    # exact GLS flux polish (see core/fisher.linear_flux_solve)
+    from ..core.fisher import linear_flux_solve
+    import jax.numpy as jnp
+
+    kwargs_final = linear_flux_solve(
+        kwargs_final, jnp.asarray(data), jnp.asarray(sigma_2), model)
     modelled = np.asarray(model.model(kwargs_final))
     residuals = data - modelled
     chi2_per_frame = np.nansum(residuals**2 / sigma_2,

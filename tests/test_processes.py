@@ -1,0 +1,138 @@
+"""Process unit tests on synthetic images (reference test_processes)."""
+
+import numpy as np
+import pytest
+
+
+def _gaussian(img, x, y, flux, sigma=1.8):
+    yy, xx = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+    img += flux / (2 * np.pi * sigma**2) * np.exp(
+        -0.5 * ((xx - x) ** 2 + (yy - y) ** 2) / sigma**2)
+
+
+class TestBackgroundEstimation:
+    def test_gradient_background_removed(self):
+        from lightcurver_tpu.processes.background_estimation import \
+            subtract_background
+
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:200, 0:200]
+        background = 5.0 + 0.01 * xx + 0.005 * yy
+        image = background + rng.normal(0, 0.3, (200, 200))
+        sub, bkg = subtract_background(image, n_boxes=5)
+        assert abs(float(np.median(sub))) < 0.05
+        assert bkg.globalrms == pytest.approx(0.3, rel=0.3)
+
+    def test_masked_two_pass(self):
+        from lightcurver_tpu.processes.background_estimation import \
+            subtract_background
+
+        rng = np.random.default_rng(1)
+        image = 10.0 + rng.normal(0, 0.5, (120, 120))
+        _gaussian(image, 60, 60, 5000.0, sigma=6.0)
+        sub, bkg = subtract_background(image, mask_sources_first=True,
+                                       n_boxes=3)
+        assert bkg.globalback == pytest.approx(10.0, abs=0.3)
+
+
+class TestStarExtraction:
+    def _image(self, native):
+        import os
+
+        rng = np.random.default_rng(2)
+        image = rng.normal(0, 1, (150, 150)).astype(np.float32)
+        positions = [(30.0, 40.0, 2000.0), (100.0, 110.0, 3000.0),
+                     (70.0, 20.0, 1500.0)]
+        for x, y, f in positions:
+            _gaussian(image, x, y, f)
+        return image, positions
+
+    @pytest.mark.parametrize("native", [True, False])
+    def test_positions_and_order(self, native, monkeypatch):
+        if not native:
+            monkeypatch.setenv("LIGHTCURVER_DISABLE_NATIVE", "1")
+            import lightcurver_tpu.native as nat
+
+            monkeypatch.setattr(nat, "_lib", None)
+            monkeypatch.setattr(nat, "_tried", False)
+        from lightcurver_tpu.processes.star_extraction import \
+            extract_stars
+
+        image, positions = self._image(native)
+        sources = extract_stars(image, np.ones_like(image),
+                                detection_threshold=3, min_area=8)
+        assert len(sources) == 3
+        # brightest first
+        assert sources["flux"].is_monotonic_decreasing
+        found = {(round(r.x), round(r.y)) for r in sources.itertuples()}
+        assert found == {(30, 40), (100, 110), (70, 20)}
+        assert (sources["FWHM"] > 2).all()
+        assert (sources["ellipticity"] < 0.3).all()
+
+
+class TestCosmics:
+    def test_cosmic_masked_star_kept(self):
+        from lightcurver_tpu.processes.cosmics import detect_cosmics
+
+        rng = np.random.default_rng(3)
+        image = rng.normal(0, 1, (64, 64)).astype(float)
+        _gaussian(image, 20, 20, 3000.0)   # star: sharp but structured
+        image[45, 45] = 300.0              # single-pixel cosmic
+        image[46, 45] = 200.0
+        mask, cleaned = detect_cosmics(image, invar=np.ones_like(image),
+                                       sigclip=5.0, objlim=4.0)
+        assert mask[45, 45] and mask[46, 45]
+        assert not mask[20, 20]            # star core protected
+        assert abs(cleaned[45, 45]) < 10
+
+
+class TestCutout:
+    def test_extract_stamp_centering_and_noise(self):
+        from lightcurver_tpu.processes.cutout_making import extract_stamp
+        from lightcurver_tpu.io.fits import Header
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        scale = 0.2 / 3600
+        wcs = TanWCS(10.0, 20.0, 51.0, 51.0,
+                     [[-scale, 0.0], [0.0, scale]])
+        header = Header()
+        header.update(wcs.to_header_cards())
+        data = np.zeros((100, 100), np.float32)
+        data[50, 50] = 7.0  # e-/s at the reference pixel
+        cut, noise, wcs_str, center = extract_stamp(
+            data, header, exptime=30.0, sky_coord=(10.0, 20.0),
+            cutout_size=11,
+            background_rms_electron_per_second=0.5)
+        assert cut.shape == (11, 11)
+        assert cut[5, 5] == pytest.approx(7.0)
+        # noisemap: sqrt((exptime*rms)^2 + |e|)/exptime
+        expected = np.sqrt((30 * 0.5) ** 2 + 7.0 * 30) / 30
+        assert noise[5, 5] == pytest.approx(expected, rel=1e-5)
+        assert center == pytest.approx([50.0, 50.0])
+
+    def test_partial_stamp_nan_padded(self):
+        from lightcurver_tpu.processes.cutout_making import extract_stamp
+        from lightcurver_tpu.io.fits import Header
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        scale = 0.2 / 3600
+        wcs = TanWCS(10.0, 20.0, 3.0, 3.0, [[-scale, 0], [0, scale]])
+        header = Header()
+        header.update(wcs.to_header_cards())
+        data = np.ones((100, 100), np.float32)
+        cut, noise, _, _ = extract_stamp(
+            data, header, 30.0, (10.0, 20.0), 11, 0.5)
+        assert np.isnan(cut).any()
+        assert np.isfinite(cut[5, 5])
+
+
+def test_seeing_estimator_peak():
+    from lightcurver_tpu.processes.frame_characterization import \
+        estimate_seeing
+
+    rng = np.random.default_rng(4)
+    # 40 stars near FWHM 3.2 + junk detections spread wide
+    fwhms = np.concatenate([rng.normal(3.2, 0.15, 40),
+                            rng.uniform(5, 25, 15)])
+    seeing = estimate_seeing({"FWHM": fwhms})
+    assert seeing == pytest.approx(3.2, abs=0.3)
