@@ -21,7 +21,6 @@ from ..optimize import adabelief_scan
 from ..noise import _mc_starlet_noise
 from ..starlet import n_starlet_scales
 from .. import convolution as conv
-from ..grids import downsample
 from ..fisher import _diag_fisher
 
 

@@ -251,6 +251,106 @@ class Optimizer:
         return best_kwargs, logL, extra_fields, runtime
 
 
+def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
+                               checkpoint_path, init_learning_rate=1e-3,
+                               schedule_learning_rate=True, consts=None,
+                               checkpoint_every=500):
+    """AdaBelief in resumable segments with on-disk checkpoints.
+
+    The reference has NO mid-optimization checkpointing — a killed fit
+    restarts from zero (SURVEY §5).  Here the scan runs in
+    ``checkpoint_every``-iteration segments; after each, the best free
+    pytree + loss history so far are written to ``checkpoint_path``
+    (.npz).  A later call with the same path resumes from the last
+    completed segment.  The lr schedule spans the FULL run, so a
+    resumed fit follows the same trajectory as an uninterrupted one.
+
+    Returns:
+        (best_free, final_free, loss_history[n_iter])
+    """
+    import os
+    import pickle
+
+    import numpy as np
+
+    n_iter = int(n_iter)
+    every = int(checkpoint_every)
+    if schedule_learning_rate:
+        lr = optax.exponential_decay(init_learning_rate, max(n_iter, 1),
+                                     0.01)
+    else:
+        lr = init_learning_rate
+
+    opt = optax.adabelief(learning_rate=lr)
+
+    if consts is None:
+        fn, consts_ = _wrap_legacy(loss_fn), ()
+    else:
+        fn, consts_ = loss_fn, consts
+
+    def fresh_carry():
+        return (free0, opt.init(free0), free0,
+                jnp.asarray(jnp.inf, dtype=jnp.float32))
+
+    start = 0
+    carry = None
+    histories = []
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as f:
+            state = pickle.load(f)
+        if state["n_iter"] == n_iter and state["done"] >= n_iter:
+            # already complete: return the stored result
+            params, _, best_params, _ = jax.tree_util.tree_map(
+                jnp.asarray, state["carry"])
+            return best_params, params, np.asarray(
+                state["history"])[:n_iter]
+        if state["n_iter"] == n_iter and state["done"] < n_iter:
+            start = state["done"]
+            carry = jax.tree_util.tree_map(jnp.asarray, state["carry"])
+            histories = [np.asarray(state["history"])]
+    if carry is None:
+        carry = fresh_carry()
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def segment(carry, consts, length):
+        vg = jax.value_and_grad(fn)
+
+        def step(carry, _):
+            params, opt_state, best_params, best_loss = carry
+            value, grad = vg(params, consts)
+            improved = value < best_loss
+            best_loss = jnp.where(improved, value, best_loss)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b), best_params,
+                params)
+            updates, opt_state = opt.update(grad, opt_state, params)
+            params = _project(optax.apply_updates(params, updates),
+                              lower, upper)
+            return (params, opt_state, best_params, best_loss), value
+
+        return jax.lax.scan(step, carry, None, length=length)
+
+    done = start
+    while done < n_iter:
+        length = min(every, n_iter - done)
+        carry, hist = segment(carry, consts_, length)
+        histories.append(np.asarray(hist))
+        done += length
+        if checkpoint_path is not None:
+            state = {
+                "n_iter": n_iter, "done": done,
+                "carry": jax.tree_util.tree_map(np.asarray, carry),
+                "history": np.concatenate(histories),
+            }
+            with open(str(checkpoint_path) + ".tmp", "wb") as f:
+                pickle.dump(state, f)
+            os.replace(str(checkpoint_path) + ".tmp", checkpoint_path)
+
+    history = np.concatenate(histories)[:n_iter]
+    final_params, _, best_params, _ = carry
+    return best_params, final_params, history
+
+
 def relative_loss_differential(loss_history):
     """Plateau metric stored in the DB by the reference: change in the last
     10% of iterations over the initial change (reference

@@ -204,6 +204,8 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         stamp_coordinates = np.zeros((n_frames, n_stars, 2), np.float32)
     if guess_fwhm_pixels is None:
         guess_fwhm_pixels = np.full((n_frames,), 3.0, np.float32)
+    guess_fwhm_pixels = np.where(
+        np.isfinite(guess_fwhm_pixels), guess_fwhm_pixels, 3.0)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_frames)
     out = _fit_frames(
         jnp.asarray(images),

@@ -22,12 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..grids import upsample_transpose, downsample
+from ..grids import upsample_transpose
 from ..starlet import starlet_transform, n_starlet_scales
 from ..params import Params, merge_free
 from ..optimize import run_adabelief, run_lbfgsb
 from .. import convolution as conv
-from .distortion import zero_distortion_kwargs, DISTORTION_BASIS_SIZE
+from .distortion import zero_distortion_kwargs
 from .model import PSFModel
 
 

@@ -153,7 +153,8 @@ def _fit_jobs_batched(user_config, jobs):
         noise[i, :k] = job["noisemap"]
         masks[i, :k] = job["masks"]
         coords[i, :k] = job["stamp_coords"]
-        fwhm0[i] = job["frame"]["seeing_pixels"] or 3.0
+        seeing = job["frame"]["seeing_pixels"]
+        fwhm0[i] = seeing if seeing and np.isfinite(seeing) else 3.0
 
     out = build_psf_batched(
         data, noise, user_config["subsampling_factor"], masks=masks,

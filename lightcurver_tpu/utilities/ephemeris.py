@@ -10,7 +10,6 @@ pyephem for the same purpose).  All angles degrees, times MJD (UTC; the
 
 import math
 
-import numpy as np
 
 DEG = math.pi / 180.0
 
