@@ -1,0 +1,107 @@
+"""Plotting smoke tests: every diagnostic renders without error."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def stamps():
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 1, (4, 16, 16)).astype(np.float32) + 5.0
+    noise = np.ones_like(data)
+    return data, noise
+
+
+def test_psf_diagnostic(stamps, tmp_path):
+    from lightcurver_tpu.plotting.psf_plotting import plot_psf_diagnostic
+
+    data, noise = stamps
+    out = tmp_path / "psf.jpg"
+    plot_psf_diagnostic(
+        datas=data, noisemaps=noise, residuals=0.1 * data,
+        full_psf=data[0], loss_curve=np.linspace(10, 1, 50),
+        masks=np.ones_like(data, dtype=bool), names=list("abcd"),
+        diagnostic_text="test", save_path=out)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_joint_modelling_diagnostic(stamps, tmp_path):
+    from lightcurver_tpu.plotting.joint_modelling_plotting import \
+        plot_joint_modelling_diagnostic
+
+    data, noise = stamps
+    out = tmp_path / "joint.jpg"
+    plot_joint_modelling_diagnostic(
+        datas=data, noisemaps=noise, residuals=0.1 * data,
+        chi2_per_frame=np.array([1.0, 1.1, 0.9, 1.2]),
+        loss_curve=np.linspace(10, 1, 50),
+        starlet_background=data[0], save_path=out)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_photometry_plot(tmp_path):
+    from lightcurver_tpu.plotting.photometry_plotting import (
+        plot_photometry, find_sources, compute_offsets)
+
+    rng = np.random.default_rng(1)
+    mjd = np.concatenate([60000 + np.arange(20),
+                          60200 + np.arange(20)])
+    df = pd.DataFrame({
+        "mjd": mjd,
+        "A_mag": 18.0 + 0.1 * rng.normal(size=40),
+        "A_d_mag": np.full(40, 0.05),
+        "B_mag": 19.0 + 0.1 * rng.normal(size=40),
+        "B_d_mag": np.full(40, 0.05),
+    })
+    assert find_sources(df) == ["A", "B"]
+    offsets = compute_offsets(df, ["A", "B"])
+    assert set(offsets) == {"A", "B"}
+    out = tmp_path / "curves.jpg"
+    plot_photometry(df, save_path=out)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_html_visualisation(tmp_path):
+    from lightcurver_tpu.plotting.html_visualisation import \
+        generate_lightcurve_html
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, 60001.0, 60002.0],
+        "A_mag": [18.0, 18.1, np.nan],
+        "A_d_mag": [0.05, 0.04, np.nan],
+    })
+    out = tmp_path / "curves.html"
+    generate_lightcurve_html(df, out)
+    html = out.read_text()
+    assert "const DATA" in html
+    assert "18.1" in html
+    assert "null" in html  # NaN serialized as null
+
+
+def test_footprint_and_sources_plots(tmp_path):
+    from lightcurver_tpu.plotting.footprint_plotting import plot_footprints
+    from lightcurver_tpu.plotting.sources_plotting import (
+        plot_sources, plot_footprints_with_stars)
+    from lightcurver_tpu.utilities.geometry import SimplePolygon
+
+    polys = [np.array([[0, 0], [1, 0], [1, 1], [0, 1]]) + 0.1 * i
+             for i in range(3)]
+    common = SimplePolygon([[0.2, 0.2], [1, 0.2], [1, 1], [0.2, 1]])
+    largest = SimplePolygon([[0, 0], [1.2, 0], [1.2, 1.2], [0, 1.2]])
+    out = tmp_path / "fp.jpg"
+    plot_footprints(polys, common, largest, save_path=out)
+    assert out.exists()
+
+    rng = np.random.default_rng(2)
+    image = rng.normal(0, 1, (50, 50))
+    sources = pd.DataFrame({"x": [10.0, 30.0], "y": [20.0, 40.0]})
+    out2 = tmp_path / "src.jpg"
+    plot_sources(sources, image, save_path=out2)
+    assert out2.exists()
+
+    stars = pd.DataFrame({"name": ["a", "roi"], "ra": [0.5, 0.6],
+                          "dec": [0.5, 0.6]})
+    out3 = tmp_path / "fps.jpg"
+    plot_footprints_with_stars(polys, stars, save_path=out3)
+    assert out3.exists()
