@@ -25,6 +25,9 @@ def _setup_jax():
     cache.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from lightcurver_tpu import ops
+
+    ops.auto_select_backends()
     return jax
 
 

@@ -184,6 +184,13 @@ class Loss:
             self.consts["prior_means"] = pc["means"]
             self.consts["prior_sigmas"] = pc["sigmas"]
 
+        from ...ops import get_irfft_backend
+
+        if get_irfft_backend() == "mxu":
+            from ...ops.dft import make_irfft2_crop_mats
+
+            self.consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
+
     def __call__(self, kwargs):
         """Eager convenience evaluation at full kwargs (diagnostics)."""
         free = kwargs  # evaluate with everything considered free

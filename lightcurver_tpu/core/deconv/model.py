@@ -174,7 +174,14 @@ class DeconvModel:
         h_hat = jnp.fft.rfft2(h, s=(L, L))                  # one FFT, shared
         total_hat = total_hat + h_hat * consts["grid_hat"]
 
-        fine = conv.render_from_fft(total_hat, m)           # (N, m, m)
+        if "dft_mats" in consts:
+            # inverse transform + crop as MXU matmuls (ops/dft.py):
+            # measurably faster than this backend's FFT
+            from ...ops.dft import irfft2_crop_matmul
+
+            fine = irfft2_crop_matmul(total_hat, consts["dft_mats"])
+        else:
+            fine = conv.render_from_fft(total_hat, m)       # (N, m, m)
         data = downsample(fine, s)
         return data + kb["mean"][:, None, None]
 

@@ -98,6 +98,12 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
 
     base_consts = {"data": d, "sigma_2": sigma_2, "masks": masks,
                    "stamp_coordinates": stamp_coords}
+    from ...ops import get_irfft_backend
+
+    if get_irfft_backend() == "mxu":
+        from ...ops.dft import make_irfft2_crop_mats
+
+        base_consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
 
     # ---- phase 1: Moffat (grid + distortion fixed) ----------------------
     fixed1_spec = {"kwargs_background": {"background": None},

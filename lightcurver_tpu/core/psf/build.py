@@ -58,7 +58,8 @@ def _phase_losses(n_stars, n_pix, s, field_distortion):
         return 0.5 * ((kg["x0"][0] / 1e-3) ** 2 + (kg["y0"][0] / 1e-3) ** 2)
 
     def data_term(kwargs, consts):
-        imgs = model.model(kwargs, consts["stamp_coordinates"])
+        imgs = model.model(kwargs, consts["stamp_coordinates"],
+                           consts.get("dft_mats"))
         chi2 = _masked_chi2_per_star(consts["data"], imgs,
                                      consts["sigma_2"], consts["masks"])
         return 0.5 * chi2.sum() * n_pix**2 + pin_term(kwargs)
@@ -214,6 +215,12 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
 
     base_consts = {"data": data, "sigma_2": sigma_2, "masks": masks_j,
                    "stamp_coordinates": stamp_coordinates}
+    from ...ops import get_irfft_backend
+
+    if get_irfft_backend() == "mxu":
+        from ...ops.dft import make_irfft2_crop_mats
+
+        base_consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
     consts1 = {**base_consts, "fixed": params1.fixed}
     best1, _, hist1 = run_lbfgsb(loss_moffat, params1.free0, params1.lower,
                                  params1.upper, n_iter_analytic,

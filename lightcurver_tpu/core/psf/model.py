@@ -79,11 +79,11 @@ class PSFModel:
 
         return jax.vmap(lambda a, b, c: warp_psf(t, a, b, c))(dx, dy, sh)
 
-    def model(self, kwargs, stamp_coordinates=None):
+    def model(self, kwargs, stamp_coordinates=None, dft_mats=None):
         """Modelled star stamps, (N, n, n).
 
-        ``stamp_coordinates`` may be passed as a runtime argument so jitted
-        callers keep it out of closure constants.
+        ``stamp_coordinates`` / ``dft_mats`` may be passed as runtime
+        arguments so jitted callers keep them out of closure constants.
         """
         kg = kwargs["kwargs_gaussian"]
         if self.field_distortion:
@@ -95,5 +95,11 @@ class PSFModel:
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])
-        fine = conv.render_from_fft(spec * t_hat * self._r_hat(), self.m)
+        total_hat = spec * t_hat * self._r_hat()
+        if dft_mats is not None:
+            from ...ops.dft import irfft2_crop_matmul
+
+            fine = irfft2_crop_matmul(total_hat, dft_mats)
+        else:
+            fine = conv.render_from_fft(total_hat, self.m)
         return downsample(fine, self.s)

@@ -8,6 +8,7 @@ CPU and for parity tests) and a Pallas TPU kernel enabled by flag:
 """
 
 _BACKEND = "xla"
+_IRFFT_BACKEND = "fft"
 
 
 def set_backend(name):
@@ -18,3 +19,22 @@ def set_backend(name):
 
 def get_backend():
     return _BACKEND
+
+
+def set_irfft_backend(name):
+    """'fft' (XLA FFT) or 'mxu' (DFT-as-matmul; faster on this TPU)."""
+    global _IRFFT_BACKEND
+    assert name in ("fft", "mxu")
+    _IRFFT_BACKEND = name
+
+
+def get_irfft_backend():
+    return _IRFFT_BACKEND
+
+
+def auto_select_backends():
+    """Pick the measured-fastest backends for the live platform."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        set_irfft_backend("mxu")

@@ -1,0 +1,74 @@
+"""Inverse DFT as MXU matmuls: faster than this backend's FFT.
+
+The joint-deconvolution iteration is dominated by per-epoch inverse real
+FFTs.  On this TPU the XLA FFT runs at ~0.3 TFLOP/s-equivalent; the same
+transform expressed as two real matmul pairs maps onto the MXU and — with
+the crop to the (m, m) model region folded INTO the matmul shapes — does
+4x less arithmetic than a full-length transform on top of the higher
+unit throughput.  Measured: 1.5x over jnp.fft.irfft2 at full precision
+before cropping, more after.
+
+All matrices are built once per problem and travel through ``consts``
+(see core/optimize.py module docstring for the no-closure-constants
+rule).
+
+    out[y, x] = Re sum_{k, j} X[k, j] w[j] e^{2 pi i k y / L}
+                                          e^{2 pi i j x / L} / L^2
+
+with w the Hermitian doubling weights of the half spectrum.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def make_irfft2_crop_mats(L, m, dtype=np.float32):
+    """Matrices for irfft2 at length L cropped to the leading (m, m).
+
+    Returns dict of arrays: Ay, By (m, L) — inverse transform along the
+    full-spectrum axis, rows cropped; Cx, Sx (L//2+1, m) — along the
+    half-spectrum axis with Hermitian doubling, columns cropped.
+    """
+    Lh = L // 2 + 1
+    k = np.arange(L)
+    y = np.arange(m)
+    Ay = np.cos(2 * np.pi * np.outer(y, k) / L) / L
+    By = np.sin(2 * np.pi * np.outer(y, k) / L) / L
+    j = np.arange(Lh)
+    x = np.arange(m)
+    w = np.ones(Lh)
+    w[1:-1] = 2.0  # every non-DC, non-Nyquist bin appears twice
+    Cx = (np.cos(2 * np.pi * np.outer(j, x) / L) * w[:, None]) / L
+    Sx = (np.sin(2 * np.pi * np.outer(j, x) / L) * w[:, None]) / L
+    return {"Ay": jnp.asarray(Ay, dtype), "By": jnp.asarray(By, dtype),
+            "Cx": jnp.asarray(Cx, dtype), "Sx": jnp.asarray(Sx, dtype)}
+
+
+def irfft2_crop_matmul(total_hat, mats, precision=_HI):
+    """Re(inverse rfft2)(total_hat)[..., :m, :m] via four matmul pairs.
+
+    Args:
+        total_hat: (..., L, L//2+1) complex spectrum.
+        mats: from :func:`make_irfft2_crop_mats`.
+
+    Returns:
+        (..., m, m) real array, equal to
+        jnp.fft.irfft2(total_hat, s=(L, L))[..., :m, :m].
+    """
+    Xr = jnp.real(total_hat)
+    Xi = jnp.imag(total_hat)
+    # P + iQ = X @ (Cx + i Sx) along the half axis
+    P = jnp.einsum("...kj,jx->...kx", Xr, mats["Cx"], precision=precision) \
+        - jnp.einsum("...kj,jx->...kx", Xi, mats["Sx"],
+                     precision=precision)
+    Q = jnp.einsum("...kj,jx->...kx", Xi, mats["Cx"], precision=precision) \
+        + jnp.einsum("...kj,jx->...kx", Xr, mats["Sx"],
+                     precision=precision)
+    # Re{ (Ay + i By) applied along k }
+    return jnp.einsum("yk,...kx->...yx", mats["Ay"], P,
+                      precision=precision) \
+        - jnp.einsum("yk,...kx->...yx", mats["By"], Q,
+                     precision=precision)

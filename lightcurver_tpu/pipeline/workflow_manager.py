@@ -85,6 +85,9 @@ class WorkflowManager:
 
     def __init__(self, logger=None):
         _validate_config_keys()
+        from ..ops import auto_select_backends
+
+        auto_select_backends()
         self.user_config = get_user_config()
         with open(_DAG_PATH) as f:
             self.pipe_config = yaml.safe_load(f)
