@@ -102,9 +102,9 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     from ...ops import get_irfft_backend
 
     if get_irfft_backend() == "mxu":
-        from ...ops.dft import make_irfft2_crop_mats
+        from ...ops.dft import make_dft_mats
 
-        consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
+        consts["dft_mats"] = make_dft_mats(2 * m, m)
     if starlet_global_background:
         consts["W"] = _mc_starlet_noise(
             jnp.nanmedian(sig, axis=0), spectra["ps_hat"].mean(axis=0),

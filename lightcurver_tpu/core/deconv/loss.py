@@ -187,9 +187,9 @@ class Loss:
         from ...ops import get_irfft_backend
 
         if get_irfft_backend() == "mxu":
-            from ...ops.dft import make_irfft2_crop_mats
+            from ...ops.dft import make_dft_mats
 
-            self.consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
+            self.consts["dft_mats"] = make_dft_mats(2 * m, m)
 
     def __call__(self, kwargs):
         """Eager convenience evaluation at full kwargs (diagnostics)."""

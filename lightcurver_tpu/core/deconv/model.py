@@ -171,7 +171,12 @@ class DeconvModel:
 
         h = kb["h"].reshape(m, m)
         L = conv.pad_len(m)
-        h_hat = jnp.fft.rfft2(h, s=(L, L))                  # one FFT, shared
+        if "dft_mats" in consts:
+            from ...ops.dft import rfft2_pad_matmul
+
+            h_hat = rfft2_pad_matmul(h, consts["dft_mats"])
+        else:
+            h_hat = jnp.fft.rfft2(h, s=(L, L))              # one FFT, shared
         total_hat = total_hat + h_hat * consts["grid_hat"]
 
         if "dft_mats" in consts:

@@ -101,9 +101,9 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     from ...ops import get_irfft_backend
 
     if get_irfft_backend() == "mxu":
-        from ...ops.dft import make_irfft2_crop_mats
+        from ...ops.dft import make_dft_mats
 
-        base_consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
+        base_consts["dft_mats"] = make_dft_mats(2 * m, m)
 
     # ---- phase 1: Moffat (grid + distortion fixed) ----------------------
     fixed1_spec = {"kwargs_background": {"background": None},

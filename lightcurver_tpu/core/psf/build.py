@@ -218,9 +218,9 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     from ...ops import get_irfft_backend
 
     if get_irfft_backend() == "mxu":
-        from ...ops.dft import make_irfft2_crop_mats
+        from ...ops.dft import make_dft_mats
 
-        base_consts["dft_mats"] = make_irfft2_crop_mats(2 * m, m)
+        base_consts["dft_mats"] = make_dft_mats(2 * m, m)
     consts1 = {**base_consts, "fixed": params1.fixed}
     best1, _, hist1 = run_lbfgsb(loss_moffat, params1.free0, params1.lower,
                                  params1.upper, n_iter_analytic,

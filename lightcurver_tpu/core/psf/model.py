@@ -30,6 +30,14 @@ from .. import convolution as conv
 from .distortion import distortion_fields_at, warp_psf
 
 
+def _forward_fft(t, dft_mats):
+    if dft_mats is not None:
+        from ...ops.dft import rfft2_pad_matmul
+
+        return rfft2_pad_matmul(t, dft_mats)
+    return conv.psf_fft(t)
+
+
 class PSFModel:
     """Static configuration for a joint N-star narrow-PSF fit."""
 
@@ -88,10 +96,10 @@ class PSFModel:
         kg = kwargs["kwargs_gaussian"]
         if self.field_distortion:
             t_stack = self._per_star_psfs(kwargs, stamp_coordinates)
-            t_hat = conv.psf_fft(t_stack)              # (N, L, L/2+1)
+            t_hat = _forward_fft(t_stack, dft_mats)    # (N, L, L/2+1)
         else:
             # one shared PSF: one forward FFT instead of N identical ones
-            t_hat = conv.psf_fft(self.narrow_psf(kwargs))  # (L, L/2+1)
+            t_hat = _forward_fft(self.narrow_psf(kwargs), dft_mats)
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])

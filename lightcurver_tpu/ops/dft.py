@@ -47,6 +47,52 @@ def make_irfft2_crop_mats(L, m, dtype=np.float32):
             "Cx": jnp.asarray(Cx, dtype), "Sx": jnp.asarray(Sx, dtype)}
 
 
+def make_rfft2_pad_mats(L, m, dtype=np.float32):
+    """Matrices for rfft2 of an (m, m) image zero-padded to (L, L).
+
+    The zero padding is folded into the matrix shapes: only the m
+    occupied rows/columns are touched.
+    """
+    Lh = L // 2 + 1
+    k = np.arange(L)
+    y = np.arange(m)
+    Cy = np.cos(2 * np.pi * np.outer(k, y) / L)
+    Sy = np.sin(2 * np.pi * np.outer(k, y) / L)
+    j = np.arange(Lh)
+    x = np.arange(m)
+    Cx = np.cos(2 * np.pi * np.outer(x, j) / L)
+    Sx = np.sin(2 * np.pi * np.outer(x, j) / L)
+    return {"fCy": jnp.asarray(Cy, dtype), "fSy": jnp.asarray(Sy, dtype),
+            "fCx": jnp.asarray(Cx, dtype), "fSx": jnp.asarray(Sx, dtype)}
+
+
+def rfft2_pad_matmul(img, mats, precision=_HI):
+    """jnp.fft.rfft2(img, s=(L, L)) for (..., m, m) input, via matmuls.
+
+    X = (Cy - i Sy) @ img @ (Cx - i Sx):
+    real = Cy img Cx - Sy img Sx; imag = -(Cy img Sx + Sy img Cx).
+    """
+    P = jnp.einsum("ky,...yx->...kx", mats["fCy"], img,
+                   precision=precision)
+    Q = jnp.einsum("ky,...yx->...kx", mats["fSy"], img,
+                   precision=precision)
+    re = jnp.einsum("...kx,xj->...kj", P, mats["fCx"],
+                    precision=precision) \
+        - jnp.einsum("...kx,xj->...kj", Q, mats["fSx"],
+                     precision=precision)
+    im = -(jnp.einsum("...kx,xj->...kj", P, mats["fSx"],
+                      precision=precision)
+           + jnp.einsum("...kx,xj->...kj", Q, mats["fCx"],
+                        precision=precision))
+    return jax.lax.complex(re, im)
+
+
+def make_dft_mats(L, m, dtype=np.float32):
+    """Combined forward (rfft2-pad) + inverse (irfft2-crop) matrices."""
+    return {**make_irfft2_crop_mats(L, m, dtype),
+            **make_rfft2_pad_mats(L, m, dtype)}
+
+
 def irfft2_crop_matmul(total_hat, mats, precision=_HI):
     """Re(inverse rfft2)(total_hat)[..., :m, :m] via four matmul pairs.
 
