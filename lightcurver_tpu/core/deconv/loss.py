@@ -66,7 +66,8 @@ class Prior:
 
 @functools.lru_cache(maxsize=128)
 def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
-                   use_flux_uni, prior_names, starlet_backend="xla"):
+                   use_flux_uni, prior_names, starlet_backend="xla",
+                   dft_precision="highest"):
     """One pure (free, consts) -> scalar per static configuration."""
     model = DeconvModel.for_eval(*model_config)
     m = model.m
@@ -138,10 +139,13 @@ class Loss:
         prior_names = prior.names() if prior is not None else ()
         from ...ops import get_backend as _ops_backend
 
+        from ...ops import get_dft_precision
+
         self._fn = _build_loss_fn(self.model.config(), use_starlet,
                                   use_pos, use_pts, use_flux_uni,
                                   prior_names,
-                                  starlet_backend=_ops_backend())
+                                  starlet_backend=_ops_backend(),
+                                  dft_precision=get_dft_precision())
         # expose the SHARED function object (not a bound method) so the
         # optimizers' jit cache hits across Loss instances of identical
         # configuration

@@ -70,8 +70,10 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
                    n_iter_adabelief, regularization_strength,
                    adabelief_lr):
     """Pure single-frame two-phase PSF fit (fully traceable)."""
+    from ...ops import get_dft_precision
+
     model, loss_moffat, loss_pixels = _phase_losses(
-        n_stars, n_pix, s, field_distortion)
+        n_stars, n_pix, s, field_distortion, get_dft_precision())
     m = n_pix * s
 
     scale = jnp.nanmax(jnp.where(masks, data, -jnp.inf))

@@ -39,7 +39,8 @@ def _masked_chi2_per_star(data, model_imgs, sigma_2, masks):
 
 
 @functools.lru_cache(maxsize=64)
-def _phase_losses(n_stars, n_pix, s, field_distortion):
+def _phase_losses(n_stars, n_pix, s, field_distortion,
+                  dft_precision="highest"):
     """Model + the two phase losses for a given (static) configuration.
 
     lru-cached so fitting many frames of identical geometry reuses the
@@ -166,8 +167,10 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     sigma = jnp.asarray(np.nan_to_num(noisemap / scale, nan=1e8))
     sigma_2 = sigma**2
 
+    from ...ops import get_dft_precision
+
     model, loss_moffat, loss_pixels = _phase_losses(
-        n_stars, n_pix, s, bool(field_distortion))
+        n_stars, n_pix, s, bool(field_distortion), get_dft_precision())
     if stamp_coordinates is None:
         stamp_coordinates = np.zeros((n_stars, 2), dtype=np.float32)
     stamp_coordinates = jnp.asarray(stamp_coordinates, dtype=jnp.float32)

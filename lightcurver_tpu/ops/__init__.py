@@ -38,3 +38,19 @@ def auto_select_backends():
 
     if jax.default_backend() == "tpu":
         set_irfft_backend("mxu")
+
+
+_DFT_PRECISION = "highest"
+
+
+def set_dft_precision(name):
+    """'highest' (exact f32, default) or 'default' (bf16 passes on MXU:
+    ~faster iterations; pair with the exact GLS flux polish and
+    full-precision final evaluation)."""
+    global _DFT_PRECISION
+    assert name in ("highest", "default")
+    _DFT_PRECISION = name
+
+
+def get_dft_precision():
+    return _DFT_PRECISION

@@ -66,12 +66,22 @@ def make_rfft2_pad_mats(L, m, dtype=np.float32):
             "fCx": jnp.asarray(Cx, dtype), "fSx": jnp.asarray(Sx, dtype)}
 
 
-def rfft2_pad_matmul(img, mats, precision=_HI):
+def _precision(precision):
+    if precision is not None:
+        return precision
+    from . import get_dft_precision
+
+    return _HI if get_dft_precision() == "highest" \
+        else jax.lax.Precision.DEFAULT
+
+
+def rfft2_pad_matmul(img, mats, precision=None):
     """jnp.fft.rfft2(img, s=(L, L)) for (..., m, m) input, via matmuls.
 
     X = (Cy - i Sy) @ img @ (Cx - i Sx):
     real = Cy img Cx - Sy img Sx; imag = -(Cy img Sx + Sy img Cx).
     """
+    precision = _precision(precision)
     P = jnp.einsum("ky,...yx->...kx", mats["fCy"], img,
                    precision=precision)
     Q = jnp.einsum("ky,...yx->...kx", mats["fSy"], img,
@@ -93,7 +103,7 @@ def make_dft_mats(L, m, dtype=np.float32):
             **make_rfft2_pad_mats(L, m, dtype)}
 
 
-def irfft2_crop_matmul(total_hat, mats, precision=_HI):
+def irfft2_crop_matmul(total_hat, mats, precision=None):
     """Re(inverse rfft2)(total_hat)[..., :m, :m] via four matmul pairs.
 
     Args:
@@ -104,6 +114,7 @@ def irfft2_crop_matmul(total_hat, mats, precision=_HI):
         (..., m, m) real array, equal to
         jnp.fft.irfft2(total_hat, s=(L, L))[..., :m, :m].
     """
+    precision = _precision(precision)
     Xr = jnp.real(total_hat)
     Xi = jnp.imag(total_hat)
     # P + iQ = X @ (Cx + i Sx) along the half axis

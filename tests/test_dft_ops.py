@@ -1,0 +1,56 @@
+"""MXU DFT ops: parity with the FFT reference (CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture()
+def spectrum():
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (5, 64, 64)).astype(np.float32)
+    return jnp.fft.rfft2(jnp.asarray(x))
+
+
+def test_irfft2_crop_matmul_matches_fft(spectrum):
+    from lightcurver_tpu.ops.dft import (make_irfft2_crop_mats,
+                                         irfft2_crop_matmul)
+
+    L, m = 64, 32
+    ref = jnp.fft.irfft2(spectrum, s=(L, L))[..., :m, :m]
+    mats = make_irfft2_crop_mats(L, m)
+    out = irfft2_crop_matmul(spectrum, mats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+
+
+def test_rfft2_pad_matmul_matches_fft():
+    from lightcurver_tpu.ops.dft import (make_rfft2_pad_mats,
+                                         rfft2_pad_matmul)
+
+    rng = np.random.default_rng(1)
+    m, L = 24, 48
+    x = jnp.asarray(rng.normal(0, 1, (3, m, m)).astype(np.float32))
+    ref = jnp.fft.rfft2(x, s=(L, L))
+    out = rfft2_pad_matmul(x, make_rfft2_pad_mats(L, m))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-4)
+
+
+def test_roundtrip_through_both():
+    """rfft2_pad -> multiply -> irfft2_crop equals the FFT convolution."""
+    from lightcurver_tpu.ops.dft import (make_dft_mats, rfft2_pad_matmul,
+                                         irfft2_crop_matmul)
+
+    rng = np.random.default_rng(2)
+    m, L = 32, 64
+    h = jnp.asarray(rng.normal(0, 1, (m, m)).astype(np.float32))
+    k_hat = jnp.fft.rfft2(
+        jnp.asarray(rng.normal(0, 0.1, (m, m)).astype(np.float32)),
+        s=(L, L))
+    ref = jnp.fft.irfft2(jnp.fft.rfft2(h, s=(L, L)) * k_hat,
+                         s=(L, L))[:m, :m]
+    mats = make_dft_mats(L, m)
+    out = irfft2_crop_matmul(rfft2_pad_matmul(h, mats) * k_hat, mats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4)
