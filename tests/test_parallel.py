@@ -80,3 +80,24 @@ def test_pad_epochs():
     assert padded["data"].shape == (8, 4, 4)
     assert padded["data"][5:].sum() == 0.0
     assert (padded["sigma"][5:] == 1e8).all()
+
+
+def test_sharded_fit_with_mxu_backend(toy):
+    """The MXU-DFT consts (replicated matrices) shard correctly."""
+    from lightcurver_tpu import ops
+    from lightcurver_tpu.parallel.mesh import epoch_mesh
+    from lightcurver_tpu.parallel.deconv import fit_deconv_sharded
+
+    data, sigma_2, psf, xs, ys, s = toy
+    ops.set_irfft_backend("mxu")
+    try:
+        mesh = epoch_mesh(8)
+        kwargs, _, hist = fit_deconv_sharded(
+            data, sigma_2, psf, xs, ys, s, mesh, n_iter=60,
+            init_learning_rate=1e-2)
+    finally:
+        ops.set_irfft_backend("fft")
+    assert hist.shape == (60,)
+    assert np.isfinite(hist).all()
+    a = np.asarray(kwargs["kwargs_analytic"]["a"])
+    assert np.isfinite(a).all()
