@@ -28,8 +28,12 @@ from . import convolution as conv
 
 @functools.partial(jax.jit, static_argnames=("m", "s", "num_samples",
                                              "n_scales"))
-def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, seed):
-    """std of starlet coefficients of PSF-correlated upsampled noise."""
+def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key):
+    """std of starlet coefficients of PSF-correlated upsampled noise.
+
+    ``key`` is a PRNG key array (vmap-safe: callers under vmap pass their
+    own split key, mirroring core/psf/build._grid_noise_weights_impl).
+    """
     L = conv.pad_len(m)
 
     def one_sample(key):
@@ -41,7 +45,7 @@ def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, seed):
                               s=(L, L))[:m, :m]
         return starlet_transform(back, n_scales=n_scales)
 
-    keys = jax.random.split(jax.random.PRNGKey(seed), num_samples)
+    keys = jax.random.split(key, num_samples)
     coeffs = jax.lax.map(one_sample, keys, batch_size=32)
     # guard against zeros (constant coarse scale etc.)
     return jnp.maximum(jnp.std(coeffs, axis=0), 1e-12)
@@ -77,5 +81,5 @@ def propagate_noise(model, noisemap, kwargs, wavelet_type_list=("starlet",),
     # smoothing operator
     mean_ps_hat = model.consts()["ps_hat"].mean(axis=0)
     W = _mc_starlet_noise(sigma, mean_ps_hat, m, s, int(num_samples),
-                          int(n_scales), jnp.uint32(seed))
+                          int(n_scales), jax.random.PRNGKey(int(seed)))
     return [W]

@@ -38,6 +38,28 @@ def test_flux_recovery_and_fisher_calibration(star_set):
     assert out["loss_history"].shape == (5, 400)
 
 
+def test_starlet_global_background(star_set):
+    """Regression: the per-star PRNG key must be usable inside vmap.
+
+    Round-1 bug: _fit_one_star passed the (2,)-shaped split key as a
+    scalar seed into _mc_starlet_noise, crashing every fit with
+    starlet_global_background=True (reachable from the
+    star_photometry_starlet_global_background config flag).
+    """
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+
+    data, noise, psf, true_flux = star_set
+    out = fit_stars_batched(data, noise, psf, 2, n_iter=300,
+                            starlet_global_background=True)
+    assert out["fluxes"].shape == (5, 6)
+    assert np.isfinite(out["fluxes"]).all()
+    assert (out["chi2"] < 1.5).all()
+    rel = out["fluxes"] / true_flux - 1
+    assert abs(float(np.mean(rel))) < 0.05
+    assert out["starlet_background"].shape[0] == 5
+    assert np.isfinite(out["starlet_background"]).all()
+
+
 def test_padded_epochs_have_zero_weight(star_set):
     from lightcurver_tpu.core.deconv.batched import fit_stars_batched
 
