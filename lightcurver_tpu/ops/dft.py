@@ -40,7 +40,10 @@ def make_irfft2_crop_mats(L, m, dtype=np.float32):
     j = np.arange(Lh)
     x = np.arange(m)
     w = np.ones(Lh)
-    w[1:-1] = 2.0  # every non-DC, non-Nyquist bin appears twice
+    if L % 2 == 0:
+        w[1:-1] = 2.0  # every non-DC, non-Nyquist bin appears twice
+    else:
+        w[1:] = 2.0    # odd L: no unique Nyquist bin — all non-DC double
     Cx = (np.cos(2 * np.pi * np.outer(j, x) / L) * w[:, None]) / L
     Sx = (np.sin(2 * np.pi * np.outer(j, x) / L) * w[:, None]) / L
     return {"Ay": jnp.asarray(Ay, dtype), "By": jnp.asarray(By, dtype),
