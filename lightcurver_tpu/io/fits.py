@@ -153,6 +153,15 @@ def _format_card(key, value, comment=""):
             else repr(float(value)).rjust(20)
     else:
         s = str(value).replace("'", "''")
+        # 80-char card minus "KEY     = " and the two quotes leaves 68
+        # chars; longer strings would lose their closing quote when the
+        # card is sliced, producing an unparseable card.  No CONTINUE
+        # support — raise rather than mis-write (module contract).
+        if len(s) > CARD - 12:
+            raise ValueError(
+                f"string value for {key.strip()!r} is {len(s)} chars; "
+                f"max {CARD - 12} fits in one card (CONTINUE cards are "
+                "not supported)")
         body = f"'{s:<8s}'"
     card = f"{key}= {body}"
     if comment:
@@ -197,12 +206,19 @@ def _data_size_bytes(header):
     return nbytes, shape
 
 
-def read_fits(path, hdu_index=0, header_only=False):
+def read_fits(path, hdu_index=0, header_only=False, memmap=False):
     """Read one HDU: returns ``(data, header)``; data None for NAXIS=0.
 
     Integer data with BSCALE/BZERO is converted to float32 (matching the
     pipeline's immediate ADU -> e-/s conversion); float data keeps its
     precision as float32/float64.
+
+    ``memmap=True`` returns a read-only ``np.memmap`` view of unscaled
+    float data instead of loading it — slicing (e.g. the importation
+    trim) then touches only the needed pages of a wide-field mosaic
+    (mirrors the reference's memmap import path, reference
+    processes/frame_importation.py:33-60).  Scaled/integer data needs a
+    full-array conversion anyway, so it falls back to an eager read.
     """
     with open(path, "rb") as fh:
         idx = 0
@@ -215,6 +231,13 @@ def read_fits(path, hdu_index=0, header_only=False):
                 if header_only or not shape:
                     return None, header
                 dtype = _BITPIX_DTYPES[int(header["BITPIX"])]
+                needs_scaling = (dtype.kind in "iu"
+                                 or header.get("BSCALE", 1) != 1
+                                 or header.get("BZERO", 0) != 0)
+                if memmap and not needs_scaling:
+                    data = np.memmap(path, dtype=dtype, mode="r",
+                                     offset=fh.tell(), shape=shape)
+                    return data, header
                 raw = fh.read(nbytes)
                 if len(raw) < nbytes:
                     raise IOError("truncated FITS data")

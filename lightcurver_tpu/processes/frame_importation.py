@@ -31,7 +31,17 @@ def process_new_frame(fits_file, user_config):
 
     trim_v = user_config.get("trim_vertical", 0) or 0
     trim_h = user_config.get("trim_horizontal", 0) or 0
-    data, _ = read_fits(fits_file, hdu_index=user_config["hdu_data_index"])
+    # memmap with fallback, like the reference (frame_importation.py:33-60):
+    # the trim slice below then reads only the needed pages of a mosaic
+    try:
+        data, _ = read_fits(fits_file,
+                            hdu_index=user_config["hdu_data_index"],
+                            memmap=True)
+    except Exception:
+        logger.warning(f"memmap read failed for {fits_file}; "
+                       "falling back to an eager read.")
+        data, _ = read_fits(fits_file,
+                            hdu_index=user_config["hdu_data_index"])
     header = read_fits_header_many(fits_file,
                                    user_config["hdu_header_indexes"])
     ny, nx = data.shape

@@ -24,6 +24,44 @@ class TestFits:
         assert h["OBJECT"] == "J0248"
         assert h["SOLVED"] is True
 
+    def test_memmap_read(self, tmp_path):
+        """memmap=True returns a lazy view equal to the eager read, and
+        falls back to eager for scaled integer data."""
+        from lightcurver_tpu.io.fits import read_fits, write_fits, Header
+
+        data = np.random.default_rng(3).normal(
+            0, 1, (64, 32)).astype(np.float32)
+        path = tmp_path / "mm.fits"
+        write_fits(path, data, Header())
+        mm, h = read_fits(path, memmap=True)
+        assert isinstance(mm, np.memmap)
+        np.testing.assert_array_equal(np.asarray(mm, dtype=np.float32),
+                                      data)
+        # a trim-style slice reads correctly through the map
+        np.testing.assert_array_equal(
+            np.asarray(mm[10:20, 5:15], dtype=np.float32),
+            data[10:20, 5:15])
+
+    def test_long_string_value_raises(self, tmp_path):
+        """Strings too long for one card raise instead of silently
+        writing a corrupt card (no CONTINUE support; advisor finding)."""
+        from lightcurver_tpu.io.fits import write_fits, Header
+
+        header = Header()
+        header["LONGVAL"] = "x" * 100
+        with pytest.raises(ValueError, match="LONGVAL"):
+            write_fits(tmp_path / "bad.fits",
+                       np.zeros((4, 4), np.float32), header)
+        # at the boundary (68 chars) it still round-trips
+        from lightcurver_tpu.io.fits import read_fits
+
+        header2 = Header()
+        header2["OKVAL"] = "y" * 68
+        write_fits(tmp_path / "ok.fits", np.zeros((4, 4), np.float32),
+                   header2)
+        _, h = read_fits(tmp_path / "ok.fits")
+        assert h["OKVAL"] == "y" * 68
+
     def test_int16_bscale(self, tmp_path):
         """Synthesize a BITPIX=16 file with BSCALE/BZERO by hand."""
         from lightcurver_tpu.io.fits import read_fits
