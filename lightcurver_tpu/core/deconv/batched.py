@@ -24,10 +24,10 @@ from .. import convolution as conv
 from ..fisher import _diag_fisher
 
 
-def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
-                  n_iter, uniform_background_per_epoch,
-                  starlet_global_background, lr):
-    """Pure single-star joint fit (fully traceable)."""
+def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
+                      uniform_background_per_epoch,
+                      starlet_global_background):
+    """Setup of one star's fit: (free0, lower, upper, consts, scale)."""
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     m = model.m
 
@@ -88,11 +88,9 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         upper["kwargs_analytic"][name] = jnp.full_like(
             free["kwargs_analytic"][name], bound5)
 
-    loss_fn = _build_loss_fn(model.config(),
-                             starlet_global_background,  # use_starlet
-                             False, False, False, ())
     consts = {
         "data": d, "sigma_2": sigma_2, "fixed": fixed,
+        "epoch_w": jnp.ones(n_epochs, jnp.float32),
         "lambda_scales": jnp.float32(3.0), "lambda_hf": jnp.float32(3.0),
         "lambda_pos": jnp.float32(0.0), "lambda_pts": jnp.float32(0.0),
         "lambda_flux_uni": jnp.float32(0.0),
@@ -112,9 +110,23 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     else:
         consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
                                jnp.float32)
+    return free, lower, upper, consts, scale
 
-    best, _, history = adabelief_scan(
-        loss_fn, free, consts, lower, upper, n_iter, lr, True)
+
+def _star_loss_fn(n_epochs, image_size, s, starlet_global_background):
+    model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
+    return _build_loss_fn(model.config(),
+                          starlet_global_background,  # use_starlet
+                          False, False, False, ())
+
+
+def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
+                       s):
+    """Merge + GLS flux polish + chi2 + Fisher errors for one star."""
+    model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
+    m = model.m
+    d, sigma_2, fixed = consts["data"], consts["sigma_2"], consts["fixed"]
+    spectra = {"ps_hat": consts["ps_hat"], "grid_hat": consts["grid_hat"]}
 
     kwargs = {**best, "kwargs_analytic": {**best["kwargs_analytic"],
                                           **fixed["kwargs_analytic"]}}
@@ -125,7 +137,10 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     from ..fisher import linear_flux_solve
 
     kwargs = linear_flux_solve(kwargs, d, sigma_2, model, spectra)
-    modelled = model.model(kwargs, spectra)
+    model_consts = dict(spectra)
+    if "dft_mats" in consts:
+        model_consts["dft_mats"] = consts["dft_mats"]
+    modelled = model.model(kwargs, model_consts)
     residuals = d - modelled
     chi2_per_frame = jnp.nansum(residuals**2 / sigma_2,
                                 axis=(1, 2)) / image_size**2
@@ -144,6 +159,21 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     }
 
 
+def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
+                  n_iter, uniform_background_per_epoch,
+                  starlet_global_background, lr):
+    """Pure single-star joint fit (fully traceable)."""
+    free, lower, upper, consts, scale = _prepare_one_star(
+        data, noisemap, psf, key, n_epochs, image_size, s,
+        uniform_background_per_epoch, starlet_global_background)
+    loss_fn = _star_loss_fn(n_epochs, image_size, s,
+                            starlet_global_background)
+    best, _, history = adabelief_scan(
+        loss_fn, free, consts, lower, upper, n_iter, lr, True)
+    return _finalize_one_star(best, history, consts, scale, n_epochs,
+                              image_size, s)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s", "n_iter",
@@ -160,9 +190,128 @@ def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
     return jax.vmap(fit)(data, noisemap, psf, keys)
 
 
+# ---- segmented (checkpointable) variant ------------------------------------
+# Same math as _fit_stars, but the AdaBelief loop runs in host-level
+# segments so the optimizer carry can be written to disk between them:
+# a killed multi-thousand-iteration batched fit resumes instead of
+# restarting (the reference has no mid-fit checkpointing, SURVEY §5).
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_epochs", "image_size", "s",
+                     "uniform_background_per_epoch",
+                     "starlet_global_background"))
+def _prepare_stars(data, noisemap, psf, keys, n_epochs, image_size, s,
+                   uniform_background_per_epoch,
+                   starlet_global_background):
+    prep = functools.partial(
+        _prepare_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
+        uniform_background_per_epoch=uniform_background_per_epoch,
+        starlet_global_background=starlet_global_background)
+    return jax.vmap(prep)(data, noisemap, psf, keys)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter",))
+def _init_carry_stars(free0, n_iter, lr):
+    from ..optimize import make_adabelief
+
+    opt = make_adabelief(n_iter, lr, True)
+
+    def one(free):
+        return (free, opt.init(free), free,
+                jnp.asarray(jnp.inf, jnp.float32))
+
+    return jax.vmap(one)(free0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_epochs", "image_size", "s",
+                     "starlet_global_background", "n_iter", "length"))
+def _segment_stars(carry, consts, lower, upper, lr, n_epochs, image_size,
+                   s, starlet_global_background, n_iter, length):
+    from ..optimize import make_adabelief, adabelief_step_fn
+
+    loss_fn = _star_loss_fn(n_epochs, image_size, s,
+                            starlet_global_background)
+    opt = make_adabelief(n_iter, lr, True)
+
+    def seg(carry, consts, lower, upper):
+        step = adabelief_step_fn(loss_fn, opt, consts, lower, upper)
+        return jax.lax.scan(step, carry, None, length=length)
+
+    return jax.vmap(seg)(carry, consts, lower, upper)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_epochs", "image_size", "s"))
+def _finalize_stars(best, history, consts, scale, n_epochs, image_size, s):
+    fin = functools.partial(_finalize_one_star, n_epochs=n_epochs,
+                            image_size=image_size, s=s)
+    return jax.vmap(fin)(best, history, consts, scale)
+
+
+def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
+                            image_size, s, n_iter,
+                            uniform_background_per_epoch,
+                            starlet_global_background, lr,
+                            checkpoint_path, checkpoint_every):
+    """Host-segmented batched fit with npz checkpoints (leaves only —
+    structure rebuilt from a fresh carry, never unpickled)."""
+    import os
+
+    free0, lower, upper, consts, scale = _prepare_stars(
+        data, noisemap, psf, keys, n_epochs, image_size, s,
+        uniform_background_per_epoch, starlet_global_background)
+    carry = _init_carry_stars(free0, n_iter, lr)
+    treedef = jax.tree_util.tree_structure(carry)
+
+    def save_state(done, histories):
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(carry)]
+        payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+        payload["n_iter"] = np.int64(n_iter)
+        payload["done"] = np.int64(done)
+        payload["history"] = np.concatenate(histories, axis=1)
+        tmp = str(checkpoint_path) + ".tmp"
+        np.savez(tmp, **payload)
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
+                   checkpoint_path)
+
+    start, histories = 0, []
+    if os.path.exists(checkpoint_path):
+        with np.load(checkpoint_path) as z:
+            stored = int(z["n_iter"])
+            if stored != n_iter:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path} was recorded for "
+                    f"n_iter={stored}, requested {n_iter}; delete it to "
+                    "restart")
+            leaves = [jnp.asarray(z[f"leaf_{i}"])
+                      for i in range(treedef.num_leaves)]
+            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            start = int(z["done"])
+            histories = [np.asarray(z["history"])]
+
+    done = start
+    while done < n_iter:
+        length = min(int(checkpoint_every), n_iter - done)
+        carry, hist = _segment_stars(
+            carry, consts, lower, upper, lr, n_epochs, image_size, s,
+            starlet_global_background, n_iter, length)
+        histories.append(np.asarray(hist))  # vmapped scan ys: (S, len)
+        done += length
+        save_state(done, histories)
+
+    _, _, best, _ = carry
+    history = np.concatenate(histories, axis=1)[:, :n_iter]
+    return _finalize_stars(best, jnp.asarray(history), consts, scale,
+                           n_epochs, image_size, s)
+
+
 def fit_stars_batched(data, noisemap, psf, subsampling_factor,
                       n_iter=2000, uniform_background_per_epoch=False,
-                      starlet_global_background=False, lr=1e-3, seed=0):
+                      starlet_global_background=False, lr=1e-3, seed=0,
+                      checkpoint_path=None, checkpoint_every=500):
     """Joint PSF photometry of many stars in one compiled program.
 
     Args:
@@ -170,6 +319,10 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
             missing epochs with data 0 / noise 1e7).
         psf: (S, N, mp, mp) narrow PSFs.
         subsampling_factor: int s.
+        checkpoint_path: when set, the AdaBelief loop runs in
+            ``checkpoint_every``-iteration segments with the optimizer
+            carry checkpointed to this path (resume on re-call); when
+            None (default) the whole fit is one compiled program.
 
     Returns:
         dict of stacked per-star results (numpy), matching the
@@ -180,10 +333,15 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
                              nan=1e7)
     n_stars, n_epochs, image_size = data.shape[:3]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_stars)
-    out = _fit_stars(
-        jnp.asarray(data), jnp.asarray(noisemap),
-        jnp.asarray(np.asarray(psf, dtype=np.float32)), keys,
-        int(n_epochs), int(image_size), int(subsampling_factor),
-        int(n_iter), bool(uniform_background_per_epoch),
-        bool(starlet_global_background), float(lr))
+    args = (jnp.asarray(data), jnp.asarray(noisemap),
+            jnp.asarray(np.asarray(psf, dtype=np.float32)), keys,
+            int(n_epochs), int(image_size), int(subsampling_factor),
+            int(n_iter), bool(uniform_background_per_epoch),
+            bool(starlet_global_background), float(lr))
+    if checkpoint_path is None:
+        out = _fit_stars(*args)
+    else:
+        out = _fit_stars_checkpointed(
+            *args, checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every)
     return jax.tree_util.tree_map(np.asarray, out)

@@ -81,7 +81,11 @@ def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
         kwargs = merge_free(free, consts["fixed"])
         modelled = model.model(kwargs, consts)
         res = (consts["data"] - modelled) ** 2 / consts["sigma_2"]
-        total = 0.5 * jnp.nansum(res)
+        # epoch_w masks dummy epochs added by parallel/deconv.pad_* so a
+        # padded sharded fit is EXACTLY the unpadded fit (all ones when
+        # no padding: identical arithmetic)
+        w = consts["epoch_w"]
+        total = 0.5 * jnp.nansum(w[:, None, None] * res)
 
         if use_starlet:
             h = kwargs["kwargs_background"]["h"].reshape(m, m)
@@ -91,10 +95,11 @@ def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
                 + consts["lambda_scales"] * wabs[1:-1].sum()
         if use_pos:
             h = kwargs["kwargs_background"]["h"]
-            a = kwargs["kwargs_analytic"]["a"]
+            a = kwargs["kwargs_analytic"]["a"].reshape(
+                model.n_epochs, model.n_sources)
             total = total + consts["lambda_pos"] * (
                 jnp.sum(jnp.maximum(-h, 0.0))
-                + jnp.sum(jnp.maximum(-a, 0.0)))
+                + jnp.sum(w[:, None] * jnp.maximum(-a, 0.0)))
         if use_pts:
             h = kwargs["kwargs_background"]["h"].reshape(m, m)
             total = total + consts["lambda_pts"] * jnp.sum(
@@ -102,8 +107,9 @@ def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
         if use_flux_uni:
             a = kwargs["kwargs_analytic"]["a"].reshape(
                 model.n_epochs, model.n_sources)
-            mean = jnp.mean(a, axis=0)
-            var = jnp.mean((a - mean) ** 2, axis=0)
+            wsum = jnp.sum(w)
+            mean = jnp.sum(w[:, None] * a, axis=0) / wsum
+            var = jnp.sum(w[:, None] * (a - mean) ** 2, axis=0) / wsum
             total = total + consts["lambda_flux_uni"] * jnp.sum(
                 var / (mean**2 + 1e-12))
         for name in prior_names:
@@ -126,7 +132,7 @@ class Loss:
                  regularization_strength_positivity=0.0,
                  regularization_strength_pts_source=0.0,
                  regularization_strength_flux_uniformity=0.0,
-                 W=None, prior=None):
+                 W=None, prior=None, epoch_weights=None):
         self.model = deconv_class
         self.params = param_class
         self.prior = prior
@@ -168,10 +174,14 @@ class Loss:
         else:
             pts_weights = jnp.zeros((1, 1), dtype=jnp.float32)
 
+        if epoch_weights is None:
+            epoch_weights = jnp.ones(self.model.n_epochs, jnp.float32)
+
         # everything traced code needs, as ARGUMENTS (never closures)
         self.consts = {
             "data": jnp.asarray(data, dtype=jnp.float32),
             "sigma_2": jnp.asarray(sigma_2, dtype=jnp.float32),
+            "epoch_w": jnp.asarray(epoch_weights, dtype=jnp.float32),
             "W": jnp.asarray(W, dtype=jnp.float32),
             "pts_weights": pts_weights,
             "fixed": param_class.fixed,

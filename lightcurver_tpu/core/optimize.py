@@ -37,6 +37,39 @@ def _project(params, lower, upper):
     return jax.tree_util.tree_map(jnp.clip, params, lower, upper)
 
 
+def make_adabelief(n_iter, init_learning_rate, schedule_learning_rate):
+    """The optax AdaBelief transform used everywhere (one construction
+    point so the lr schedule of a segmented/checkpointed run spans the
+    FULL n_iter, matching the uninterrupted trajectory)."""
+    if schedule_learning_rate:
+        lr = optax.exponential_decay(init_learning_rate, max(n_iter, 1),
+                                     0.01)
+    else:
+        lr = init_learning_rate
+    return optax.adabelief(learning_rate=lr)
+
+
+def adabelief_step_fn(loss_fn, opt, consts, lower, upper):
+    """One best-tracking projected AdaBelief step, as a lax.scan body.
+
+    Carry: (params, opt_state, best_params, best_loss).
+    """
+    vg = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        params, opt_state, best_params, best_loss = carry
+        value, grad = vg(params, consts)
+        improved = value < best_loss
+        best_loss = jnp.where(improved, value, best_loss)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(improved, p, b), best_params, params)
+        updates, opt_state = opt.update(grad, opt_state, params)
+        params = _project(optax.apply_updates(params, updates), lower, upper)
+        return (params, opt_state, best_params, best_loss), value
+
+    return step
+
+
 def adabelief_scan(loss_fn, free0, consts, lower, upper, n_iter,
                    init_learning_rate, schedule_learning_rate):
     """AdaBelief scan body (traceable: vmap/jit/shard_map-compatible).
@@ -55,26 +88,11 @@ def adabelief_scan(loss_fn, free0, consts, lower, upper, n_iter,
     Returns:
         (best_free, final_free, loss_history[n_iter])
     """
-    if schedule_learning_rate:
-        lr = optax.exponential_decay(init_learning_rate, max(n_iter, 1), 0.01)
-    else:
-        lr = init_learning_rate
-    opt = optax.adabelief(learning_rate=lr)
-    opt_state = opt.init(free0)
-    vg = jax.value_and_grad(loss_fn)
-
-    def step(carry, _):
-        params, opt_state, best_params, best_loss = carry
-        value, grad = vg(params, consts)
-        improved = value < best_loss
-        best_loss = jnp.where(improved, value, best_loss)
-        best_params = jax.tree_util.tree_map(
-            lambda b, p: jnp.where(improved, p, b), best_params, params)
-        updates, opt_state = opt.update(grad, opt_state, params)
-        params = _project(optax.apply_updates(params, updates), lower, upper)
-        return (params, opt_state, best_params, best_loss), value
-
-    init = (free0, opt_state, free0, jnp.asarray(jnp.inf, dtype=jnp.float32))
+    opt = make_adabelief(n_iter, init_learning_rate,
+                         schedule_learning_rate)
+    step = adabelief_step_fn(loss_fn, opt, consts, lower, upper)
+    init = (free0, opt.init(free0), free0,
+            jnp.asarray(jnp.inf, dtype=jnp.float32))
     (final_params, _, best_params, _), history = jax.lax.scan(
         step, init, None, length=n_iter)
     return best_params, final_params, history
@@ -83,6 +101,99 @@ def adabelief_scan(loss_fn, free0, consts, lower, upper, n_iter,
 _run_adabelief = jax.jit(
     adabelief_scan,
     static_argnames=("loss_fn", "n_iter", "schedule_learning_rate"))
+
+
+def adabelief_scan_extended(loss_fn, free0, consts, lower, upper, n_iter,
+                            init_learning_rate, schedule_learning_rate,
+                            stop_at_loss_increase, min_iterations,
+                            n_param_snapshots):
+    """AdaBelief with the reference's optional optimizer semantics.
+
+    Used only when the caller requests ``stop_at_loss_increase`` /
+    ``min_iterations`` / ``return_param_history`` (reference call sites:
+    processes/star_photometry.py:113-122); the default path stays the
+    lean :func:`adabelief_scan`.
+
+    - stop_at_loss_increase: once the loss exceeds the previous
+      iteration's value (after ``min_iterations``), parameter updates
+      FREEZE.  The loss history still has exactly n_iter entries (XLA
+      shapes are static) — the tail is constant after the stop; the
+      returned ``stopped_at`` gives the effective iteration count.
+    - n_param_snapshots > 0: a ring of parameter snapshots taken every
+      ``n_iter // n_param_snapshots`` iterations (subsampled history —
+      full per-step history of the background grid would be GBs).
+
+    Returns:
+        (best_free, final_free, history[n_iter], stopped_at,
+         param_snapshots or None, snapshot_iterations or None)
+    """
+    opt = make_adabelief(n_iter, init_learning_rate,
+                         schedule_learning_rate)
+    vg = jax.value_and_grad(loss_fn)
+    snap_every = max(1, n_iter // n_param_snapshots) \
+        if n_param_snapshots else 1
+    n_snap = min(n_param_snapshots, n_iter) if n_param_snapshots else 0
+
+    def snap_buf0():
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros((n_snap,) + jnp.shape(x),
+                                jnp.result_type(x)), free0)
+
+    def step(carry, it):
+        (params, opt_state, best_params, best_loss, prev_loss, stopped,
+         stopped_at, buf, buf_it) = carry
+        value, grad = vg(params, consts)
+        improved = value < best_loss
+        best_loss = jnp.where(improved, value, best_loss)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(improved, p, b), best_params, params)
+
+        trigger = (jnp.asarray(stop_at_loss_increase)
+                   & (it >= min_iterations) & (value > prev_loss))
+        newly_stopped = trigger & ~stopped
+        stopped_at = jnp.where(newly_stopped, it, stopped_at)
+        stopped = stopped | trigger
+
+        updates, opt_state_new = opt.update(grad, opt_state, params)
+        params_new = _project(optax.apply_updates(params, updates),
+                              lower, upper)
+        params = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(stopped, old, new), params,
+            params_new)
+        opt_state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(stopped, old, new), opt_state,
+            opt_state_new)
+
+        if n_snap:
+            idx = jnp.minimum(it // snap_every, n_snap - 1)
+            take = (it % snap_every) == 0
+            buf = jax.tree_util.tree_map(
+                lambda b, p: jax.lax.dynamic_update_index_in_dim(
+                    b, jnp.where(take, p, b[idx]), idx, 0), buf, params)
+            buf_it = jax.lax.dynamic_update_index_in_dim(
+                buf_it, jnp.where(take, it, buf_it[idx]), idx, 0)
+
+        return (params, opt_state, best_params, best_loss, value,
+                stopped, stopped_at, buf, buf_it), value
+
+    init = (free0, opt.init(free0), free0,
+            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(jnp.inf, jnp.float32),
+            jnp.asarray(False), jnp.asarray(n_iter, jnp.int32),
+            snap_buf0() if n_snap else (),
+            jnp.zeros(n_snap, jnp.int32) if n_snap else ())
+    (final_params, _, best_params, _, _, _, stopped_at, buf,
+     buf_it), history = jax.lax.scan(step, init,
+                                     jnp.arange(n_iter, dtype=jnp.int32))
+    return (best_params, final_params, history, stopped_at,
+            buf if n_snap else None, buf_it if n_snap else None)
+
+
+_run_adabelief_extended = jax.jit(
+    adabelief_scan_extended,
+    static_argnames=("loss_fn", "n_iter", "schedule_learning_rate",
+                     "stop_at_loss_increase", "min_iterations",
+                     "n_param_snapshots"))
 
 
 def run_adabelief(loss_fn, free0, lower, upper, n_iter,
@@ -192,16 +303,28 @@ class Optimizer:
     def minimize(self, maxiter=None, max_iterations=None, min_iterations=None,
                  init_learning_rate=1e-3, schedule_learning_rate=True,
                  restart_from_init=False, stop_at_loss_increase=False,
-                 progress_bar=False, return_param_history=False):
+                 progress_bar=False, return_param_history=False,
+                 checkpoint_path=None, checkpoint_every=500):
         import time
 
-        del min_iterations, stop_at_loss_increase, progress_bar
+        del progress_bar  # terminal progress is the host logger's job
         n_iter = int(max_iterations if max_iterations is not None else maxiter)
         p = self.parameters
         free0 = p.free0 if restart_from_init else p.best_fit_values(
             as_kwargs=False)
         consts = getattr(self.loss, "consts", None)
         loss_fn = self.loss.loss_fn
+        self._checkpoint_path = checkpoint_path
+        self._checkpoint_every = checkpoint_every
+        self._stop_at_loss_increase = bool(stop_at_loss_increase)
+        self._min_iterations = int(min_iterations or 0)
+        self._return_param_history = bool(return_param_history)
+        if self.method != "adabelief" and (self._stop_at_loss_increase
+                                           or self._return_param_history):
+            # loudly reject rather than silently drop (round-1 verdict)
+            raise ValueError(
+                "stop_at_loss_increase / return_param_history are only "
+                "implemented for method='adabelief'")
         t0 = time.time()
 
         # optional profiler hook: set LIGHTCURVER_JAX_PROFILE_DIR to
@@ -227,11 +350,40 @@ class Optimizer:
         import time
 
         p = self.parameters
-        if self.method == "adabelief":
-            best, final, hist = run_adabelief(
-                loss_fn, free0, p.lower, p.upper, n_iter,
-                init_learning_rate=init_learning_rate,
-                schedule_learning_rate=schedule_learning_rate, consts=consts)
+        stopped_at = None
+        param_snaps = snap_iters = None
+        use_extended = (self._stop_at_loss_increase
+                        or self._return_param_history)
+        if self.method == "adabelief" and use_extended:
+            if consts is None:
+                fn, consts_ = _wrap_legacy(loss_fn), ()
+            else:
+                fn, consts_ = loss_fn, consts
+            best, final, hist, stopped_at, param_snaps, snap_iters = \
+                _run_adabelief_extended(
+                    loss_fn=fn, free0=free0, consts=consts_,
+                    lower=p.lower, upper=p.upper, n_iter=n_iter,
+                    init_learning_rate=init_learning_rate,
+                    schedule_learning_rate=bool(schedule_learning_rate),
+                    stop_at_loss_increase=self._stop_at_loss_increase,
+                    min_iterations=self._min_iterations,
+                    n_param_snapshots=(
+                        64 if self._return_param_history else 0))
+        elif self.method == "adabelief":
+            if self._checkpoint_path is not None:
+                best, final, hist = run_adabelief_checkpointed(
+                    loss_fn, free0, p.lower, p.upper, n_iter,
+                    checkpoint_path=self._checkpoint_path,
+                    init_learning_rate=init_learning_rate,
+                    schedule_learning_rate=schedule_learning_rate,
+                    consts=consts,
+                    checkpoint_every=self._checkpoint_every)
+            else:
+                best, final, hist = run_adabelief(
+                    loss_fn, free0, p.lower, p.upper, n_iter,
+                    init_learning_rate=init_learning_rate,
+                    schedule_learning_rate=schedule_learning_rate,
+                    consts=consts)
         elif self.method in ("l-bfgs-b", "lbfgsb", "l-bfgs"):
             best, final, hist = run_lbfgsb(
                 loss_fn, free0, p.lower, p.upper, n_iter, consts=consts)
@@ -246,8 +398,15 @@ class Optimizer:
         best_kwargs = p.best_fit_values(as_kwargs=True)
         logL = float(hist[np.nanargmin(hist)]) if hist.size else float("nan")
         extra_fields = {"loss_history": hist}
+        if stopped_at is not None:
+            extra_fields["stopped_at"] = int(stopped_at)
         if return_param_history:
-            extra_fields["param_history"] = None  # not recorded (memory)
+            # subsampled FREE-pytree snapshots (leading snapshot axis)
+            # with the iterations they were taken at
+            extra_fields["param_history"] = jax.tree_util.tree_map(
+                np.asarray, param_snaps)
+            extra_fields["param_history_iterations"] = \
+                np.asarray(snap_iters)
         return best_kwargs, logL, extra_fields, runtime
 
 
@@ -259,29 +418,29 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
 
     The reference has NO mid-optimization checkpointing — a killed fit
     restarts from zero (SURVEY §5).  Here the scan runs in
-    ``checkpoint_every``-iteration segments; after each, the best free
-    pytree + loss history so far are written to ``checkpoint_path``
-    (.npz).  A later call with the same path resumes from the last
-    completed segment.  The lr schedule spans the FULL run, so a
-    resumed fit follows the same trajectory as an uninterrupted one.
+    ``checkpoint_every``-iteration segments; after each, the full
+    optimizer carry + loss history so far are written to
+    ``checkpoint_path`` as a flat ``.npz`` (leaves only — the pytree
+    structure is rebuilt from a fresh carry, so loading never executes
+    stored code).  A later call with the same path resumes from the last
+    completed segment.  The lr schedule spans the FULL run, so a resumed
+    fit follows the same trajectory as an uninterrupted one.
+
+    A checkpoint recorded for a different ``n_iter`` is an error (the lr
+    schedule and trajectory would not match): ValueError, never a silent
+    restart-from-zero.
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
     """
     import os
-    import pickle
 
     import numpy as np
 
     n_iter = int(n_iter)
     every = int(checkpoint_every)
-    if schedule_learning_rate:
-        lr = optax.exponential_decay(init_learning_rate, max(n_iter, 1),
-                                     0.01)
-    else:
-        lr = init_learning_rate
-
-    opt = optax.adabelief(learning_rate=lr)
+    opt = make_adabelief(n_iter, init_learning_rate,
+                         schedule_learning_rate)
 
     if consts is None:
         fn, consts_ = _wrap_legacy(loss_fn), ()
@@ -292,42 +451,50 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
         return (free0, opt.init(free0), free0,
                 jnp.asarray(jnp.inf, dtype=jnp.float32))
 
+    treedef = jax.tree_util.tree_structure(fresh_carry())
+
+    def save_state(path, carry, done, history):
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(carry)]
+        payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+        payload["n_iter"] = np.int64(n_iter)
+        payload["done"] = np.int64(done)
+        payload["history"] = np.asarray(history)
+        tmp = str(path) + ".tmp"
+        np.savez(tmp, **payload)
+        # np.savez appends .npz to names without it
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
+
+    def load_state(path):
+        with np.load(path) as z:
+            stored_n_iter = int(z["n_iter"])
+            if stored_n_iter != n_iter:
+                raise ValueError(
+                    f"checkpoint {path} was recorded for n_iter="
+                    f"{stored_n_iter}, requested {n_iter}; refusing to "
+                    "resume (the lr schedule would not match) — delete "
+                    "the checkpoint to restart")
+            n_leaves = treedef.num_leaves
+            leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
+            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            return carry, int(z["done"]), np.asarray(z["history"])
+
     start = 0
     carry = None
     histories = []
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
-        with open(checkpoint_path, "rb") as f:
-            state = pickle.load(f)
-        if state["n_iter"] == n_iter and state["done"] >= n_iter:
+        carry, done_stored, history_stored = load_state(checkpoint_path)
+        if done_stored >= n_iter:
             # already complete: return the stored result
-            params, _, best_params, _ = jax.tree_util.tree_map(
-                jnp.asarray, state["carry"])
-            return best_params, params, np.asarray(
-                state["history"])[:n_iter]
-        if state["n_iter"] == n_iter and state["done"] < n_iter:
-            start = state["done"]
-            carry = jax.tree_util.tree_map(jnp.asarray, state["carry"])
-            histories = [np.asarray(state["history"])]
+            params, _, best_params, _ = carry
+            return best_params, params, history_stored[:n_iter]
+        start = done_stored
+        histories = [history_stored]
     if carry is None:
         carry = fresh_carry()
 
     @functools.partial(jax.jit, static_argnames=("length",))
     def segment(carry, consts, length):
-        vg = jax.value_and_grad(fn)
-
-        def step(carry, _):
-            params, opt_state, best_params, best_loss = carry
-            value, grad = vg(params, consts)
-            improved = value < best_loss
-            best_loss = jnp.where(improved, value, best_loss)
-            best_params = jax.tree_util.tree_map(
-                lambda b, p: jnp.where(improved, p, b), best_params,
-                params)
-            updates, opt_state = opt.update(grad, opt_state, params)
-            params = _project(optax.apply_updates(params, updates),
-                              lower, upper)
-            return (params, opt_state, best_params, best_loss), value
-
+        step = adabelief_step_fn(fn, opt, consts, lower, upper)
         return jax.lax.scan(step, carry, None, length=length)
 
     done = start
@@ -337,14 +504,8 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
         histories.append(np.asarray(hist))
         done += length
         if checkpoint_path is not None:
-            state = {
-                "n_iter": n_iter, "done": done,
-                "carry": jax.tree_util.tree_map(np.asarray, carry),
-                "history": np.concatenate(histories),
-            }
-            with open(str(checkpoint_path) + ".tmp", "wb") as f:
-                pickle.dump(state, f)
-            os.replace(str(checkpoint_path) + ".tmp", checkpoint_path)
+            save_state(checkpoint_path, carry, done,
+                       np.concatenate(histories))
 
     history = np.concatenate(histories)[:n_iter]
     final_params, _, best_params, _ = carry

@@ -76,7 +76,83 @@ def pad_epochs(arrays, n_devices, noise_pad=1e8):
     return out, n + n_pad
 
 
-_EPOCH_CONST_KEYS = frozenset({"data", "sigma_2", "ps_hat", "grid_hat"})
+def pad_epoch_stacks(data, sigma_2, psf, n_devices, var_pad=1e16):
+    """Pad (data, sigma_2, psf) epoch stacks to a multiple of n_devices.
+
+    Dummy epochs get zero data, huge noise variance and a copy of the
+    last real epoch's PSF (so spectra stay well-conditioned).  Returns
+    ``(data_p, sigma_2_p, psf_p, epoch_w)`` where ``epoch_w`` is the
+    (N_padded,) 1/0 mask that core Loss applies to every per-epoch term
+    — dummy epochs contribute EXACTLY zero, so a padded fit reproduces
+    the unpadded one bit-for-bit on the real epochs.
+    """
+    n = data.shape[0]
+    n_pad = (-n) % int(n_devices)
+    epoch_w = np.concatenate(
+        [np.ones(n, np.float32), np.zeros(n_pad, np.float32)])
+    if n_pad == 0:
+        return data, sigma_2, psf, epoch_w
+    zeros = np.zeros((n_pad,) + data.shape[1:], dtype=np.float32)
+    data_p = np.concatenate([np.asarray(data, np.float32), zeros])
+    sigma_2_p = np.concatenate(
+        [np.asarray(sigma_2, np.float32), np.full_like(zeros, var_pad)])
+    psf_p = np.concatenate(
+        [np.asarray(psf, np.float32),
+         np.repeat(np.asarray(psf, np.float32)[-1:], n_pad, axis=0)])
+    return data_p, sigma_2_p, psf_p, epoch_w
+
+
+_PER_EPOCH_VEC = frozenset({"dx", "dy", "alpha", "mean"})
+
+
+def pad_epoch_kwargs(kwargs, n_real, n_pad, n_sources):
+    """Extend per-epoch leaves of a kwargs pytree by n_pad dummy epochs.
+
+    ``a`` (epoch-major flat, length n_real * n_sources) is padded with
+    each source's mean flux so the masked flux-uniformity and positivity
+    terms are untouched; ``dx/dy/alpha/mean`` pad with zeros.  Leaves of
+    other names/shapes pass through unchanged.
+    """
+    if n_pad == 0:
+        return kwargs
+    out = {}
+    for k, v in kwargs.items():
+        if isinstance(v, dict):
+            out[k] = pad_epoch_kwargs(v, n_real, n_pad, n_sources)
+        elif k == "a" and np.size(v) == n_real * n_sources:
+            a = np.asarray(v, np.float32).reshape(n_real, n_sources)
+            fill = np.broadcast_to(a.mean(axis=0), (n_pad, n_sources))
+            out[k] = jnp.asarray(
+                np.concatenate([a, fill]).ravel())
+        elif k in _PER_EPOCH_VEC and np.shape(v) == (n_real,):
+            out[k] = jnp.asarray(np.concatenate(
+                [np.asarray(v, np.float32), np.zeros(n_pad, np.float32)]))
+        else:
+            out[k] = v
+    return out
+
+
+def strip_epoch_kwargs(kwargs, n_real, n_pad, n_sources):
+    """Inverse of :func:`pad_epoch_kwargs`: drop the dummy epochs."""
+    if n_pad == 0:
+        return kwargs
+    n_all = n_real + n_pad
+    out = {}
+    for k, v in kwargs.items():
+        if isinstance(v, dict):
+            out[k] = strip_epoch_kwargs(v, n_real, n_pad, n_sources)
+        elif k == "a" and np.size(v) == n_all * n_sources:
+            out[k] = jnp.asarray(np.asarray(v).reshape(
+                n_all, n_sources)[:n_real].ravel())
+        elif k in _PER_EPOCH_VEC and np.shape(v) == (n_all,):
+            out[k] = jnp.asarray(np.asarray(v)[:n_real])
+        else:
+            out[k] = v
+    return out
+
+
+_EPOCH_CONST_KEYS = frozenset({"data", "sigma_2", "ps_hat", "grid_hat",
+                               "epoch_w"})
 
 
 def shard_consts(mesh, consts):
@@ -132,8 +208,11 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
         psf: (N, mp, mp) per-epoch narrow PSFs.
         xs, ys: (M,) initial source positions (data px, center origin).
         subsampling_factor: int s.
-        mesh: 1-D mesh from :func:`..parallel.mesh.epoch_mesh`; N must be
-            divisible by its size (see :func:`pad_epochs`).
+        mesh: 1-D mesh from :func:`..parallel.mesh.epoch_mesh`; any N
+            works — non-divisible epoch counts are padded internally with
+            zero-weight dummy epochs (:func:`pad_epoch_stacks`) whose
+            loss contribution is exactly masked out, and stripped from
+            the returned kwargs.
         kwargs_fixed: fixed-parameter spec (default: the setup_model one).
         n_iter: AdaBelief iterations (loss history has exactly this many
             entries, matching the reference optimizer contract).
@@ -141,15 +220,26 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
             (regularization strengths, W, prior, ...).
 
     Returns:
-        (kwargs_best, model, loss_history)
+        (kwargs_best, model, loss_history) — kwargs and model are sized
+        for the REAL epoch count.
     """
-    n_epochs = data.shape[0]
-    if n_epochs % mesh.size != 0:
-        raise ValueError(
-            f"n_epochs={n_epochs} not divisible by mesh size {mesh.size}; "
-            "pad with pad_epochs() first")
-    model, kwargs_init, kwargs_up, kwargs_down, default_fixed = setup_model(
-        data, sigma_2, psf, xs, ys, subsampling_factor, initial_a=initial_a)
+    n_real = data.shape[0]
+    n_sources = np.atleast_1d(np.asarray(xs)).size
+    data_p, sigma_2_p, psf_p, epoch_w = pad_epoch_stacks(
+        np.asarray(data, np.float32), np.asarray(sigma_2, np.float32),
+        np.asarray(psf, np.float32), mesh.size)
+    n_pad = data_p.shape[0] - n_real
+    if initial_a is not None and n_pad:
+        initial_a = np.asarray(initial_a, np.float32).ravel()
+        if initial_a.size == n_real * n_sources:
+            initial_a = np.asarray(pad_epoch_kwargs(
+                {"a": initial_a}, n_real, n_pad, n_sources)["a"])
+    if kwargs_fixed is not None and n_pad:
+        kwargs_fixed = pad_epoch_kwargs(kwargs_fixed, n_real, n_pad,
+                                        n_sources)
+    model_p, kwargs_init, kwargs_up, kwargs_down, default_fixed = setup_model(
+        data_p, sigma_2_p, psf_p, xs, ys, subsampling_factor,
+        initial_a=initial_a)
 
     params = Params(kwargs_init,
                     kwargs_fixed if kwargs_fixed is not None else default_fixed,
@@ -159,7 +249,8 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
     params.lower = shard_pytree(mesh, params.lower)
     params.upper = shard_pytree(mesh, params.upper)
 
-    loss = Loss(data, model, params, sigma_2, **(loss_kwargs or {}))
+    loss = Loss(data_p, model_p, params, sigma_2_p, epoch_weights=epoch_w,
+                **(loss_kwargs or {}))
     consts = shard_consts(mesh, loss.consts)
 
     from ..core.optimize import run_adabelief
@@ -168,4 +259,13 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
         loss.loss_fn, params.free0, params.lower, params.upper, n_iter,
         init_learning_rate=init_learning_rate, consts=consts)
     params.set_best(best)
-    return params.best_fit_values(as_kwargs=True), model, np.asarray(history)
+    kwargs_best = strip_epoch_kwargs(
+        params.best_fit_values(as_kwargs=True), n_real, n_pad, n_sources)
+    if n_pad:
+        from ..core.deconv.model import DeconvModel
+
+        model = DeconvModel(psf, subsampling_factor, data.shape[-1],
+                            n_real, n_sources)
+    else:
+        model = model_p
+    return kwargs_best, model, np.asarray(history)

@@ -109,11 +109,18 @@ def stack_data_diagnostic(data, noisemap, kwargs, model):
 
 
 def _maybe_epoch_mesh(n_epochs):
-    """A mesh over all devices when it evenly divides the epochs."""
+    """A mesh over all devices whenever more than one is visible.
+
+    Any epoch count shards: non-divisible counts (e.g. the reference's
+    own 87-frame tutorial dataset on 8 chips) are padded with exactly
+    masked dummy epochs (parallel/deconv.pad_epoch_stacks), never
+    silently dropped to a single device.
+    """
     import jax
 
+    del n_epochs
     n_dev = jax.device_count()
-    if n_dev > 1 and n_epochs % n_dev == 0:
+    if n_dev > 1:
         from ..parallel.mesh import epoch_mesh
 
         return epoch_mesh(n_dev)
@@ -241,12 +248,44 @@ def do_modelling_of_roi():
                        "using defaults.")
 
     mesh = _maybe_epoch_mesh(n_epochs)
+    n_pad = 0
+    n_sources = len(ordered_ps)
+    model_fit, data_fit, var_fit, epoch_w = model, data, noisemap**2, None
     if mesh is not None:
+        from ..parallel.deconv import pad_epoch_stacks
+
+        data_fit, var_fit, psf_fit, epoch_w = pad_epoch_stacks(
+            data, noisemap**2, psf, mesh.size)
+        n_pad = data_fit.shape[0] - n_epochs
+        if n_pad:
+            from ..core.deconv.model import DeconvModel
+
+            model_fit = DeconvModel(psf_fit, subsampling_factor,
+                                    data.shape[-1], n_epochs + n_pad,
+                                    n_sources)
         logger.info(f"Epoch-sharding the joint fit over {mesh.size} "
-                    "devices.")
+                    f"devices ({n_pad} zero-weight padding epochs).")
+
+    # mid-fit checkpointing of the long stage-2 optimization, keyed by
+    # footprint hash (the data identity), opt-in via
+    # deconv_checkpoint_every; the checkpoint is deleted on success so a
+    # stale file can never replay a finished fit against changed inputs
+    checkpoint_every = int(user_config["deconv_checkpoint_every"] or 0)
+    checkpoint_path = None
+    if checkpoint_every > 0:
+        user_config["checkpoints_dir"].mkdir(exist_ok=True, parents=True)
+        checkpoint_path = (user_config["checkpoints_dir"]
+                           / f"roi_{footprint_hash}_{roi}_stage2.ckpt")
 
     def run_fit(kwargs_start, kwargs_fixed, method, n_iter, loss_kwargs,
-                lr, schedule):
+                lr, schedule, checkpoint=False):
+        if n_pad:
+            from ..parallel.deconv import pad_epoch_kwargs
+
+            kwargs_start = pad_epoch_kwargs(kwargs_start, n_epochs, n_pad,
+                                            n_sources)
+            kwargs_fixed = pad_epoch_kwargs(kwargs_fixed, n_epochs, n_pad,
+                                            n_sources)
         params = Params(kwargs_start, kwargs_fixed, kwargs_up, kwargs_down)
         if mesh is not None:
             from ..parallel.deconv import shard_pytree
@@ -255,15 +294,26 @@ def do_modelling_of_roi():
             params.fixed = shard_pytree(mesh, params.fixed)
             params.lower = shard_pytree(mesh, params.lower)
             params.upper = shard_pytree(mesh, params.upper)
-        loss = Loss(data, model, params, noisemap**2, **loss_kwargs)
+        loss = Loss(data_fit, model_fit, params, var_fit,
+                    epoch_weights=epoch_w, **loss_kwargs)
         if mesh is not None:
             from ..parallel.deconv import shard_consts
 
             loss.consts = shard_consts(mesh, loss.consts)
         optim = Optimizer(loss, params, method=method)
+        ckpt = checkpoint_path if (checkpoint and method == "adabelief") \
+            else None
         optim.minimize(max_iterations=n_iter, init_learning_rate=lr,
-                       schedule_learning_rate=schedule)
-        return params.best_fit_values(as_kwargs=True), optim
+                       schedule_learning_rate=schedule,
+                       checkpoint_path=ckpt,
+                       checkpoint_every=checkpoint_every or 500)
+        kwargs_best = params.best_fit_values(as_kwargs=True)
+        if n_pad:
+            from ..parallel.deconv import strip_epoch_kwargs
+
+            kwargs_best = strip_epoch_kwargs(kwargs_best, n_epochs, n_pad,
+                                             n_sources)
+        return kwargs_best, optim
 
     # ---- stage 1: only dx, dy and fluxes free --------------------------
     kwargs_fixed_1 = deepcopy(kwargs_init)
@@ -312,7 +362,9 @@ def do_modelling_of_roi():
              regularization_strength_flux_uniformity=reg.get(
                  "regularization_scatter_fluxes_main_optim", 10.0),
              W=W, prior=astrometric_prior),
-        lr=1e-4, schedule=False)
+        lr=1e-4, schedule=False, checkpoint=True)
+    if checkpoint_path is not None and checkpoint_path.exists():
+        checkpoint_path.unlink()
 
     # exact GLS flux polish at the fitted positions and background
     from ..core.fisher import linear_flux_solve

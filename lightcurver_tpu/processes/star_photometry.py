@@ -286,13 +286,31 @@ def _fit_star_jobs_batched(user_config, jobs):
         psf[i, :k] = job["psf"]
         psf[i, k:] = job["psf"][0]  # dummy epochs need a valid PSF
 
+    # opt-in mid-fit checkpointing (deconv_checkpoint_every), keyed by
+    # the job-set content so a resumed run must match the pending stars
+    checkpoint_every = int(user_config["deconv_checkpoint_every"] or 0)
+    checkpoint_path = None
+    if checkpoint_every > 0:
+        import hashlib
+
+        user_config["checkpoints_dir"].mkdir(exist_ok=True, parents=True)
+        job_key = hashlib.sha256(
+            (",".join(str(j["star"]["gaia_id"]) for j in jobs)
+             + f":{data.shape}").encode()).hexdigest()[:16]
+        checkpoint_path = (user_config["checkpoints_dir"]
+                           / f"star_photometry_{job_key}.ckpt")
+
     out = fit_stars_batched(
         data, noise, psf, user_config["subsampling_factor"],
         n_iter=user_config["star_deconv_n_iter"],
         uniform_background_per_epoch=user_config[
             "star_photometry_uniform_background_per_epoch"],
         starlet_global_background=user_config[
-            "star_photometry_starlet_global_background"])
+            "star_photometry_starlet_global_background"],
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every or 500)
+    if checkpoint_path is not None and checkpoint_path.exists():
+        checkpoint_path.unlink()
 
     results = []
     for i, job in enumerate(jobs):

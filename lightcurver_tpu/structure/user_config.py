@@ -78,6 +78,8 @@ def get_user_config():
     config.setdefault("constraints_on_frame_columns_for_roi", {})
     config.setdefault("constraints_on_normalization_coeff", {})
     config.setdefault("fix_point_source_astrometry", False)
+    config.setdefault("deconv_checkpoint_every", 0)
+    config["checkpoints_dir"] = workdir / "checkpoints"
     return config
 
 

@@ -55,9 +55,7 @@ def test_resume_matches_uninterrupted(problem, tmp_path):
 
 
 def test_partial_checkpoint_resumes(problem, tmp_path):
-    """Simulate an interruption by checkpointing a shorter prefix."""
-    import pickle
-
+    """Simulate an interruption by rewinding the checkpoint's done marker."""
     from lightcurver_tpu.core.optimize import run_adabelief_checkpointed
 
     loss, params = problem
@@ -66,14 +64,15 @@ def test_partial_checkpoint_resumes(problem, tmp_path):
         loss.loss_fn, params.free0, params.lower, params.upper, 80,
         checkpoint_path=str(ckpt), consts=loss.consts,
         checkpoint_every=40)
-    with open(ckpt, "rb") as f:
-        state = pickle.load(f)
+    with np.load(ckpt) as z:
+        state = dict(z)
     # rewind the checkpoint to the 40-iteration point
-    state["done"] = 40
+    state["done"] = np.int64(40)
     state["history"] = state["history"][:40]
-    state["n_iter"] = 80
-    with open(ckpt, "wb") as f:
-        pickle.dump(state, f)
+    np.savez(str(ckpt) + ".new", **state)
+    import os
+
+    os.replace(str(ckpt) + ".new.npz", ckpt)
 
     best, final, hist = run_adabelief_checkpointed(
         loss.loss_fn, params.free0, params.lower, params.upper, 80,
@@ -81,3 +80,94 @@ def test_partial_checkpoint_resumes(problem, tmp_path):
         checkpoint_every=40)
     assert hist.shape == (80,)
     assert np.isfinite(hist).all()
+
+
+@pytest.fixture()
+def star_batch():
+    from lightcurver_tpu.utilities.synthetic import make_star_stamps
+
+    data, noise, psf = [], [], []
+    for sidx in range(3):
+        st = make_star_stamps(n_stars=4, n_pix=16, s=2, seed=sidx,
+                              fwhm_x=2.6, fwhm_y=2.6)
+        data.append(st["data"])
+        noise.append(st["sigma"])
+        m = st["psf_true"].shape[-1]
+        psf.append(np.broadcast_to(st["psf_true"], (4, m, m)))
+    return np.stack(data), np.stack(noise), np.stack(psf)
+
+
+def test_batched_star_fit_checkpoint_matches_unsegmented(star_batch,
+                                                         tmp_path):
+    """The segmented batched star fit equals the single-program fit."""
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+
+    data, noise, psf = star_batch
+    ref = fit_stars_batched(data, noise, psf, 2, n_iter=200)
+    out = fit_stars_batched(data, noise, psf, 2, n_iter=200,
+                            checkpoint_path=str(tmp_path / "stars.ckpt"),
+                            checkpoint_every=80)
+    np.testing.assert_allclose(out["fluxes"], ref["fluxes"], rtol=1e-5)
+    np.testing.assert_allclose(out["loss_history"], ref["loss_history"],
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_killed_batched_fit_resumes_exactly(star_batch, tmp_path,
+                                            monkeypatch):
+    """Kill the batched fit after its first segment (genuine interrupt),
+    re-run, and get the uninterrupted result."""
+    from lightcurver_tpu.core.deconv import batched
+
+    data, noise, psf = star_batch
+    ref = batched.fit_stars_batched(data, noise, psf, 2, n_iter=200)
+
+    ckpt = tmp_path / "stars.ckpt"
+    calls = {"n": 0}
+    orig = batched._segment_stars
+
+    def bomb(*args, **kwargs):
+        if calls["n"] >= 1:
+            raise KeyboardInterrupt("simulated kill")
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(batched, "_segment_stars", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        batched.fit_stars_batched(data, noise, psf, 2, n_iter=200,
+                                  checkpoint_path=str(ckpt),
+                                  checkpoint_every=80)
+    monkeypatch.setattr(batched, "_segment_stars", orig)
+    assert ckpt.exists()
+    with np.load(ckpt) as z:
+        assert int(z["done"]) == 80  # one segment survived
+
+    resumed = batched.fit_stars_batched(data, noise, psf, 2, n_iter=200,
+                                        checkpoint_path=str(ckpt),
+                                        checkpoint_every=80)
+    np.testing.assert_allclose(resumed["fluxes"], ref["fluxes"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(resumed["loss_history"],
+                               ref["loss_history"], rtol=1e-5, atol=1e-4)
+
+
+def test_checkpoint_is_not_pickle_and_n_iter_mismatch_raises(
+        problem, tmp_path):
+    """Checkpoints are plain npz (no code execution on load) and a
+    checkpoint recorded for a different n_iter is refused, not silently
+    discarded (advisor round-1 finding)."""
+    from lightcurver_tpu.core.optimize import run_adabelief_checkpointed
+
+    loss, params = problem
+    ckpt = tmp_path / "fit.ckpt"
+    run_adabelief_checkpointed(
+        loss.loss_fn, params.free0, params.lower, params.upper, 40,
+        checkpoint_path=str(ckpt), consts=loss.consts,
+        checkpoint_every=20)
+    # the file is a zip/npz, not a pickle stream
+    with open(ckpt, "rb") as f:
+        assert f.read(2) == b"PK"
+    with pytest.raises(ValueError, match="n_iter"):
+        run_adabelief_checkpointed(
+            loss.loss_fn, params.free0, params.lower, params.upper, 60,
+            checkpoint_path=str(ckpt), consts=loss.consts,
+            checkpoint_every=20)

@@ -123,6 +123,54 @@ class TestDeconvContract:
         assert errs.shape == (5,)
         assert np.all(errs > 0)
 
+    def test_optimizer_options_honored(self, blob_stack):
+        """The reference passes stop_at_loss_increase / min_iterations /
+        return_param_history (star_photometry.py:113-122); round 1
+        silently dropped them — now they must do something."""
+        data, noisemap, psf = blob_stack
+        model, kw_init, kw_up, kw_down, kw_fixed = setup_model(
+            data, noisemap**2, psf, np.array([0.0]), np.array([0.0]), 1,
+            list(np.nansum(data, axis=(1, 2))))
+
+        # return_param_history: subsampled snapshots with iterations
+        params = Params(kw_init, kw_fixed, kw_up, kw_down)
+        loss = Loss(data, model, params, noisemap**2)
+        optim = Optimizer(loss, params, method="adabelief")
+        best, logL, extra, runtime = optim.minimize(
+            max_iterations=100, init_learning_rate=1e-2,
+            restart_from_init=True, return_param_history=True)
+        ph = extra["param_history"]
+        assert ph is not None
+        a_hist = np.asarray(ph["kwargs_analytic"]["a"])
+        assert a_hist.ndim == 2 and a_hist.shape[1] == 5
+        iters = extra["param_history_iterations"]
+        assert iters[0] == 0 and (np.diff(iters) > 0).all()
+        # snapshots actually evolve
+        assert not np.allclose(a_hist[0], a_hist[-1])
+        assert len(extra["loss_history"]) == 100
+
+        # stop_at_loss_increase freezes the trajectory once the loss
+        # ticks up (with a big lr it will), after min_iterations
+        params2 = Params(kw_init, kw_fixed, kw_up, kw_down)
+        loss2 = Loss(data, model, params2, noisemap**2)
+        optim2 = Optimizer(loss2, params2, method="adabelief")
+        _, _, extra2, _ = optim2.minimize(
+            max_iterations=200, init_learning_rate=0.5,
+            schedule_learning_rate=False, restart_from_init=True,
+            stop_at_loss_increase=True, min_iterations=5)
+        stopped_at = extra2["stopped_at"]
+        assert 5 <= stopped_at < 200
+        hist = np.asarray(extra2["loss_history"])
+        # frozen tail: constant after the stop
+        tail = hist[stopped_at + 1:]
+        if tail.size:
+            assert float(np.ptp(tail)) == 0.0
+
+        # options on l-bfgs-b are rejected loudly, never dropped
+        optim3 = Optimizer(loss2, params2, method="l-bfgs-b")
+        with pytest.raises(ValueError, match="adabelief"):
+            optim3.minimize(max_iterations=10, return_param_history=True)
+
     def test_propagate_noise_shapes(self, blob_stack):
         data, noisemap, psf = blob_stack
         model, kw_init, *_ = setup_model(

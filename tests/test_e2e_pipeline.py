@@ -153,6 +153,8 @@ def workdir(tmp_path_factory):
         "star_deconv_n_iter": 250,
         "roi_deconv_translations_iters": 40,
         "roi_deconv_all_iters": 400,
+        # exercise the segmented (resumable) optimizer paths end-to-end
+        "deconv_checkpoint_every": 100,
         "point_sources": {
             ps: [float(ROI_RA + dx / 3600.0 / np.cos(np.radians(ROI_DEC))),
                  float(ROI_DEC + dy / 3600.0)]
@@ -248,6 +250,9 @@ def test_roi_products_and_fluxes(pipeline_run, workdir):
     # high-res model + stacks written
     assert list(out_dir.glob("*_high_res_model.fits"))
     assert list(out_dir.glob("*_stack.fits"))
+    # the fits ran checkpointed (deconv_checkpoint_every=100) and the
+    # checkpoints were cleaned up on success — no stale-resume hazard
+    assert not list((workdir / "checkpoints").glob("*.ckpt"))
 
 
 def test_rerun_is_incremental(pipeline_run):

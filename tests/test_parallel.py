@@ -82,6 +82,89 @@ def test_pad_epochs():
     assert (padded["sigma"][5:] == 1e8).all()
 
 
+def test_pad_strip_kwargs_roundtrip():
+    from lightcurver_tpu.parallel.deconv import (pad_epoch_kwargs,
+                                                 strip_epoch_kwargs)
+
+    n, n_pad, M = 5, 3, 2
+    kwargs = {
+        "kwargs_analytic": {
+            "a": np.arange(n * M, dtype=np.float32),
+            "c_x": np.array([1.0, 2.0], np.float32),
+            "dx": np.arange(n, dtype=np.float32),
+        },
+        "kwargs_background": {"mean": np.zeros(n, np.float32),
+                              "h": np.zeros(16, np.float32)},
+    }
+    padded = pad_epoch_kwargs(kwargs, n, n_pad, M)
+    assert padded["kwargs_analytic"]["a"].size == (n + n_pad) * M
+    assert padded["kwargs_analytic"]["dx"].shape == (n + n_pad,)
+    # shared leaves untouched
+    np.testing.assert_array_equal(padded["kwargs_analytic"]["c_x"],
+                                  kwargs["kwargs_analytic"]["c_x"])
+    assert padded["kwargs_background"]["h"].size == 16
+    # dummy fluxes sit at the per-source mean (uniformity-reg neutral)
+    a_pad = np.asarray(padded["kwargs_analytic"]["a"]).reshape(-1, M)
+    np.testing.assert_allclose(
+        a_pad[n:], np.broadcast_to(a_pad[:n].mean(axis=0), (n_pad, M)))
+    stripped = strip_epoch_kwargs(padded, n, n_pad, M)
+    for grp in kwargs:
+        for k in kwargs[grp]:
+            np.testing.assert_array_equal(np.asarray(stripped[grp][k]),
+                                          np.asarray(kwargs[grp][k]))
+
+
+@pytest.mark.parametrize("n_epochs", [10, 87])
+def test_sharded_fit_pads_non_divisible(n_epochs):
+    """Any epoch count shards: 10 and 87 epochs on the 8-device mesh
+    reproduce the single-device fit (dummy epochs exactly masked).
+
+    87 is the reference's own tutorial dataset size
+    (reference docs/mkdocs/contents/tutorial.md:166-169) — the round-1
+    implementation silently fell back to a single device here."""
+    import __graft_entry__ as ge
+    from lightcurver_tpu.parallel.mesh import epoch_mesh
+    from lightcurver_tpu.parallel.deconv import fit_deconv_sharded
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.core.deconv.loss import Loss
+    from lightcurver_tpu.core.params import Params
+    from lightcurver_tpu.core.optimize import run_adabelief
+
+    data, sigma_2, psf, xs, ys, s = ge._toy_problem(
+        n_epochs=n_epochs, n_pix=12, s=2, n_sources=2)
+    n_iter = 60 if n_epochs > 20 else 120
+
+    model, kwargs_init, kwargs_up, kwargs_down, kwargs_fixed = setup_model(
+        data, sigma_2, psf, xs, ys, s)
+    params = Params(kwargs_init, kwargs_fixed, kwargs_up, kwargs_down)
+    loss = Loss(data, model, params, sigma_2)
+    best, _, hist_single = run_adabelief(
+        loss.loss_fn, params.free0, params.lower, params.upper, n_iter,
+        init_learning_rate=1e-2, consts=loss.consts)
+    params.set_best(best)
+    kwargs_single = params.best_fit_values(as_kwargs=True)
+
+    mesh = epoch_mesh(8)
+    kwargs_sharded, model_out, hist_sharded = fit_deconv_sharded(
+        data, sigma_2, psf, xs, ys, s, mesh, n_iter=n_iter,
+        init_learning_rate=1e-2)
+
+    # zero-weight masking is exact: the padded loss history IS the
+    # unpadded one (up to reduction-order noise)
+    assert hist_sharded.shape == (n_iter,)
+    np.testing.assert_allclose(np.asarray(hist_sharded),
+                               np.asarray(hist_single),
+                               rtol=2e-4, atol=1e-3)
+    # returned kwargs/model are real-epoch sized
+    a_s = np.asarray(kwargs_sharded["kwargs_analytic"]["a"])
+    assert a_s.size == n_epochs * 2
+    assert model_out.n_epochs == n_epochs
+    np.testing.assert_allclose(
+        a_s, np.asarray(kwargs_single["kwargs_analytic"]["a"]),
+        rtol=1e-3, atol=1e-3)
+    assert kwargs_sharded["kwargs_analytic"]["dx"].shape == (n_epochs,)
+
+
 def test_sharded_fit_with_mxu_backend(toy):
     """The MXU-DFT consts (replicated matrices) shard correctly."""
     from lightcurver_tpu import ops
