@@ -1,0 +1,149 @@
+"""Projected optax L-BFGS vs scipy's Fortran L-BFGS-B on the bounded
+Moffat problem.
+
+The reference's Moffat/stage-1 engine is scipy's L-BFGS-B (via STARRED,
+reference pipeline/example_config_file/config.yaml:226); the TPU build
+replaces it with a jit-compiled projected optax.lbfgs (core/optimize.py).
+SURVEY §7 flags this as a hard part: here both optimizers minimize the
+SAME production loss (core/psf/build._phase_losses) under the SAME box
+bounds, on two seeing regimes, and must reach the same minimum and the
+same Moffat FWHMs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _moffat_problem(fwhm, seed=0, n_stars=5, n_pix=20, s=2):
+    """The exact phase-1 setup of core/psf/build.build_psf."""
+    from lightcurver_tpu.core.psf.build import _phase_losses
+    from lightcurver_tpu.core.psf.distortion import zero_distortion_kwargs
+    from lightcurver_tpu.core.params import Params
+    from lightcurver_tpu.utilities.synthetic import make_star_stamps
+
+    st = make_star_stamps(n_stars=n_stars, n_pix=n_pix, s=s, seed=seed,
+                          fwhm_x=fwhm, fwhm_y=fwhm)
+    image, noisemap = st["data"], st["sigma"]
+    m = n_pix * s
+
+    scale = float(np.nanmax(image))
+    data = jnp.asarray(np.nan_to_num(image / scale))
+    sigma_2 = jnp.asarray(np.nan_to_num(noisemap / scale, nan=1e8)) ** 2
+    masks = jnp.ones_like(data, dtype=bool)
+
+    model, loss_moffat, _ = _phase_losses(n_stars, n_pix, s, False)
+    a0 = np.clip(np.nansum(image / scale, axis=(1, 2)), 1e-3, None)
+    kwargs_init = {
+        "kwargs_moffat": {"fwhm_x": jnp.asarray(3.0, jnp.float32),
+                          "fwhm_y": jnp.asarray(3.0, jnp.float32),
+                          "beta": jnp.asarray(2.5, jnp.float32)},
+        "kwargs_gaussian": {"a": jnp.asarray(a0, jnp.float32),
+                            "x0": jnp.zeros(n_stars, jnp.float32),
+                            "y0": jnp.zeros(n_stars, jnp.float32)},
+        "kwargs_background": {"background": jnp.zeros(m * m, jnp.float32)},
+        "kwargs_distortion": zero_distortion_kwargs(),
+    }
+    kwargs_up = {
+        "kwargs_moffat": {"fwhm_x": 0.9 * n_pix, "fwhm_y": 0.9 * n_pix,
+                          "beta": 10.0},
+        "kwargs_gaussian": {"a": np.inf, "x0": 3.0, "y0": 3.0},
+    }
+    kwargs_down = {
+        "kwargs_moffat": {"fwhm_x": 0.8, "fwhm_y": 0.8, "beta": 1.15},
+        "kwargs_gaussian": {"a": 0.0, "x0": -3.0, "y0": -3.0},
+    }
+    kwargs_fixed = {
+        "kwargs_background": {"background": jnp.zeros(m * m, jnp.float32)},
+        "kwargs_distortion": zero_distortion_kwargs(),
+    }
+    params = Params(kwargs_init, kwargs_fixed, kwargs_up, kwargs_down)
+    consts = {"data": data, "sigma_2": sigma_2, "masks": masks,
+              "stamp_coordinates": jnp.zeros((n_stars, 2), jnp.float32),
+              "fixed": params.fixed}
+    return model, loss_moffat, params, consts
+
+
+@pytest.mark.parametrize("fwhm", [2.0, 4.5])
+def test_lbfgsb_matches_scipy_on_bounded_moffat(fwhm):
+    import scipy.optimize
+    from jax.flatten_util import ravel_pytree
+    from lightcurver_tpu.core.optimize import run_lbfgsb
+
+    model, loss_moffat, params, consts = _moffat_problem(fwhm)
+
+    # ours: jit-compiled projected optax.lbfgs
+    best, _, hist = run_lbfgsb(loss_moffat, params.free0, params.lower,
+                               params.upper, n_iter=100, consts=consts)
+    loss_ours = float(loss_moffat(best, consts))
+    kw_ours = params.merge(best)
+
+    # scipy: Fortran L-BFGS-B on the identical loss/bounds (flattened)
+    x0, unravel = ravel_pytree(params.free0)
+    lo, _ = ravel_pytree(params.lower)
+    hi, _ = ravel_pytree(params.upper)
+    grad_fn = jax.jit(jax.grad(loss_moffat))
+
+    def f(x):
+        return float(loss_moffat(unravel(jnp.asarray(x, jnp.float32)),
+                                 consts))
+
+    def g(x):
+        grad = grad_fn(unravel(jnp.asarray(x, jnp.float32)), consts)
+        return np.asarray(ravel_pytree(grad)[0], dtype=np.float64)
+
+    bounds = [(None if not np.isfinite(a) else float(a),
+               None if not np.isfinite(b) else float(b))
+              for a, b in zip(np.asarray(lo), np.asarray(hi))]
+    res = scipy.optimize.minimize(
+        f, np.asarray(x0, np.float64), jac=g, method="L-BFGS-B",
+        bounds=bounds, options={"maxiter": 300})
+    kw_scipy = params.merge(unravel(jnp.asarray(res.x, jnp.float32)))
+
+    # same minimum: ours within 0.5% of scipy-converged (measured: the
+    # projected optax.lbfgs is within 0.03% at 100 iters and BELOW
+    # scipy at 300)
+    assert loss_ours <= res.fun * 1.005, (
+        f"projected optax.lbfgs stalled above scipy: "
+        f"{loss_ours} vs {res.fun}")
+    # ... and the same physical solution.  The Moffat fwhm/beta valley
+    # is flat at the 1e-4 relative-loss level, so the formal minimizers
+    # sit slightly apart along the degeneracy; the models they predict
+    # agree to a few percent (far below the stamp noise).
+    imgs_ours = np.asarray(model.model(
+        kw_ours, consts["stamp_coordinates"]))
+    imgs_scipy = np.asarray(model.model(
+        kw_scipy, consts["stamp_coordinates"]))
+    rel_l2 = (np.linalg.norm(imgs_ours - imgs_scipy)
+              / np.linalg.norm(imgs_scipy))
+    assert rel_l2 < 0.03, f"model images differ by {rel_l2:.3%}"
+    for key in ("fwhm_x", "fwhm_y"):
+        ours = float(kw_ours["kwargs_moffat"][key])
+        ref = float(kw_scipy["kwargs_moffat"][key])
+        assert ours == pytest.approx(ref, rel=0.05), (key, ours, ref)
+    # fluxes ride the same flat valley (they trade against fwhm/beta):
+    # loose parameter agreement, tight loss agreement
+    np.testing.assert_allclose(
+        np.asarray(kw_ours["kwargs_gaussian"]["a"]),
+        np.asarray(kw_scipy["kwargs_gaussian"]["a"]), rtol=0.10)
+    # loss-history contract: exactly n_iter entries
+    assert hist.shape == (100,)
+
+
+def test_lbfgsb_respects_active_bounds():
+    """Start ON a bound with the optimum outside it: the projected
+    iterate must stay inside the box, like scipy's L-BFGS-B."""
+    from lightcurver_tpu.core.optimize import run_lbfgsb
+
+    def loss(free, consts):
+        del consts
+        return jnp.sum((free["x"] - 5.0) ** 2)
+
+    free0 = {"x": jnp.asarray([2.0], jnp.float32)}
+    lower = {"x": jnp.asarray([0.0], jnp.float32)}
+    upper = {"x": jnp.asarray([2.0], jnp.float32)}
+    best, final, _ = run_lbfgsb(loss, free0, lower, upper, 30,
+                                consts={})
+    assert float(best["x"][0]) == pytest.approx(2.0, abs=1e-6)
