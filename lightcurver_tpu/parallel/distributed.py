@@ -27,10 +27,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
         kwargs["coordinator_address"] = (
             coordinator_address
             or os.environ["JAX_COORDINATOR_ADDRESS"])
+        # `or` would misroute an explicit process_id=0 (falsy) to the env
         kwargs["num_processes"] = int(
-            num_processes or os.environ.get("JAX_NUM_PROCESSES", 1))
+            num_processes if num_processes is not None
+            else os.environ.get("JAX_NUM_PROCESSES", 1))
         kwargs["process_id"] = int(
-            process_id or os.environ.get("JAX_PROCESS_ID", 0))
+            process_id if process_id is not None
+            else os.environ.get("JAX_PROCESS_ID", 0))
     try:
         jax.distributed.initialize(**kwargs)
         logger.info(
