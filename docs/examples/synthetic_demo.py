@@ -32,8 +32,9 @@ DITHER_PX = [(0.0, 0.0), (1.4, -0.8), (-1.1, 0.6)]
 
 
 def sky(dx_arcsec, dy_arcsec):
-    return (ROI_RA + dx_arcsec / 3600.0 / np.cos(np.radians(ROI_DEC)),
-            ROI_DEC + dy_arcsec / 3600.0)
+    return (float(ROI_RA + dx_arcsec / 3600.0
+                  / np.cos(np.radians(ROI_DEC))),
+            float(ROI_DEC + dy_arcsec / 3600.0))
 
 
 def moffat(xx, yy, x0, y0, flux, fwhm, beta=2.8):
