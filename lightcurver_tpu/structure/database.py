@@ -173,6 +173,20 @@ def initialize_database(db_path=None):
         conn.commit()
 
 
+def _clean_params(params):
+    """numpy scalars -> Python scalars before binding.
+
+    sqlite3 binds numpy integers/floats through the buffer protocol as
+    BLOBs, which compare unequal to INTEGER/REAL columns — a query with
+    a pandas-derived np.int64 id silently returns ZERO rows instead of
+    erroring.  Every parameter therefore goes through .item() here.
+    """
+    import numpy as _np
+
+    return tuple(p.item() if isinstance(p, _np.generic) else p
+                 for p in params)
+
+
 def execute_sqlite_query(query, params=(), is_select=True, timeout=15.0,
                          use_pandas=False):
     """Run one query; the pipeline's universal DB access point.
@@ -181,6 +195,7 @@ def execute_sqlite_query(query, params=(), is_select=True, timeout=15.0,
     the affected row count otherwise.  Mirrors the reference helper
     (structure/database.py:35-62).
     """
+    params = _clean_params(params)
     with _connect(timeout=timeout) as conn:
         if is_select:
             if use_pandas:
@@ -193,6 +208,7 @@ def execute_sqlite_query(query, params=(), is_select=True, timeout=15.0,
 
 def executemany_sqlite(query, rows, timeout=15.0):
     """Batched write (upserts); returns the affected row count."""
+    rows = [_clean_params(r) for r in rows]
     with _connect(timeout=timeout) as conn:
         cur = conn.executemany(query, rows)
         conn.commit()

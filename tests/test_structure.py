@@ -84,6 +84,17 @@ def test_star_selection_queries(workdir):
     # per-frame join
     per_frame = select_stars_for_a_frame(1, fp)
     assert set(per_frame["name"]) == {"a", "b", "c"}
+    # numpy-scalar parameters (the type every pandas-derived id has)
+    # must behave exactly like Python ints: sqlite3 would otherwise bind
+    # them as BLOBs and silently return ZERO rows (round-2 regression)
+    import numpy as np
+
+    per_frame_np = select_stars_for_a_frame(np.int64(1), np.int64(fp))
+    assert set(per_frame_np["name"]) == {"a", "b", "c"}
+    rows = execute_sqlite_query(
+        "SELECT COUNT(*) FROM stars_in_frames WHERE frame_id = ?",
+        params=(np.int64(1),))
+    assert rows[0][0] == 3
 
 
 def test_upsert_semantics(workdir):
