@@ -26,8 +26,13 @@ from ..fisher import _diag_fisher
 
 def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                       uniform_background_per_epoch,
-                      starlet_global_background):
-    """Setup of one star's fit: (free0, lower, upper, consts, scale)."""
+                      starlet_global_background, irfft_backend):
+    """Setup of one star's fit: (free0, lower, upper, consts, scale).
+
+    ``irfft_backend`` is a STATIC argument rather than a global read
+    inside the trace, so set_irfft_backend() retraces instead of
+    silently reusing the previous program.
+    """
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     m = model.m
 
@@ -97,9 +102,7 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         "pts_weights": jnp.zeros((1, 1), jnp.float32),
         **spectra,
     }
-    from ...ops import get_irfft_backend
-
-    if get_irfft_backend() == "mxu":
+    if irfft_backend == "mxu":
         from ...ops.dft import make_dft_mats
 
         consts["dft_mats"] = make_dft_mats(2 * m, m)
@@ -113,11 +116,13 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     return free, lower, upper, consts, scale
 
 
-def _star_loss_fn(n_epochs, image_size, s, starlet_global_background):
+def _star_loss_fn(n_epochs, image_size, s, starlet_global_background,
+                  dft_precision):
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     return _build_loss_fn(model.config(),
                           starlet_global_background,  # use_starlet
-                          False, False, False, ())
+                          False, False, False, (),
+                          dft_precision=dft_precision)
 
 
 def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
@@ -161,13 +166,15 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
 
 def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                   n_iter, uniform_background_per_epoch,
-                  starlet_global_background, lr):
+                  starlet_global_background, lr, irfft_backend,
+                  dft_precision):
     """Pure single-star joint fit (fully traceable)."""
     free, lower, upper, consts, scale = _prepare_one_star(
         data, noisemap, psf, key, n_epochs, image_size, s,
-        uniform_background_per_epoch, starlet_global_background)
+        uniform_background_per_epoch, starlet_global_background,
+        irfft_backend)
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
-                            starlet_global_background)
+                            starlet_global_background, dft_precision)
     best, _, history = adabelief_scan(
         loss_fn, free, consts, lower, upper, n_iter, lr, True)
     return _finalize_one_star(best, history, consts, scale, n_epochs,
@@ -178,15 +185,17 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s", "n_iter",
                      "uniform_background_per_epoch",
-                     "starlet_global_background"))
+                     "starlet_global_background", "irfft_backend",
+                     "dft_precision"))
 def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
                uniform_background_per_epoch, starlet_global_background,
-               lr):
+               lr, irfft_backend, dft_precision):
     fit = functools.partial(
         _fit_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
         n_iter=n_iter,
         uniform_background_per_epoch=uniform_background_per_epoch,
-        starlet_global_background=starlet_global_background, lr=lr)
+        starlet_global_background=starlet_global_background, lr=lr,
+        irfft_backend=irfft_backend, dft_precision=dft_precision)
     return jax.vmap(fit)(data, noisemap, psf, keys)
 
 
@@ -200,14 +209,15 @@ def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s",
                      "uniform_background_per_epoch",
-                     "starlet_global_background"))
+                     "starlet_global_background", "irfft_backend"))
 def _prepare_stars(data, noisemap, psf, keys, n_epochs, image_size, s,
                    uniform_background_per_epoch,
-                   starlet_global_background):
+                   starlet_global_background, irfft_backend):
     prep = functools.partial(
         _prepare_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
         uniform_background_per_epoch=uniform_background_per_epoch,
-        starlet_global_background=starlet_global_background)
+        starlet_global_background=starlet_global_background,
+        irfft_backend=irfft_backend)
     return jax.vmap(prep)(data, noisemap, psf, keys)
 
 
@@ -227,13 +237,15 @@ def _init_carry_stars(free0, n_iter, lr):
 @functools.partial(
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s",
-                     "starlet_global_background", "n_iter", "length"))
+                     "starlet_global_background", "n_iter", "length",
+                     "dft_precision"))
 def _segment_stars(carry, consts, lower, upper, lr, n_epochs, image_size,
-                   s, starlet_global_background, n_iter, length):
+                   s, starlet_global_background, n_iter, length,
+                   dft_precision):
     from ..optimize import make_adabelief, adabelief_step_fn
 
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
-                            starlet_global_background)
+                            starlet_global_background, dft_precision)
     opt = make_adabelief(n_iter, lr, True)
 
     def seg(carry, consts, lower, upper):
@@ -255,6 +267,7 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
                             image_size, s, n_iter,
                             uniform_background_per_epoch,
                             starlet_global_background, lr,
+                            irfft_backend, dft_precision,
                             checkpoint_path, checkpoint_every):
     """Host-segmented batched fit with npz checkpoints (leaves only —
     structure rebuilt from a fresh carry, never unpickled)."""
@@ -262,7 +275,8 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
-        uniform_background_per_epoch, starlet_global_background)
+        uniform_background_per_epoch, starlet_global_background,
+        irfft_backend)
     carry = _init_carry_stars(free0, n_iter, lr)
     treedef = jax.tree_util.tree_structure(carry)
 
@@ -297,7 +311,7 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
         length = min(int(checkpoint_every), n_iter - done)
         carry, hist = _segment_stars(
             carry, consts, lower, upper, lr, n_epochs, image_size, s,
-            starlet_global_background, n_iter, length)
+            starlet_global_background, n_iter, length, dft_precision)
         histories.append(np.asarray(hist))  # vmapped scan ys: (S, len)
         done += length
         save_state(done, histories)
@@ -333,11 +347,14 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
                              nan=1e7)
     n_stars, n_epochs, image_size = data.shape[:3]
     keys = jax.random.split(jax.random.PRNGKey(seed), n_stars)
+    from ...ops import get_dft_precision, get_irfft_backend
+
     args = (jnp.asarray(data), jnp.asarray(noisemap),
             jnp.asarray(np.asarray(psf, dtype=np.float32)), keys,
             int(n_epochs), int(image_size), int(subsampling_factor),
             int(n_iter), bool(uniform_background_per_epoch),
-            bool(starlet_global_background), float(lr))
+            bool(starlet_global_background), float(lr),
+            get_irfft_backend(), get_dft_precision())
     if checkpoint_path is None:
         out = _fit_stars(*args)
     else:

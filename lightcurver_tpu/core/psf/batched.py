@@ -68,12 +68,16 @@ def _subset(tree, spec):
 def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
                    n_stars, n_pix, s, field_distortion, n_iter_analytic,
                    n_iter_adabelief, regularization_strength,
-                   adabelief_lr):
-    """Pure single-frame two-phase PSF fit (fully traceable)."""
-    from ...ops import get_dft_precision
+                   adabelief_lr, irfft_backend, dft_precision):
+    """Pure single-frame two-phase PSF fit (fully traceable).
 
+    ``irfft_backend`` / ``dft_precision`` arrive as STATIC arguments
+    (not read from the ops globals inside the trace): a flipped
+    set_irfft_backend()/set_dft_precision() must retrace, not silently
+    reuse the previous program.
+    """
     model, loss_moffat, loss_pixels = _phase_losses(
-        n_stars, n_pix, s, field_distortion, get_dft_precision())
+        n_stars, n_pix, s, field_distortion, dft_precision)
     m = n_pix * s
 
     scale = jnp.nanmax(jnp.where(masks, data, -jnp.inf))
@@ -100,9 +104,7 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
 
     base_consts = {"data": d, "sigma_2": sigma_2, "masks": masks,
                    "stamp_coordinates": stamp_coords}
-    from ...ops import get_irfft_backend
-
-    if get_irfft_backend() == "mxu":
+    if irfft_backend == "mxu":
         from ...ops.dft import make_dft_mats
 
         base_consts["dft_mats"] = make_dft_mats(2 * m, m)
@@ -171,17 +173,20 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
 @functools.partial(
     jax.jit,
     static_argnames=("n_stars", "n_pix", "s", "field_distortion",
-                     "n_iter_analytic", "n_iter_adabelief"))
+                     "n_iter_analytic", "n_iter_adabelief",
+                     "irfft_backend", "dft_precision"))
 def _fit_frames(data, noisemap, masks, stamp_coords, fwhm0, keys, n_stars,
                 n_pix, s, field_distortion, n_iter_analytic,
-                n_iter_adabelief, regularization_strength, adabelief_lr):
+                n_iter_adabelief, regularization_strength, adabelief_lr,
+                irfft_backend, dft_precision):
     fit = functools.partial(
         _fit_one_frame, n_stars=n_stars, n_pix=n_pix, s=s,
         field_distortion=field_distortion,
         n_iter_analytic=n_iter_analytic,
         n_iter_adabelief=n_iter_adabelief,
         regularization_strength=regularization_strength,
-        adabelief_lr=adabelief_lr)
+        adabelief_lr=adabelief_lr, irfft_backend=irfft_backend,
+        dft_precision=dft_precision)
     return jax.vmap(fit)(data, noisemap, masks, stamp_coords, fwhm0, keys)
 
 
@@ -215,6 +220,8 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
     guess_fwhm_pixels = np.where(
         np.isfinite(guess_fwhm_pixels), guess_fwhm_pixels, 3.0)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_frames)
+    from ...ops import get_dft_precision, get_irfft_backend
+
     out = _fit_frames(
         jnp.asarray(images),
         jnp.asarray(np.asarray(noisemaps, dtype=np.float32)),
@@ -224,5 +231,5 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         keys, n_stars, int(n_pix), int(subsampling_factor),
         bool(field_distortion), int(n_iter_analytic),
         int(n_iter_adabelief), float(regularization_strength),
-        float(adabelief_lr))
+        float(adabelief_lr), get_irfft_backend(), get_dft_precision())
     return jax.tree_util.tree_map(np.asarray, out)
