@@ -1,0 +1,276 @@
+"""Medium-scale pipeline stress test (marked slow).
+
+Round-1 gap: the bucketed PSF batching and epoch-padding machinery was
+only exercised at 3 frames x 8 stars with uniform shapes.  Here:
+
+- 48 frames, PSF buckets of 12 (psf_fit_batch_size) -> 4 compiled
+  buckets;
+- frames dithered so outer stars ENTER/LEAVE footprints: star counts
+  vary per frame (the batched fit pads with fully-masked dummy stars);
+- 4 frames carry injected extra noise their noisemaps do not know
+  about -> PSF chi2 blows past the [0, 2] gate and the whole downstream
+  chain (star photometry, normalization, ROI epochs) must drop them;
+- sampled frames are re-fitted with the UNBATCHED build_psf and must
+  match the stored bucket results;
+- injected ROI point-source fluxes are recovered on the good epochs.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+ROI_RA, ROI_DEC = 42.2031, 19.22528
+PIXEL_SCALE = 0.2 / 3600.0
+FRAME_SIZE = 176          # 35.2" across
+EXPTIME, GAIN, SKY_E_S = 30.0, 1.2, 10.0
+N_FRAMES = 48
+BAD_FRAMES = (5, 17, 29, 41)   # extra unmodelled noise -> chi2 gate
+BATCH = 12
+
+# inner stars always in every footprint; outer ring enters/leaves as
+# frames dither (assignment margin is ~4")
+STARS = [(-6, -6, 800.0), (6, -6, 600.0), (-6, 6, 1000.0), (6, 6, 700.0),
+         (8, 0, 500.0), (0, 8, 900.0), (-8, 0, 650.0), (0, -8, 750.0),
+         (12.5, 0, 550.0), (0, -12.5, 850.0)]
+PS_OFFSETS = {"A": (-0.8, 0.5), "B": (0.7, -0.6)}
+PS_BASE = {"A": 320.0, "B": 140.0}
+
+
+def _sky(dx, dy):
+    return (float(ROI_RA + dx / 3600.0 / np.cos(np.radians(ROI_DEC))),
+            float(ROI_DEC + dy / 3600.0))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from lightcurver_tpu.io.fits import write_fits, Header
+    from lightcurver_tpu.io.wcs import TanWCS
+
+    tmp = tmp_path_factory.mktemp("stress")
+    raw = tmp / "raw"
+    raw.mkdir()
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:FRAME_SIZE, 0:FRAME_SIZE]
+
+    ps_fluxes = {ps: PS_BASE[ps] * (1 + 0.2 * np.sin(
+        np.linspace(0, 3 * np.pi, N_FRAMES) + i))
+        for i, ps in enumerate(PS_OFFSETS)}
+    fwhms = 2.4 + 0.8 * rng.random(N_FRAMES)
+    # +-12 px = +-2.4" pointing scatter: moves the 12.5" ring across the
+    # ~4" assignment margin of the ~17.6" half-width footprints
+    dithers = rng.integers(-12, 13, size=(N_FRAMES, 2)).astype(float)
+
+    def moffat(x0, y0, flux, fwhm, beta=2.8):
+        alpha = fwhm / (2 * np.sqrt(2.0 ** (1.0 / beta) - 1.0))
+        rr2 = (xx - x0) ** 2 + (yy - y0) ** 2
+        return flux * (beta - 1) / (np.pi * alpha**2) \
+            * (1 + rr2 / alpha**2) ** (-beta)
+
+    for k in range(N_FRAMES):
+        c = (FRAME_SIZE + 1) / 2.0
+        wcs = TanWCS(ROI_RA, ROI_DEC, c + dithers[k][0], c + dithers[k][1],
+                     [[-PIXEL_SCALE, 0.0], [0.0, PIXEL_SCALE]])
+        img = np.zeros((FRAME_SIZE, FRAME_SIZE))
+        for i, (dx, dy, flux) in enumerate(STARS):
+            fwhm = fwhms[k]
+            if k in BAD_FRAMES:
+                # model violation a shared narrow PSF cannot absorb:
+                # each star gets its OWN width (bad optics) -> the PSF
+                # fit chi2 blows past the [0, 2] gate (plain extra
+                # noise would just be measured into the noisemaps)
+                fwhm = fwhm * (0.6 + 0.12 * i)
+            x, y = wcs.world_to_pixel(*_sky(dx, dy))
+            if -5 < x < FRAME_SIZE + 5 and -5 < y < FRAME_SIZE + 5:
+                img += moffat(float(x), float(y), flux, fwhm)
+        for ps, (dx, dy) in PS_OFFSETS.items():
+            x, y = wcs.world_to_pixel(*_sky(dx, dy))
+            img += moffat(float(x), float(y), float(ps_fluxes[ps][k]),
+                          fwhms[k])
+        total_e = (img + SKY_E_S) * EXPTIME
+        noisy = total_e + rng.normal(0, np.sqrt(total_e))
+        header = Header()
+        header["MJD-OBS"] = 60000.0 + 1.0 * k
+        header["EXPTIME"] = EXPTIME
+        header["GAIN"] = GAIN
+        header.update(wcs.to_header_cards())
+        write_fits(raw / f"frame_{k:02d}.fits",
+                   (noisy / GAIN).astype(np.float32), header)
+
+    # Gaia fixture
+    rows = []
+    for i, (dx, dy, flux) in enumerate(STARS):
+        ra, dec = _sky(dx, dy)
+        g = 20.0 - 2.5 * np.log10(flux)
+        rows.append({"ra": ra, "dec": dec, "source_id": 2000 + i,
+                     "phot_g_mean_mag": g, "phot_bp_mean_mag": g + 0.5,
+                     "phot_rp_mean_mag": g - 0.5, "pmra": 0.0,
+                     "pmdec": 0.0, "ref_epoch": 2016.0})
+    fixture_csv = tmp / "gaia_fixture.csv"
+    pd.DataFrame(rows).to_csv(fixture_csv, index=False)
+
+    parser_dir = tmp / "header_parser"
+    parser_dir.mkdir()
+    (parser_dir / "parse_header.py").write_text(
+        "def parse_header(header):\n"
+        "    return {'mjd': header['MJD-OBS'], 'gain': header['GAIN'],\n"
+        "            'exptime': header['EXPTIME']}\n")
+
+    template = (os.path.dirname(os.path.dirname(__file__))
+                + "/lightcurver_tpu/pipeline/example_config_file/"
+                  "config.yaml")
+    with open(template) as f:
+        config = yaml.safe_load(f)
+    config.update({
+        "workdir": str(tmp), "raw_dirs": [str(raw)],
+        "already_plate_solved": 1, "multiprocessing_cpu_count": 1,
+        "star_selection_strategy": "ROI_disk",
+        "ROI_disk_radius_arcseconds": 40, "min_number_stars": 5,
+        "stamp_size_stars": 16, "stamp_size_ROI": 24,
+        "subsampling_factor": 2,
+        "psf_fit_batch_size": BATCH,
+        "psf_n_iter_analytic": 40, "psf_n_iter_pixels": 150,
+        "psf_fit_exclude_strategy": {"threshold": [0.0, 2.0]},
+        "star_deconv_n_iter": 200,
+        "roi_deconv_translations_iters": 30,
+        "roi_deconv_all_iters": 300,
+        "point_sources": {ps: list(_sky(dx, dy))
+                          for ps, (dx, dy) in PS_OFFSETS.items()},
+        "fix_point_source_astrometry": 0.5,
+    })
+    config["ROI"] = {"stress": {"coordinates": [ROI_RA, ROI_DEC]}}
+    config_path = tmp / "config.yaml"
+    config_path.write_text(yaml.dump(config))
+    os.environ["LIGHTCURVER_CONFIG"] = str(config_path)
+    os.environ["LIGHTCURVER_GAIA_FIXTURE"] = str(fixture_csv)
+    np.savez(tmp / "ps_fluxes.npz", **ps_fluxes)
+    yield tmp
+    os.environ.pop("LIGHTCURVER_GAIA_FIXTURE", None)
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(workdir):
+    from lightcurver_tpu.pipeline.workflow_manager import WorkflowManager
+
+    WorkflowManager().run()
+    return workdir
+
+
+def _query(sql, params=()):
+    from lightcurver_tpu.structure.database import execute_sqlite_query
+
+    return execute_sqlite_query(sql, params, use_pandas=True)
+
+
+@pytest.mark.slow
+def test_star_counts_vary_across_frames(pipeline_run):
+    counts = _query(
+        "SELECT frame_id, COUNT(*) AS n FROM stars_in_frames "
+        "GROUP BY frame_id")
+    assert len(counts) == N_FRAMES
+    assert counts["n"].min() < counts["n"].max(), (
+        "dithering was supposed to move outer stars in/out of the "
+        "footprint margin")
+    assert counts["n"].min() >= 8
+
+
+@pytest.mark.slow
+def test_bad_frames_fail_chi2_gate_and_are_dropped(pipeline_run):
+    psfs = _query("SELECT frame_id, chi2 FROM PSFs")
+    assert len(psfs) == N_FRAMES
+    chi2 = psfs.set_index("frame_id")["chi2"]
+    bad_ids = _query(
+        "SELECT id, original_image_path FROM frames").set_index("id")
+    flagged = [fid for fid in chi2.index
+               if any(f"frame_{k:02d}" in str(bad_ids.loc[fid,
+                                                          "original_image_path"])
+                      for k in BAD_FRAMES)]
+    assert len(flagged) == len(BAD_FRAMES)
+    assert (chi2.loc[flagged] > 2.0).all(), chi2.loc[flagged]
+    good = chi2.drop(flagged)
+    assert (good < 2.0).all(), good[good >= 2.0]
+
+    # the gate propagates: no star fluxes on the bad frames
+    fluxed = set(_query(
+        "SELECT DISTINCT frame_id FROM star_flux_in_frame")["frame_id"])
+    assert not (set(flagged) & fluxed)
+    assert len(fluxed) == N_FRAMES - len(BAD_FRAMES)
+
+
+@pytest.mark.slow
+def test_bucketed_psfs_match_unbatched_build_psf(pipeline_run, workdir):
+    """Re-fit sampled frames with the unbatched build_psf; the stored
+    bucket results (dummy-star padding, shared compile) must agree."""
+    import h5py
+    from lightcurver_tpu.core.psf.build import build_psf
+    from lightcurver_tpu.processes.psf_modelling import (
+        _prepare_frame_job)
+    from lightcurver_tpu.structure.user_config import get_user_config
+    from lightcurver_tpu.utilities.footprint import (
+        get_combined_footprint_hash)
+
+    user_config = get_user_config()
+    frames = _query(
+        "SELECT id, image_relpath, seeing_pixels FROM frames "
+        "WHERE eliminated = 0")
+    fhash = get_combined_footprint_hash(
+        user_config, sorted(frames["id"].tolist()))
+    user_config["redo_psf"] = True  # force job preparation
+
+    import logging
+
+    logger = logging.getLogger("stress")
+    psfs = _query("SELECT frame_id, chi2, psf_ref FROM PSFs")
+    # sample: two good frames from different buckets
+    good_ids = [int(i) for i in psfs[psfs.chi2 < 2.0]
+                .frame_id.tolist()][:30]
+    sampled = [good_ids[0], good_ids[-1]]
+    for frame_id in sampled:
+        frame = frames[frames.id == frame_id].iloc[0]
+        job = _prepare_frame_job(user_config, user_config["regions_path"],
+                                 frame, fhash, logger)
+        assert job is not None
+        ref = build_psf(
+            job["data"], job["noisemap"],
+            user_config["subsampling_factor"], masks=job["masks"],
+            stamp_coordinates=job["stamp_coords"],
+            guess_fwhm_pixels=frame["seeing_pixels"],
+            n_iter_analytic=user_config["psf_n_iter_analytic"],
+            n_iter_adabelief=user_config["psf_n_iter_pixels"])
+        row = psfs[psfs.frame_id == frame_id].iloc[0]
+        with h5py.File(user_config["regions_path"], "r") as f:
+            stored = f[f"{frame['image_relpath']}/{row['psf_ref']}/"
+                       "narrow_psf"][...]
+        # same minimum up to optimizer noise on different batch shapes
+        assert float(row["chi2"]) == pytest.approx(ref["chi2"], rel=0.1)
+        denom = np.abs(ref["narrow_psf"]).max()
+        assert np.abs(stored - ref["narrow_psf"]).max() / denom < 0.05
+
+
+@pytest.mark.slow
+def test_flux_recovery_on_good_epochs(pipeline_run, workdir):
+    out_dir = workdir / "prepared_roi_cutouts"
+    csvs = list(out_dir.glob("*_photometry_per_epoch.csv"))
+    assert len(csvs) == 1
+    photometry = pd.read_csv(csvs[0])
+    # bad frames never reach the ROI stage
+    assert len(photometry) == N_FRAMES - len(BAD_FRAMES)
+    assert (photometry["reduced_chi2"] < 2.0).all()
+
+    with np.load(workdir / "ps_fluxes.npz") as z:
+        truth = {ps: z[ps] for ps in PS_OFFSETS}
+    frames = _query("SELECT id, original_image_path FROM frames")
+    idx_by_id = {}
+    for _, row in frames.iterrows():
+        stem = str(row["original_image_path"])
+        k = int(stem.split("frame_")[1][:2])
+        idx_by_id[int(row["id"])] = k
+    for ps in PS_OFFSETS:
+        measured = np.asarray(photometry[f"{ps}_flux"])
+        true = np.array([truth[ps][idx_by_id[int(fid)]]
+                         for fid in photometry["frame_id"]])
+        rel = measured / true - 1
+        assert np.abs(np.median(rel)) < 0.1, (ps, np.median(rel))
+        assert np.abs(rel).max() < 0.25, (ps, rel)
