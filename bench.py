@@ -40,35 +40,42 @@ def run_roi_deconv(scene, n_iter=2000):
     from lightcurver_tpu.core.optimize import run_adabelief
 
     data, sigma_2 = scene["data"], scene["sigma_2"]
-    model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
-        data, sigma_2, scene["psf"], scene["xs"], scene["ys"], scene["s"])
-    # stage-2 configuration: everything free except sersic
-    params = Params(kwargs_init, {"kwargs_sersic": {}}, kwargs_up, kwargs_down)
+    n_real = data.shape[0]
 
-    # epoch-shard over all devices when the count divides the epochs
+    # epoch-shard over all devices; non-divisible counts pad with
+    # exactly-masked dummy epochs (the production path)
     n_dev = jax.device_count()
-    if n_dev > 1 and data.shape[0] % n_dev == 0:
+    reg = dict(regularization_terms="l1_starlet",
+               regularization_strength_scales=1.0,
+               regularization_strength_hf=1.0,
+               regularization_strength_positivity=100.0)
+    if n_dev > 1:
         from lightcurver_tpu.parallel.mesh import epoch_mesh
-        from lightcurver_tpu.parallel.deconv import (shard_consts,
+        from lightcurver_tpu.parallel.deconv import (pad_epoch_stacks,
+                                                     shard_consts,
                                                      shard_pytree)
 
+        data, sigma_2, psf, epoch_w = pad_epoch_stacks(
+            data, sigma_2, scene["psf"], n_dev)
         mesh = epoch_mesh(n_dev)
+        model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
+            data, sigma_2, psf, scene["xs"], scene["ys"], scene["s"])
+        params = Params(kwargs_init, {"kwargs_sersic": {}}, kwargs_up,
+                        kwargs_down)
         params.free0 = shard_pytree(mesh, params.free0)
         params.fixed = shard_pytree(mesh, params.fixed)
         params.lower = shard_pytree(mesh, params.lower)
         params.upper = shard_pytree(mesh, params.upper)
-        loss = Loss(data, model, params, sigma_2,
-                    regularization_terms="l1_starlet",
-                    regularization_strength_scales=1.0,
-                    regularization_strength_hf=1.0,
-                    regularization_strength_positivity=100.0)
+        loss = Loss(data, model, params, sigma_2, epoch_weights=epoch_w,
+                    **reg)
         loss.consts = shard_consts(mesh, loss.consts)
     else:
-        loss = Loss(data, model, params, sigma_2,
-                    regularization_terms="l1_starlet",
-                    regularization_strength_scales=1.0,
-                    regularization_strength_hf=1.0,
-                    regularization_strength_positivity=100.0)
+        model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
+            data, sigma_2, scene["psf"], scene["xs"], scene["ys"],
+            scene["s"])
+        params = Params(kwargs_init, {"kwargs_sersic": {}}, kwargs_up,
+                        kwargs_down)
+        loss = Loss(data, model, params, sigma_2, **reg)
     consts = loss.consts
 
     def fit(free0):
@@ -89,10 +96,10 @@ def run_roi_deconv(scene, n_iter=2000):
 
     params.set_best(best)
     kwargs = params.best_fit_values(as_kwargs=True)
-    modelled = model.model(kwargs)
-    red_chi2 = float(jnp.nansum((jnp.asarray(data) - modelled) ** 2
-                                / jnp.asarray(sigma_2))
-                     / np.prod(data.shape))
+    modelled = np.asarray(model.model(kwargs))[:n_real]
+    red_chi2 = float(np.nansum(
+        (np.asarray(data)[:n_real] - modelled) ** 2
+        / np.asarray(sigma_2)[:n_real]) / modelled.size)
     return wall, red_chi2, kwargs
 
 
@@ -122,29 +129,77 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
     return n_frames / wall, float(out["chi2"].mean())
 
 
+def _retry(fn, what, attempts=3):
+    for attempt in range(attempts):  # the backend throws transient errors
+        try:
+            return fn()
+        except Exception as e:       # noqa: BLE001
+            if attempt == attempts - 1:
+                raise
+            print(f"# {what} attempt {attempt} failed: {e}", flush=True)
+
+
+def run_starlet_micro(n_rep=200, m=128):
+    """Standalone starlet forward: XLA vs the Pallas kernel (seconds)."""
+    import jax
+    import jax.numpy as jnp
+    from lightcurver_tpu.core.starlet import (starlet_transform,
+                                              n_starlet_scales)
+
+    n_sc = n_starlet_scales(m)
+    img = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (m, m)).astype(np.float32))
+
+    def loop(fn):
+        @jax.jit
+        def many(x):
+            def body(c, _):
+                return c, fn(c + 0.0).sum()
+            _, sums = jax.lax.scan(body, x, None, length=n_rep)
+            return sums.sum()
+        float(many(img))
+        t0 = time.perf_counter()
+        float(many(img * 1.000001))
+        return (time.perf_counter() - t0) / n_rep
+
+    t_xla = loop(lambda x: starlet_transform(x, n_scales=n_sc))
+    try:
+        from lightcurver_tpu.ops.starlet_pallas import \
+            starlet_transform_pallas
+
+        t_pal = loop(lambda x: starlet_transform_pallas(x, n_scales=n_sc))
+    except Exception as e:  # noqa: BLE001 — pallas unsupported backends
+        print(f"# pallas starlet unavailable: {e}", flush=True)
+        t_pal = float("nan")
+    return t_xla, t_pal
+
+
 def main():
     jax = _setup_jax()
+    from lightcurver_tpu import ops
     from lightcurver_tpu.utilities.synthetic import make_roi_scene
 
     scene = make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4)
+    roi_wall, red_chi2, _ = _retry(lambda: run_roi_deconv(scene), "roi100")
 
-    roi_wall = red_chi2 = fits_per_sec = psf_chi2 = None
-    for attempt in range(3):     # the backend throws transient errors
-        try:
-            roi_wall, red_chi2, _ = run_roi_deconv(scene)
-            break
-        except Exception as e:   # noqa: BLE001
-            if attempt == 2:
-                raise
-            print(f"# roi attempt {attempt} failed: {e}", flush=True)
-    for attempt in range(3):
-        try:
-            fits_per_sec, psf_chi2 = run_psf_bench()
-            break
-        except Exception as e:   # noqa: BLE001
-            if attempt == 2:
-                raise
-            print(f"# psf attempt {attempt} failed: {e}", flush=True)
+    # the flagship survey-scale configuration (BASELINE.json north star:
+    # 1000 epochs < 60 s on v5e-8; epoch-sharded when devices allow)
+    scene1000 = make_roi_scene(n_epochs=1000, n_pix=64, s=2, n_sources=4)
+    roi1000_wall, roi1000_chi2, _ = _retry(
+        lambda: run_roi_deconv(scene1000), "roi1000")
+
+    fits_per_sec, psf_chi2 = _retry(lambda: run_psf_bench(), "psf16")
+    # vmap amortization curve (fits/sec at batch 1 / 8 / 32, full budget)
+    psf_scaling = {}
+    for bs in (1, 8, 32):
+        fps, _ = _retry(lambda b=bs: run_psf_bench(n_frames=b),
+                        f"psf{bs}")
+        psf_scaling[f"psf_fits_per_sec_batch{bs}"] = round(fps, 3)
+
+    # starlet backend measurement (the Pallas kernel wins standalone but
+    # not inside the fused losses; auto_select keeps 'xla' — see
+    # ops/starlet_op.py)
+    t_xla, t_pal = _retry(lambda: run_starlet_micro(), "starlet")
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
     baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
@@ -154,10 +209,16 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline_roi_s / roi_wall, 2),
         "roi_reduced_chi2": round(red_chi2, 4),
+        "roi_deconv_1000epoch_wall_s": round(roi1000_wall, 3),
+        "roi_1000epoch_reduced_chi2": round(roi1000_chi2, 4),
         "psf_fits_per_sec": round(fits_per_sec, 3),
         "psf_fits_per_sec_vs_baseline": round(
             fits_per_sec / baseline_psf_fits_per_sec, 2),
         "psf_chi2": round(psf_chi2, 4),
+        **psf_scaling,
+        "starlet_xla_us": round(t_xla * 1e6, 1),
+        "starlet_pallas_us": round(t_pal * 1e6, 1),
+        "starlet_backend_selected": ops.get_backend(),
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),
     }))

@@ -218,13 +218,23 @@ def run_adabelief(loss_fn, free0, lower, upper, n_iter,
 
 
 def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
-                memory_size=10):
+                memory_size=10, max_linesearch_steps=6):
     """Projected L-BFGS scan body (traceable; zoom linesearch inside).
+
+    max_linesearch_steps caps the zoom linesearch (optax default 20).
+    Measured on the v5e chip the cap does NOT change the average wall
+    time (the while_loop exits early anyway) but it bounds the worst
+    case; convergence is unchanged
+    (tests/test_lbfgsb_scipy_parity.py still reaches scipy's minimum).
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
     """
-    opt = optax.lbfgs(memory_size=memory_size)
+    opt = optax.lbfgs(
+        memory_size=memory_size,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            initial_guess_strategy="one"))
     opt_state = opt.init(free0)
 
     def bound_loss(params):
@@ -252,7 +262,8 @@ def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
 
 
 _run_lbfgsb = jax.jit(
-    lbfgsb_scan, static_argnames=("loss_fn", "n_iter", "memory_size"))
+    lbfgsb_scan, static_argnames=("loss_fn", "n_iter", "memory_size",
+                                  "max_linesearch_steps"))
 
 
 def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10,

@@ -33,7 +33,13 @@ def get_irfft_backend():
 
 
 def auto_select_backends():
-    """Pick the measured-fastest backends for the live platform."""
+    """Pick the measured-fastest backends for the live platform.
+
+    Measured on the v5e chip (tools/bench_starlet_tpu.py): the MXU DFT
+    wins for the model's inverse transforms; the Pallas starlet wins
+    standalone (14x) but NOT inside the fused loss programs (0.98x
+    end-to-end), so the starlet backend stays 'xla'.
+    """
     import jax
 
     if jax.default_backend() == "tpu":
