@@ -1,0 +1,58 @@
+"""CLI entry points: lc_init scaffold and lc_run argument contract."""
+
+import sys
+
+import yaml
+
+
+def test_lc_init_scaffold(tmp_path, monkeypatch):
+    from lightcurver_tpu.scripts.initialize import initialize
+
+    monkeypatch.setattr(sys, "argv", [
+        "lc_init", "--workdir", str(tmp_path), "--roi_name", "J0248",
+        "--roi_ra", "42.2031", "--roi_dec", "19.22528",
+        "--photom_band", "r_sdss"])
+    initialize()
+
+    config = yaml.safe_load((tmp_path / "config.yaml").read_text())
+    assert config["ROI"] == {"J0248": {"coordinates": [42.2031, 19.22528]}}
+    assert config["photometric_band"] == "r_sdss"
+    assert config["workdir"] == str(tmp_path)
+    # the scaffolded config carries the FULL template key namespace (the
+    # workflow manager hard-errors on missing keys)
+    from pathlib import Path
+
+    import lightcurver_tpu
+
+    template = yaml.safe_load(
+        (Path(lightcurver_tpu.__file__).parent / "pipeline"
+         / "example_config_file" / "config.yaml").read_text())
+    assert set(config) == set(template)
+    # header parser stub in place, loudly unimplemented
+    stub = (tmp_path / "header_parser" / "parse_header.py").read_text()
+    assert "def parse_header(header):" in stub
+    assert "RuntimeError" in stub
+
+
+def test_lc_run_sets_env_and_forwards_steps(tmp_path, monkeypatch):
+    import lightcurver_tpu.pipeline.workflow_manager as wm_mod
+    from lightcurver_tpu.scripts.run import run
+
+    calls = {}
+
+    class FakeWM:
+        def run(self, start_step=None, stop_step=None):
+            calls["start"] = start_step
+            calls["stop"] = stop_step
+
+    monkeypatch.setattr(wm_mod, "WorkflowManager", FakeWM)
+    config = tmp_path / "config.yaml"
+    config.write_text("{}")
+    monkeypatch.setattr(sys, "argv", [
+        "lc_run", str(config), "--start", "psf_modeling",
+        "--stop", "star_photometry"])
+    run()
+    import os
+
+    assert os.environ["LIGHTCURVER_CONFIG"] == str(config)
+    assert calls == {"start": "psf_modeling", "stop": "star_photometry"}
