@@ -35,26 +35,38 @@ def get_irfft_backend():
 def auto_select_backends():
     """Pick the measured-fastest backends for the live platform.
 
-    Measured on the v5e chip (tools/bench_starlet_tpu.py): the MXU DFT
-    wins for the model's inverse transforms; the Pallas starlet wins
-    standalone (14x) but NOT inside the fused loss programs (0.98x
-    end-to-end), so the starlet backend stays 'xla'.
+    Measured on the v5e chip (tools/bench_starlet_tpu.py + round-2
+    precision sweep): the MXU DFT wins for the model's inverse
+    transforms; 'high' (bf16x3) matmul precision is 1.45x faster than
+    'highest' (bf16x6) on the ROI hot path with identical chi2 and
+    <=0.06 mmag flux impact (30x below the sub-mmag bar); the Pallas
+    starlet wins standalone (14x) but NOT inside the fused loss
+    programs (0.98x end-to-end), so the starlet backend stays 'xla'.
     """
     import jax
 
     if jax.default_backend() == "tpu":
         set_irfft_backend("mxu")
+        set_dft_precision("high")
 
 
 _DFT_PRECISION = "highest"
 
 
 def set_dft_precision(name):
-    """'highest' (exact f32, default) or 'default' (bf16 passes on MXU:
-    ~faster iterations; pair with the exact GLS flux polish and
-    full-precision final evaluation)."""
+    """Matmul precision of the DFT render path.
+
+    'highest' — exact f32 (6-pass bf16 on the MXU); the conservative
+        CPU/GPU default.
+    'high'    — 3-pass bf16; selected by auto_select_backends() on TPU.
+        Measured round 2 on v5e: ROI fit 1.51 -> 1.03 s, PSF batch
+        2.6 -> 3.2 fits/s, chi2 identical, star/ROI fluxes within
+        0.034 / 0.056 mmag (max) of 'highest'.
+    'default' — raw bf16: +50% PSF throughput but PSF chi2 +7%
+        (measured round 2) — diagnostics only, never for science.
+    """
     global _DFT_PRECISION
-    assert name in ("highest", "default")
+    assert name in ("highest", "high", "default")
     _DFT_PRECISION = name
 
 

@@ -74,8 +74,12 @@ def _precision(precision):
         return precision
     from . import get_dft_precision
 
-    return _HI if get_dft_precision() == "highest" \
-        else jax.lax.Precision.DEFAULT
+    name = get_dft_precision()
+    if name == "highest":
+        return _HI
+    if name == "high":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.DEFAULT
 
 
 def rfft2_pad_matmul(img, mats, precision=None):
