@@ -141,33 +141,24 @@ def _retry(fn, what, attempts=3):
 
 def run_starlet_micro(n_rep=200, m=128):
     """Standalone starlet forward: XLA vs the Pallas kernel (seconds)."""
-    import jax
     import jax.numpy as jnp
     from lightcurver_tpu.core.starlet import (starlet_transform,
                                               n_starlet_scales)
+    from lightcurver_tpu.utilities.benchmarking import time_compiled_loop
 
     n_sc = n_starlet_scales(m)
     img = jnp.asarray(np.random.default_rng(0).normal(
         0, 1, (m, m)).astype(np.float32))
 
-    def loop(fn):
-        @jax.jit
-        def many(x):
-            def body(c, _):
-                return c, fn(c + 0.0).sum()
-            _, sums = jax.lax.scan(body, x, None, length=n_rep)
-            return sums.sum()
-        float(many(img))
-        t0 = time.perf_counter()
-        float(many(img * 1.000001))
-        return (time.perf_counter() - t0) / n_rep
-
-    t_xla = loop(lambda x: starlet_transform(x, n_scales=n_sc))
+    t_xla = time_compiled_loop(
+        lambda x: starlet_transform(x, n_scales=n_sc), img, n_rep)
     try:
         from lightcurver_tpu.ops.starlet_pallas import \
             starlet_transform_pallas
 
-        t_pal = loop(lambda x: starlet_transform_pallas(x, n_scales=n_sc))
+        t_pal = time_compiled_loop(
+            lambda x: starlet_transform_pallas(x, n_scales=n_sc), img,
+            n_rep)
     except Exception as e:  # noqa: BLE001 — pallas unsupported backends
         print(f"# pallas starlet unavailable: {e}", flush=True)
         t_pal = float("nan")

@@ -26,12 +26,12 @@ from ..fisher import _diag_fisher
 
 def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                       uniform_background_per_epoch,
-                      starlet_global_background, irfft_backend):
+                      starlet_global_background):
     """Setup of one star's fit: (free0, lower, upper, consts, scale).
 
-    ``irfft_backend`` is a STATIC argument rather than a global read
-    inside the trace, so set_irfft_backend() retraces instead of
-    silently reusing the previous program.
+    Star-independent constants (the DFT matrices) are NOT included —
+    under vmap they would be materialized once PER STAR; the callers
+    merge one shared copy (see ``_merge_shared``).
     """
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     m = model.m
@@ -102,10 +102,6 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         "pts_weights": jnp.zeros((1, 1), jnp.float32),
         **spectra,
     }
-    if irfft_backend == "mxu":
-        from ...ops.dft import make_dft_mats
-
-        consts["dft_mats"] = make_dft_mats(2 * m, m)
     if starlet_global_background:
         consts["W"] = _mc_starlet_noise(
             jnp.nanmedian(sig, axis=0), spectra["ps_hat"].mean(axis=0),
@@ -164,6 +160,16 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
     }
 
 
+def _shared_consts(image_size, s, irfft_backend):
+    """Star-independent consts (currently: the MXU DFT matrices)."""
+    if irfft_backend != "mxu":
+        return {}
+    from ...ops.dft import make_dft_mats
+
+    m = image_size * s
+    return {"dft_mats": make_dft_mats(2 * m, m)}
+
+
 def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                   n_iter, uniform_background_per_epoch,
                   starlet_global_background, lr, irfft_backend,
@@ -171,8 +177,8 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     """Pure single-star joint fit (fully traceable)."""
     free, lower, upper, consts, scale = _prepare_one_star(
         data, noisemap, psf, key, n_epochs, image_size, s,
-        uniform_background_per_epoch, starlet_global_background,
-        irfft_backend)
+        uniform_background_per_epoch, starlet_global_background)
+    consts = {**consts, **_shared_consts(image_size, s, irfft_backend)}
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
                             starlet_global_background, dft_precision)
     best, _, history = adabelief_scan(
@@ -209,15 +215,14 @@ def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s",
                      "uniform_background_per_epoch",
-                     "starlet_global_background", "irfft_backend"))
+                     "starlet_global_background"))
 def _prepare_stars(data, noisemap, psf, keys, n_epochs, image_size, s,
                    uniform_background_per_epoch,
-                   starlet_global_background, irfft_backend):
+                   starlet_global_background):
     prep = functools.partial(
         _prepare_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
         uniform_background_per_epoch=uniform_background_per_epoch,
-        starlet_global_background=starlet_global_background,
-        irfft_backend=irfft_backend)
+        starlet_global_background=starlet_global_background)
     return jax.vmap(prep)(data, noisemap, psf, keys)
 
 
@@ -239,28 +244,36 @@ def _init_carry_stars(free0, n_iter, lr):
     static_argnames=("n_epochs", "image_size", "s",
                      "starlet_global_background", "n_iter", "length",
                      "dft_precision"))
-def _segment_stars(carry, consts, lower, upper, lr, n_epochs, image_size,
-                   s, starlet_global_background, n_iter, length,
-                   dft_precision):
+def _segment_stars(carry, consts, shared, lower, upper, lr, n_epochs,
+                   image_size, s, starlet_global_background, n_iter,
+                   length, dft_precision):
     from ..optimize import make_adabelief, adabelief_step_fn
 
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
                             starlet_global_background, dft_precision)
     opt = make_adabelief(n_iter, lr, True)
 
-    def seg(carry, consts, lower, upper):
-        step = adabelief_step_fn(loss_fn, opt, consts, lower, upper)
+    def seg(carry, consts, lower, upper, shared):
+        step = adabelief_step_fn(loss_fn, opt, {**consts, **shared},
+                                 lower, upper)
         return jax.lax.scan(step, carry, None, length=length)
 
-    return jax.vmap(seg)(carry, consts, lower, upper)
+    # shared (star-independent) consts broadcast with in_axes=None: ONE
+    # device copy instead of one per star
+    return jax.vmap(seg, in_axes=(0, 0, 0, 0, None))(
+        carry, consts, lower, upper, shared)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("n_epochs", "image_size", "s"))
-def _finalize_stars(best, history, consts, scale, n_epochs, image_size, s):
-    fin = functools.partial(_finalize_one_star, n_epochs=n_epochs,
-                            image_size=image_size, s=s)
-    return jax.vmap(fin)(best, history, consts, scale)
+def _finalize_stars(best, history, consts, shared, scale, n_epochs,
+                    image_size, s):
+    def fin(best, history, consts, scale, shared):
+        return _finalize_one_star(best, history, {**consts, **shared},
+                                  scale, n_epochs, image_size, s)
+
+    return jax.vmap(fin, in_axes=(0, 0, 0, 0, None))(
+        best, history, consts, scale, shared)
 
 
 def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
@@ -268,15 +281,20 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
                             uniform_background_per_epoch,
                             starlet_global_background, lr,
                             irfft_backend, dft_precision,
-                            checkpoint_path, checkpoint_every):
+                            checkpoint_path, checkpoint_every,
+                            inputs_digest=None):
     """Host-segmented batched fit with npz checkpoints (leaves only —
-    structure rebuilt from a fresh carry, never unpickled)."""
+    structure rebuilt from a fresh carry, never unpickled).  A stored
+    ``inputs_digest`` that differs from the current one refuses to
+    resume (the upstream data changed under the checkpoint)."""
     import os
+
+    from ..optimize import _check_ckpt_digest
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
-        uniform_background_per_epoch, starlet_global_background,
-        irfft_backend)
+        uniform_background_per_epoch, starlet_global_background)
+    shared = _shared_consts(image_size, s, irfft_backend)
     carry = _init_carry_stars(free0, n_iter, lr)
     treedef = jax.tree_util.tree_structure(carry)
 
@@ -286,6 +304,8 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
         payload["n_iter"] = np.int64(n_iter)
         payload["done"] = np.int64(done)
         payload["history"] = np.concatenate(histories, axis=1)
+        if inputs_digest is not None:
+            payload["inputs_digest"] = np.str_(inputs_digest)
         tmp = str(checkpoint_path) + ".tmp"
         np.savez(tmp, **payload)
         os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
@@ -300,6 +320,10 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
                     f"checkpoint {checkpoint_path} was recorded for "
                     f"n_iter={stored}, requested {n_iter}; delete it to "
                     "restart")
+            _check_ckpt_digest(
+                checkpoint_path,
+                z["inputs_digest"] if "inputs_digest" in z else None,
+                inputs_digest)
             leaves = [jnp.asarray(z[f"leaf_{i}"])
                       for i in range(treedef.num_leaves)]
             carry = jax.tree_util.tree_unflatten(treedef, leaves)
@@ -310,16 +334,17 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     while done < n_iter:
         length = min(int(checkpoint_every), n_iter - done)
         carry, hist = _segment_stars(
-            carry, consts, lower, upper, lr, n_epochs, image_size, s,
-            starlet_global_background, n_iter, length, dft_precision)
+            carry, consts, shared, lower, upper, lr, n_epochs,
+            image_size, s, starlet_global_background, n_iter, length,
+            dft_precision)
         histories.append(np.asarray(hist))  # vmapped scan ys: (S, len)
         done += length
         save_state(done, histories)
 
     _, _, best, _ = carry
     history = np.concatenate(histories, axis=1)[:, :n_iter]
-    return _finalize_stars(best, jnp.asarray(history), consts, scale,
-                           n_epochs, image_size, s)
+    return _finalize_stars(best, jnp.asarray(history), consts, shared,
+                           scale, n_epochs, image_size, s)
 
 
 def fit_stars_batched(data, noisemap, psf, subsampling_factor,
@@ -358,7 +383,11 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     if checkpoint_path is None:
         out = _fit_stars(*args)
     else:
+        from ..optimize import arrays_digest
+
         out = _fit_stars_checkpointed(
             *args, checkpoint_path=checkpoint_path,
-            checkpoint_every=checkpoint_every)
+            checkpoint_every=checkpoint_every,
+            inputs_digest=arrays_digest(
+                data, noisemap, np.asarray(psf, dtype=np.float32)))
     return jax.tree_util.tree_map(np.asarray, out)

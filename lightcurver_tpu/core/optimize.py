@@ -315,7 +315,8 @@ class Optimizer:
                  init_learning_rate=1e-3, schedule_learning_rate=True,
                  restart_from_init=False, stop_at_loss_increase=False,
                  progress_bar=False, return_param_history=False,
-                 checkpoint_path=None, checkpoint_every=500):
+                 checkpoint_path=None, checkpoint_every=500,
+                 checkpoint_inputs_digest=None):
         import time
 
         del progress_bar  # terminal progress is the host logger's job
@@ -327,6 +328,7 @@ class Optimizer:
         loss_fn = self.loss.loss_fn
         self._checkpoint_path = checkpoint_path
         self._checkpoint_every = checkpoint_every
+        self._checkpoint_digest = checkpoint_inputs_digest
         self._stop_at_loss_increase = bool(stop_at_loss_increase)
         self._min_iterations = int(min_iterations or 0)
         self._return_param_history = bool(return_param_history)
@@ -336,6 +338,12 @@ class Optimizer:
             raise ValueError(
                 "stop_at_loss_increase / return_param_history are only "
                 "implemented for method='adabelief'")
+        if checkpoint_path is not None and (self._stop_at_loss_increase
+                                            or self._return_param_history):
+            raise ValueError(
+                "checkpoint_path cannot be combined with "
+                "stop_at_loss_increase / return_param_history (the "
+                "extended optimizer path has no checkpointing)")
         t0 = time.time()
 
         # optional profiler hook: set LIGHTCURVER_JAX_PROFILE_DIR to
@@ -388,7 +396,8 @@ class Optimizer:
                     init_learning_rate=init_learning_rate,
                     schedule_learning_rate=schedule_learning_rate,
                     consts=consts,
-                    checkpoint_every=self._checkpoint_every)
+                    checkpoint_every=self._checkpoint_every,
+                    inputs_digest=self._checkpoint_digest)
             else:
                 best, final, hist = run_adabelief(
                     loss_fn, free0, p.lower, p.upper, n_iter,
@@ -421,10 +430,43 @@ class Optimizer:
         return best_kwargs, logL, extra_fields, runtime
 
 
+def arrays_digest(*arrays):
+    """sha256 over the shapes + bytes of host arrays.
+
+    Used to stamp checkpoints with the identity of the fit's inputs, so
+    a resume against CHANGED data (re-run PSFs, recalibrated frames) is
+    refused instead of silently continuing from a carry optimized
+    against the old data.
+    """
+    import hashlib
+
+    import numpy as np
+
+    h = hashlib.sha256()
+    for arr in arrays:
+        arr = np.ascontiguousarray(arr)
+        h.update(str(arr.shape).encode())
+        h.update(str(arr.dtype).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def _check_ckpt_digest(path, stored, expected):
+    if expected is None:
+        return
+    stored = None if stored is None else str(stored)
+    if stored != expected:
+        raise ValueError(
+            f"checkpoint {path} was recorded for different input data "
+            f"(digest {stored} != {expected}); the upstream products "
+            "changed since the interrupted fit — delete the checkpoint "
+            "to restart from scratch")
+
+
 def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                                checkpoint_path, init_learning_rate=1e-3,
                                schedule_learning_rate=True, consts=None,
-                               checkpoint_every=500):
+                               checkpoint_every=500, inputs_digest=None):
     """AdaBelief in resumable segments with on-disk checkpoints.
 
     The reference has NO mid-optimization checkpointing — a killed fit
@@ -439,7 +481,9 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
 
     A checkpoint recorded for a different ``n_iter`` is an error (the lr
     schedule and trajectory would not match): ValueError, never a silent
-    restart-from-zero.
+    restart-from-zero.  When ``inputs_digest`` is given (see
+    :func:`arrays_digest`), a checkpoint recorded against different
+    input data is likewise refused.
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
@@ -470,6 +514,8 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
         payload["n_iter"] = np.int64(n_iter)
         payload["done"] = np.int64(done)
         payload["history"] = np.asarray(history)
+        if inputs_digest is not None:
+            payload["inputs_digest"] = np.str_(inputs_digest)
         tmp = str(path) + ".tmp"
         np.savez(tmp, **payload)
         # np.savez appends .npz to names without it
@@ -484,6 +530,9 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                     f"{stored_n_iter}, requested {n_iter}; refusing to "
                     "resume (the lr schedule would not match) — delete "
                     "the checkpoint to restart")
+            _check_ckpt_digest(
+                path, z["inputs_digest"] if "inputs_digest" in z
+                else None, inputs_digest)
             n_leaves = treedef.num_leaves
             leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
             carry = jax.tree_util.tree_unflatten(treedef, leaves)

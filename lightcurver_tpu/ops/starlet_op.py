@@ -1,14 +1,15 @@
 """Differentiable starlet op with selectable backend (XLA / Pallas).
 
-Measured on a TPU v5e chip (tools/bench_starlet_tpu.py, round 2): the
-Pallas cascade (starlet_pallas.py) is ~14x faster than the XLA
-shift-add version as a STANDALONE transform (155 us vs 2.2 ms at
-m=128), but END-TO-END the production losses are unchanged (ROI
-300-iteration fit: 0.98x; 16-frame PSF batch: 0.99x) — inside the fused
-loss+grad programs the starlet is not the bottleneck.  That is why
-auto_select_backends() leaves the backend at 'xla': the kernel is kept
-(and parity-tested) for workloads that call the transform directly,
-e.g. noise propagation at high sample counts.
+Measured on a TPU v5e chip (tools/bench_starlet_tpu.py, round 2, with a
+hoisting-proof timing loop — the first naive measurement let XLA hoist
+the loop-invariant body and exaggerated the gap): standalone the Pallas
+cascade (starlet_pallas.py) is 13.8x faster at m=32 (156 us vs 2.15 ms;
+the XLA version is dispatch-bound at small sizes) and 1.23x at m=128
+(191 vs 234 us).  END-TO-END the production fits are unchanged or
+slightly slower (full 2000-iteration ROI fit: 1.055 s XLA vs 1.111 s
+Pallas; 16-frame PSF batch 1.00x), so auto_select_backends() leaves the
+backend at 'xla'.  The kernel is kept (and parity-tested on-chip to
+1e-4) for workloads dominated by many SMALL standalone transforms.
 
 pallas_call has no automatic AD; the transform is LINEAR, so a
 custom_vjp delegates the backward pass to the vjp of the jnp reference

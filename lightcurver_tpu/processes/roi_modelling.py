@@ -271,11 +271,15 @@ def do_modelling_of_roi():
     # deconv_checkpoint_every; the checkpoint is deleted on success so a
     # stale file can never replay a finished fit against changed inputs
     checkpoint_every = int(user_config["deconv_checkpoint_every"] or 0)
-    checkpoint_path = None
+    checkpoint_path = checkpoint_digest = None
     if checkpoint_every > 0:
+        from ..core.optimize import arrays_digest
+
         user_config["checkpoints_dir"].mkdir(exist_ok=True, parents=True)
         checkpoint_path = (user_config["checkpoints_dir"]
                            / f"roi_{footprint_hash}_{roi}_stage2.ckpt")
+        # content digest: refuse to resume against changed inputs
+        checkpoint_digest = arrays_digest(data, noisemap, psf)
 
     def run_fit(kwargs_start, kwargs_fixed, method, n_iter, loss_kwargs,
                 lr, schedule, checkpoint=False):
@@ -306,7 +310,8 @@ def do_modelling_of_roi():
         optim.minimize(max_iterations=n_iter, init_learning_rate=lr,
                        schedule_learning_rate=schedule,
                        checkpoint_path=ckpt,
-                       checkpoint_every=checkpoint_every or 500)
+                       checkpoint_every=checkpoint_every or 500,
+                       checkpoint_inputs_digest=checkpoint_digest)
         kwargs_best = params.best_fit_values(as_kwargs=True)
         if n_pad:
             from ..parallel.deconv import strip_epoch_kwargs

@@ -150,6 +150,60 @@ def test_killed_batched_fit_resumes_exactly(star_batch, tmp_path,
                                ref["loss_history"], rtol=1e-5, atol=1e-4)
 
 
+def test_checkpoint_refuses_changed_inputs(star_batch, tmp_path,
+                                           monkeypatch):
+    """A checkpoint from a killed fit must NOT resume against modified
+    input data (e.g. re-run PSF modelling): refuse, never silently
+    continue from a carry optimized for the old data."""
+    from lightcurver_tpu.core.deconv import batched
+
+    data, noise, psf = star_batch
+    ckpt = tmp_path / "stars.ckpt"
+    calls = {"n": 0}
+    orig = batched._segment_stars
+
+    def bomb(*args, **kwargs):
+        if calls["n"] >= 1:
+            raise KeyboardInterrupt("simulated kill")
+        calls["n"] += 1
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(batched, "_segment_stars", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        batched.fit_stars_batched(data, noise, psf, 2, n_iter=160,
+                                  checkpoint_path=str(ckpt),
+                                  checkpoint_every=80)
+    monkeypatch.setattr(batched, "_segment_stars", orig)
+    with pytest.raises(ValueError, match="different input data"):
+        batched.fit_stars_batched(data * 1.01, noise, psf, 2, n_iter=160,
+                                  checkpoint_path=str(ckpt),
+                                  checkpoint_every=80)
+    # unchanged inputs still resume fine
+    out = batched.fit_stars_batched(data, noise, psf, 2, n_iter=160,
+                                    checkpoint_path=str(ckpt),
+                                    checkpoint_every=80)
+    assert np.isfinite(out["fluxes"]).all()
+
+
+def test_run_checkpointed_digest_mismatch_raises(problem, tmp_path):
+    from lightcurver_tpu.core.optimize import (arrays_digest,
+                                               run_adabelief_checkpointed)
+
+    loss, params = problem
+    ckpt = tmp_path / "fit.ckpt"
+    d1 = arrays_digest(np.ones(4))
+    run_adabelief_checkpointed(
+        loss.loss_fn, params.free0, params.lower, params.upper, 40,
+        checkpoint_path=str(ckpt), consts=loss.consts,
+        checkpoint_every=20, inputs_digest=d1)
+    with pytest.raises(ValueError, match="different input data"):
+        run_adabelief_checkpointed(
+            loss.loss_fn, params.free0, params.lower, params.upper, 40,
+            checkpoint_path=str(ckpt), consts=loss.consts,
+            checkpoint_every=20,
+            inputs_digest=arrays_digest(np.zeros(4)))
+
+
 def test_checkpoint_is_not_pickle_and_n_iter_mismatch_raises(
         problem, tmp_path):
     """Checkpoints are plain npz (no code execution on load) and a

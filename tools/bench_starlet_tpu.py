@@ -40,25 +40,16 @@ def bench_standalone(jax, m, n_rep=200):
     from lightcurver_tpu.core.starlet import (starlet_transform,
                                               n_starlet_scales)
     from lightcurver_tpu.ops.starlet_pallas import starlet_transform_pallas
+    from lightcurver_tpu.utilities.benchmarking import time_compiled_loop
 
     n_sc = n_starlet_scales(m)
     img = jnp.asarray(np.random.default_rng(0).normal(
         0, 1, (m, m)).astype(np.float32))
 
-    def loop(fn):
-        @jax.jit
-        def many(x):
-            def body(c, _):
-                return c, fn(c + 0.0).sum()
-            _, sums = jax.lax.scan(body, x, None, length=n_rep)
-            return sums.sum()
-        float(many(img))             # compile + run
-        t0 = time.perf_counter()
-        float(many(img * 1.000001))
-        return (time.perf_counter() - t0) / n_rep
-
-    t_xla = loop(lambda x: starlet_transform(x, n_scales=n_sc))
-    t_pal = loop(lambda x: starlet_transform_pallas(x, n_scales=n_sc))
+    t_xla = time_compiled_loop(
+        lambda x: starlet_transform(x, n_scales=n_sc), img, n_rep)
+    t_pal = time_compiled_loop(
+        lambda x: starlet_transform_pallas(x, n_scales=n_sc), img, n_rep)
     print(json.dumps({"bench": "starlet_forward", "m": m,
                       "xla_us": round(t_xla * 1e6, 1),
                       "pallas_us": round(t_pal * 1e6, 1),
