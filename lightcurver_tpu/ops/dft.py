@@ -111,7 +111,14 @@ def make_dft_mats(L, m, dtype=np.float32):
 
 
 def irfft2_crop_matmul(total_hat, mats, precision=None):
-    """Re(inverse rfft2)(total_hat)[..., :m, :m] via four matmul pairs.
+    """Re(inverse rfft2)(total_hat)[..., :m, :m] via matmul pairs.
+
+    out = Re{ (Ay + i By) @ X @ (Cx + i Sx) }.  The FULL-length k axis
+    (L) is contracted FIRST: the intermediates are then (..., m, Lh)
+    instead of (..., L, m) — half the bytes streamed through HBM — and
+    the second contraction runs over Lh instead of L — half the
+    stage-2 FLOPs.  Measured on the v5e (round 2): the 1000-epoch
+    deconvolution step is HBM-bound, so the byte saving is wall time.
 
     Args:
         total_hat: (..., L, L//2+1) complex spectrum.
@@ -124,15 +131,17 @@ def irfft2_crop_matmul(total_hat, mats, precision=None):
     precision = _precision(precision)
     Xr = jnp.real(total_hat)
     Xi = jnp.imag(total_hat)
-    # P + iQ = X @ (Cx + i Sx) along the half axis
-    P = jnp.einsum("...kj,jx->...kx", Xr, mats["Cx"], precision=precision) \
-        - jnp.einsum("...kj,jx->...kx", Xi, mats["Sx"],
+    # A + iB = (Ay + i By) @ X, contracting k (length L)
+    A = jnp.einsum("yk,...kj->...yj", mats["Ay"], Xr,
+                   precision=precision) \
+        - jnp.einsum("yk,...kj->...yj", mats["By"], Xi,
                      precision=precision)
-    Q = jnp.einsum("...kj,jx->...kx", Xi, mats["Cx"], precision=precision) \
-        + jnp.einsum("...kj,jx->...kx", Xr, mats["Sx"],
+    B = jnp.einsum("yk,...kj->...yj", mats["Ay"], Xi,
+                   precision=precision) \
+        + jnp.einsum("yk,...kj->...yj", mats["By"], Xr,
                      precision=precision)
-    # Re{ (Ay + i By) applied along k }
-    return jnp.einsum("yk,...kx->...yx", mats["Ay"], P,
+    # Re{ (A + iB) @ (Cx + i Sx) }, contracting j (length L//2+1)
+    return jnp.einsum("...yj,jx->...yx", A, mats["Cx"],
                       precision=precision) \
-        - jnp.einsum("yk,...kx->...yx", mats["By"], Q,
+        - jnp.einsum("...yj,jx->...yx", B, mats["Sx"],
                      precision=precision)
