@@ -45,10 +45,19 @@ scale = float(np.nanmax(data))
 data = data / scale
 sigma_2 = sigma_2 / scale**2
 noisemap = np.sqrt(sigma_2)
-seeings = np.linspace(2.2, 4.0, len(data))   # stand-in seeing per epoch
-mjds = 60000.0 + np.arange(len(data)) * 0.5  # two epochs per night
 n_epochs, n_pix = data.shape[0], data.shape[-1]
 s = scene["s"]
+
+# per-epoch seeing measured from the PSFs themselves (flux-weighted RMS
+# radius) — from a pipeline product you would read f["seeing"] instead
+yy, xx = np.mgrid[0:psf.shape[-1], 0:psf.shape[-1]]
+c0 = (psf.shape[-1] - 1) / 2.0
+r2 = (xx - c0) ** 2 + (yy - c0) ** 2
+seeings = np.sqrt((psf * r2).sum(axis=(1, 2)) / psf.sum(axis=(1, 2)))
+
+# two epochs per night (30 min apart), nights one day apart
+mjds = (60000.0 + np.repeat(np.arange(n_epochs // 2), 2)
+        + np.tile([0.0, 0.02], n_epochs // 2))
 
 # sanity check the relative normalization: total flux per cutout
 flux_per_frame = data.sum(axis=(1, 2))
