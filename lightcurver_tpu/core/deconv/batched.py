@@ -167,7 +167,7 @@ def _shared_consts(image_size, s, irfft_backend):
     from ...ops.dft import make_dft_mats
 
     m = image_size * s
-    return {"dft_mats": make_dft_mats(2 * m, m)}
+    return {"dft_mats": make_dft_mats(2 * m, m, pool=s)}
 
 
 def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,

@@ -203,7 +203,8 @@ class Loss:
         if get_irfft_backend() == "mxu":
             from ...ops.dft import make_dft_mats
 
-            self.consts["dft_mats"] = make_dft_mats(2 * m, m)
+            self.consts["dft_mats"] = make_dft_mats(2 * m, m,
+                                                      pool=self.model.s)
 
     def __call__(self, kwargs):
         """Eager convenience evaluation at full kwargs (diagnostics)."""

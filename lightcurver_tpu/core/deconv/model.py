@@ -179,15 +179,22 @@ class DeconvModel:
             h_hat = jnp.fft.rfft2(h, s=(L, L))              # one FFT, shared
         total_hat = total_hat + h_hat * consts["grid_hat"]
 
-        if "dft_mats" in consts:
+        if "dft_mats" in consts and "Ayp" in consts["dft_mats"]:
+            # inverse transform + crop + SUM-POOL folded into one matmul
+            # chain (ops/dft.py): the fine grid is never materialized
+            from ...ops.dft import irfft2_pool_matmul
+
+            data = irfft2_pool_matmul(total_hat, consts["dft_mats"])
+        elif "dft_mats" in consts:
             # inverse transform + crop as MXU matmuls (ops/dft.py):
             # measurably faster than this backend's FFT
             from ...ops.dft import irfft2_crop_matmul
 
             fine = irfft2_crop_matmul(total_hat, consts["dft_mats"])
+            data = downsample(fine, s)
         else:
             fine = conv.render_from_fft(total_hat, m)       # (N, m, m)
-        data = downsample(fine, s)
+            data = downsample(fine, s)
         return data + kb["mean"][:, None, None]
 
     def point_source_basis(self, kwargs, consts=None):

@@ -107,7 +107,7 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     if irfft_backend == "mxu":
         from ...ops.dft import make_dft_mats
 
-        base_consts["dft_mats"] = make_dft_mats(2 * m, m)
+        base_consts["dft_mats"] = make_dft_mats(2 * m, m, pool=s)
 
     # ---- phase 1: Moffat (grid + distortion fixed) ----------------------
     fixed1_spec = {"kwargs_background": {"background": None},

@@ -223,7 +223,7 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     if get_irfft_backend() == "mxu":
         from ...ops.dft import make_dft_mats
 
-        base_consts["dft_mats"] = make_dft_mats(2 * m, m)
+        base_consts["dft_mats"] = make_dft_mats(2 * m, m, pool=s)
     consts1 = {**base_consts, "fixed": params1.fixed}
     best1, _, hist1 = run_lbfgsb(loss_moffat, params1.free0, params1.lower,
                                  params1.upper, n_iter_analytic,

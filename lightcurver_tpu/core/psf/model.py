@@ -104,6 +104,12 @@ class PSFModel:
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])
         total_hat = spec * t_hat * self._r_hat()
+        if dft_mats is not None and "Ayp" in dft_mats:
+            # crop + sum-pool folded into the inverse matmuls: stamps
+            # land directly on the data grid (ops/dft.py)
+            from ...ops.dft import irfft2_pool_matmul
+
+            return irfft2_pool_matmul(total_hat, dft_mats)
         if dft_mats is not None:
             from ...ops.dft import irfft2_crop_matmul
 

@@ -25,13 +25,8 @@ import jax.numpy as jnp
 _HI = jax.lax.Precision.HIGHEST
 
 
-def make_irfft2_crop_mats(L, m, dtype=np.float32):
-    """Matrices for irfft2 at length L cropped to the leading (m, m).
-
-    Returns dict of arrays: Ay, By (m, L) — inverse transform along the
-    full-spectrum axis, rows cropped; Cx, Sx (L//2+1, m) — along the
-    half-spectrum axis with Hermitian doubling, columns cropped.
-    """
+def _crop_mats_np(L, m):
+    """float64 numpy irfft2-crop matrices (shared builder)."""
     Lh = L // 2 + 1
     k = np.arange(L)
     y = np.arange(m)
@@ -46,8 +41,63 @@ def make_irfft2_crop_mats(L, m, dtype=np.float32):
         w[1:] = 2.0    # odd L: no unique Nyquist bin — all non-DC double
     Cx = (np.cos(2 * np.pi * np.outer(j, x) / L) * w[:, None]) / L
     Sx = (np.sin(2 * np.pi * np.outer(j, x) / L) * w[:, None]) / L
+    return Ay, By, Cx, Sx
+
+
+def make_irfft2_crop_mats(L, m, dtype=np.float32):
+    """Matrices for irfft2 at length L cropped to the leading (m, m).
+
+    Returns dict of arrays: Ay, By (m, L) — inverse transform along the
+    full-spectrum axis, rows cropped; Cx, Sx (L//2+1, m) — along the
+    half-spectrum axis with Hermitian doubling, columns cropped.
+    """
+    Ay, By, Cx, Sx = _crop_mats_np(L, m)
     return {"Ay": jnp.asarray(Ay, dtype), "By": jnp.asarray(By, dtype),
             "Cx": jnp.asarray(Cx, dtype), "Sx": jnp.asarray(Sx, dtype)}
+
+
+def make_irfft2_pool_mats(L, m, s, dtype=np.float32):
+    """irfft2-at-L, crop to (m, m), THEN s x s sum-pool — as matrices.
+
+    The flux-conserving downsample is linear, so it folds into the
+    transform matrices: rows of Ay/By pooled in groups of s, columns of
+    Cx/Sx likewise.  The matmul output lands directly on the (m/s, m/s)
+    DATA grid — the (m, m) fine image is never materialized and both
+    contraction stages shrink by s (the hot fit is HBM-bound, measured).
+    """
+    assert m % s == 0
+    n = m // s
+    Ay, By, Cx, Sx = _crop_mats_np(L, m)  # float64 before pooling
+    return {"Ayp": jnp.asarray(Ay.reshape(n, s, L).sum(axis=1), dtype),
+            "Byp": jnp.asarray(By.reshape(n, s, L).sum(axis=1), dtype),
+            "Cxp": jnp.asarray(
+                Cx.reshape(L // 2 + 1, n, s).sum(axis=2), dtype),
+            "Sxp": jnp.asarray(
+                Sx.reshape(L // 2 + 1, n, s).sum(axis=2), dtype)}
+
+
+def irfft2_pool_matmul(total_hat, mats, precision=None):
+    """downsample(irfft2(total_hat)[..., :m, :m], s) via pooled matmuls.
+
+    Same k-first contraction order as :func:`irfft2_crop_matmul`, with
+    the sum-pool folded into the matrices (:func:`make_irfft2_pool_mats`).
+    Returns the (..., m/s, m/s) DATA-grid render.
+    """
+    precision = _precision(precision)
+    Xr = jnp.real(total_hat)
+    Xi = jnp.imag(total_hat)
+    A = jnp.einsum("yk,...kj->...yj", mats["Ayp"], Xr,
+                   precision=precision) \
+        - jnp.einsum("yk,...kj->...yj", mats["Byp"], Xi,
+                     precision=precision)
+    B = jnp.einsum("yk,...kj->...yj", mats["Ayp"], Xi,
+                   precision=precision) \
+        + jnp.einsum("yk,...kj->...yj", mats["Byp"], Xr,
+                     precision=precision)
+    return jnp.einsum("...yj,jx->...yx", A, mats["Cxp"],
+                      precision=precision) \
+        - jnp.einsum("...yj,jx->...yx", B, mats["Sxp"],
+                     precision=precision)
 
 
 def make_rfft2_pad_mats(L, m, dtype=np.float32):
@@ -110,10 +160,18 @@ def rfft2_pad_matmul(img, mats, precision=None):
     return jax.lax.complex(re, im)
 
 
-def make_dft_mats(L, m, dtype=np.float32):
-    """Combined forward (rfft2-pad) + inverse (irfft2-crop) matrices."""
-    return {**make_irfft2_crop_mats(L, m, dtype),
+def make_dft_mats(L, m, dtype=np.float32, pool=None):
+    """Combined forward (rfft2-pad) + inverse (irfft2-crop) matrices.
+
+    With ``pool=s`` the pooled inverse matrices
+    (:func:`make_irfft2_pool_mats`) are included too, enabling the
+    direct fine-spectrum -> data-grid render in model evaluation.
+    """
+    mats = {**make_irfft2_crop_mats(L, m, dtype),
             **make_rfft2_pad_mats(L, m, dtype)}
+    if pool is not None and m % int(pool) == 0:
+        mats.update(make_irfft2_pool_mats(L, m, int(pool), dtype))
+    return mats
 
 
 def irfft2_crop_matmul(total_hat, mats, precision=None):

@@ -53,6 +53,20 @@ def test_rfft2_pad_matmul_matches_fft():
                                atol=2e-4)
 
 
+@pytest.mark.parametrize("s", [2, 4])
+def test_irfft2_pool_matmul_matches_fft_plus_sumpool(spectrum, s):
+    """The folded crop+sum-pool equals irfft2 -> crop -> block sum."""
+    from lightcurver_tpu.ops.dft import (make_irfft2_pool_mats,
+                                         irfft2_pool_matmul)
+
+    L, m = 64, 32
+    n = m // s
+    fine = np.asarray(jnp.fft.irfft2(spectrum, s=(L, L))[..., :m, :m])
+    ref = fine.reshape(fine.shape[0], n, s, n, s).sum(axis=(2, 4))
+    out = irfft2_pool_matmul(spectrum, make_irfft2_pool_mats(L, m, s))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
 def test_roundtrip_through_both():
     """rfft2_pad -> multiply -> irfft2_crop equals the FFT convolution."""
     from lightcurver_tpu.ops.dft import (make_dft_mats, rfft2_pad_matmul,
