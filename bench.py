@@ -165,6 +165,15 @@ def run_starlet_micro(n_rep=200, m=128):
     return t_xla, t_pal
 
 
+def _optional(fn, what, default):
+    """Extras must never kill the primary JSON line the driver records."""
+    try:
+        return _retry(fn, what)
+    except Exception as e:  # noqa: BLE001
+        print(f"# optional metric {what} failed: {e}", flush=True)
+        return default
+
+
 def main():
     jax = _setup_jax()
     from lightcurver_tpu import ops
@@ -176,39 +185,48 @@ def main():
     # the flagship survey-scale configuration (BASELINE.json north star:
     # 1000 epochs < 60 s on v5e-8; epoch-sharded when devices allow)
     scene1000 = make_roi_scene(n_epochs=1000, n_pix=64, s=2, n_sources=4)
-    roi1000_wall, roi1000_chi2, _ = _retry(
-        lambda: run_roi_deconv(scene1000), "roi1000")
+    roi1000_wall, roi1000_chi2, _ = _optional(
+        lambda: run_roi_deconv(scene1000), "roi1000",
+        (float("nan"), float("nan"), None))
 
     fits_per_sec, psf_chi2 = _retry(lambda: run_psf_bench(), "psf16")
-    # vmap amortization curve (fits/sec at batch 1 / 8 / 32, full budget)
+    # vmap amortization curve (fits/sec at batch 1 / 32, full budget;
+    # 16 is the headline above — throughput peaks there, batch 64
+    # measured slower)
     psf_scaling = {}
-    for bs in (1, 8, 32):
-        fps, _ = _retry(lambda b=bs: run_psf_bench(n_frames=b),
-                        f"psf{bs}")
+    for bs in (1, 32):
+        fps, _ = _optional(lambda b=bs: run_psf_bench(n_frames=b),
+                           f"psf{bs}", (float("nan"), None))
         psf_scaling[f"psf_fits_per_sec_batch{bs}"] = round(fps, 3)
 
     # starlet backend measurement (the Pallas kernel wins standalone but
     # not inside the fused losses; auto_select keeps 'xla' — see
     # ops/starlet_op.py)
-    t_xla, t_pal = _retry(lambda: run_starlet_micro(), "starlet")
+    t_xla, t_pal = _optional(lambda: run_starlet_micro(), "starlet",
+                             (float("nan"), float("nan")))
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
     baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
+
+    def _num(value):
+        # NaN (a failed optional metric) -> JSON null, never 'NaN'
+        return None if value != value else value
+
     print(json.dumps({
         "metric": "roi_deconv_100epoch_wall_s",
         "value": round(roi_wall, 3),
         "unit": "s",
         "vs_baseline": round(baseline_roi_s / roi_wall, 2),
         "roi_reduced_chi2": round(red_chi2, 4),
-        "roi_deconv_1000epoch_wall_s": round(roi1000_wall, 3),
-        "roi_1000epoch_reduced_chi2": round(roi1000_chi2, 4),
+        "roi_deconv_1000epoch_wall_s": _num(round(roi1000_wall, 3)),
+        "roi_1000epoch_reduced_chi2": _num(round(roi1000_chi2, 4)),
         "psf_fits_per_sec": round(fits_per_sec, 3),
         "psf_fits_per_sec_vs_baseline": round(
             fits_per_sec / baseline_psf_fits_per_sec, 2),
         "psf_chi2": round(psf_chi2, 4),
-        **psf_scaling,
-        "starlet_xla_us": round(t_xla * 1e6, 1),
-        "starlet_pallas_us": round(t_pal * 1e6, 1),
+        **{k: _num(v) for k, v in psf_scaling.items()},
+        "starlet_xla_us": _num(round(t_xla * 1e6, 1)),
+        "starlet_pallas_us": _num(round(t_pal * 1e6, 1)),
         "starlet_backend_selected": ops.get_backend(),
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),
