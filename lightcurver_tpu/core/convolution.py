@@ -131,6 +131,29 @@ def render_from_fft(total_hat, m):
     return jnp.fft.irfft2(total_hat, s=(L, L))[..., :m, :m]
 
 
+def point_source_ramps(m, s, a, px, py, dtype=jnp.float32):
+    """1-D factors of the separable point-source phase ramps.
+
+    The spectrum of ``a * r(. - p)`` relative to a PSF transform is the
+    outer product ``u v^T`` with ``u = a exp(-2 pi i fy s py)`` (length
+    L, full axis) and ``v = exp(-2 pi i fx s px)`` (length L//2+1, half
+    axis).  Returns ``(u_re, u_im, v_re, v_im)`` with a trailing
+    frequency axis appended to the shapes of ``a``/``px``/``py``; the
+    amplitude is folded into ``u``.
+
+    These factors feed :func:`...ops.dft.irfft2_pool_shift_matmul`,
+    which renders single-source models WITHOUT materializing the
+    (..., L, L//2+1) spectrum.
+    """
+    L = pad_len(m)
+    fy = jnp.fft.fftfreq(L).astype(dtype)                  # (L,)
+    fx = jnp.fft.rfftfreq(L).astype(dtype)                 # (L/2+1,)
+    ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
+    ax = -2.0 * jnp.pi * fx * (s * jnp.asarray(px, dtype=dtype))[..., None]
+    amps = jnp.asarray(a, dtype=dtype)[..., None]
+    return amps * jnp.cos(ay), amps * jnp.sin(ay), jnp.cos(ax), jnp.sin(ax)
+
+
 def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     """Fourier spectrum of a sum of unit-'r' point sources, RELATIVE to a PSF.
 

@@ -109,6 +109,10 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     else:
         consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
                                jnp.float32)
+        # h is fixed at zero: its render is identically zero — the model
+        # skips the whole per-iteration h convolution chain
+        consts["fixed_h_render"] = jnp.zeros(
+            (n_epochs, image_size, image_size), jnp.float32)
     return free, lower, upper, consts, scale
 
 

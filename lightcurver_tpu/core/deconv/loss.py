@@ -206,9 +206,21 @@ class Loss:
             self.consts["dft_mats"] = make_dft_mats(2 * m, m,
                                                       pool=self.model.s)
 
+        # when the background channel h is FIXED (star photometry default,
+        # ROI stage 1, ROI stage 2 without further_optimize_background) its
+        # render down(conv(t_e, h)) is loop-invariant: precompute it once
+        # here and the model skips the whole per-iteration h chain
+        fixed_bg = (param_class.fixed or {}).get("kwargs_background", {})
+        if "h" in fixed_bg:
+            h_flat = jnp.asarray(fixed_bg["h"], dtype=jnp.float32)
+            self.consts["fixed_h_render"] = self.model._h_render(
+                h_flat, self.consts)
+
     def __call__(self, kwargs):
         """Eager convenience evaluation at full kwargs (diagnostics)."""
         free = kwargs  # evaluate with everything considered free
         consts = dict(self.consts)
         consts["fixed"] = {}
+        # everything is free here, including h: force the full render
+        consts.pop("fixed_h_render", None)
         return self._fn(free, consts)

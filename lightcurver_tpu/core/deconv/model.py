@@ -156,8 +156,40 @@ class DeconvModel:
 
     # ---- evaluation ---------------------------------------------------
 
+    def _h_render(self, h_flat, consts):
+        """Pooled data-grid render of the gridded channel: down(conv(t_e, h))."""
+        m, s = self.m, self.s
+        h = h_flat.reshape(m, m)
+        mats = consts.get("dft_mats")
+        if mats is not None:
+            from ...ops.dft import rfft2_pad_matmul
+
+            h_hat = rfft2_pad_matmul(h, mats)
+        else:
+            L = conv.pad_len(m)
+            h_hat = jnp.fft.rfft2(h, s=(L, L))              # one FFT, shared
+        prod = h_hat * consts["grid_hat"]
+        if mats is not None and "Ayp" in mats:
+            from ...ops.dft import irfft2_pool_matmul
+
+            return irfft2_pool_matmul(prod, mats)
+        if mats is not None:
+            from ...ops.dft import irfft2_crop_matmul
+
+            return downsample(irfft2_crop_matmul(prod, mats), s)
+        return downsample(conv.render_from_fft(prod, m), s)
+
     def model(self, kwargs, consts=None):
-        """Modelled data stamps, (N, n, n)."""
+        """Modelled data stamps, (N, n, n).
+
+        When ``consts`` carries ``fixed_h_render`` (the loop-invariant
+        render of a FIXED background channel, precomputed by
+        deconv.Loss), the whole per-iteration ``h`` convolution chain is
+        skipped.  Single-source problems (star photometry) additionally
+        render through the rank-1 modulated inverse matrices
+        (ops/dft.irfft2_pool_shift_matmul) so the per-epoch point-source
+        spectrum is never materialized.
+        """
         if consts is None:
             consts = self.consts()
         m, s, M = self.m, self.s, self.n_sources
@@ -165,27 +197,47 @@ class DeconvModel:
         kb = kwargs["kwargs_background"]
         a = ka["a"].reshape(self.n_epochs, M)
         px, py = self.source_positions(kwargs)
+        mats = consts.get("dft_mats")
+        pooled = mats is not None and "Ayp" in mats
+        fixed_h = consts.get("fixed_h_render")
+
+        if pooled and M == 1:
+            # rank-1 fast path: one shifted copy of the per-epoch PSF
+            # spectrum per epoch — the ramps modulate the pooled inverse
+            # matrices; no (N, L, L/2+1) spectrum is built this iteration
+            from ...ops.dft import irfft2_pool_shift_matmul
+
+            u_re, u_im, v_re, v_im = conv.point_source_ramps(
+                m, s, a[:, 0], px[:, 0], py[:, 0])
+            S = consts["ps_hat"]
+            data = irfft2_pool_shift_matmul(
+                jnp.real(S), jnp.imag(S), u_re, u_im, v_re, v_im, mats,
+                batched_spectrum=True)
+            h_part = fixed_h if fixed_h is not None \
+                else self._h_render(kb["h"], consts)
+            return data + h_part + kb["mean"][:, None, None]
 
         total_hat = conv.point_source_spectrum(m, s, a, px, py)
         total_hat = total_hat * consts["ps_hat"]
 
-        h = kb["h"].reshape(m, m)
-        L = conv.pad_len(m)
-        if "dft_mats" in consts:
-            from ...ops.dft import rfft2_pad_matmul
+        if fixed_h is None:
+            h = kb["h"].reshape(m, m)
+            L = conv.pad_len(m)
+            if mats is not None:
+                from ...ops.dft import rfft2_pad_matmul
 
-            h_hat = rfft2_pad_matmul(h, consts["dft_mats"])
-        else:
-            h_hat = jnp.fft.rfft2(h, s=(L, L))              # one FFT, shared
-        total_hat = total_hat + h_hat * consts["grid_hat"]
+                h_hat = rfft2_pad_matmul(h, mats)
+            else:
+                h_hat = jnp.fft.rfft2(h, s=(L, L))          # one FFT, shared
+            total_hat = total_hat + h_hat * consts["grid_hat"]
 
-        if "dft_mats" in consts and "Ayp" in consts["dft_mats"]:
+        if pooled:
             # inverse transform + crop + SUM-POOL folded into one matmul
             # chain (ops/dft.py): the fine grid is never materialized
             from ...ops.dft import irfft2_pool_matmul
 
             data = irfft2_pool_matmul(total_hat, consts["dft_mats"])
-        elif "dft_mats" in consts:
+        elif mats is not None:
             # inverse transform + crop as MXU matmuls (ops/dft.py):
             # measurably faster than this backend's FFT
             from ...ops.dft import irfft2_crop_matmul
@@ -195,6 +247,8 @@ class DeconvModel:
         else:
             fine = conv.render_from_fft(total_hat, m)       # (N, m, m)
             data = downsample(fine, s)
+        if fixed_h is not None:
+            data = data + fixed_h
         return data + kb["mean"][:, None, None]
 
     def point_source_basis(self, kwargs, consts=None):

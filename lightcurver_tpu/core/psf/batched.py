@@ -135,7 +135,7 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
 
     sigma_med = jnp.median(sig, axis=0) / jnp.maximum(jnp.mean(a0), 1e-12)
     W = _grid_noise_weights_impl(sigma_med, m, s, 64, n_starlet_scales(m),
-                                 key)
+                                 key, base_consts.get("dft_mats"))
     consts2 = {**base_consts, "W": W,
                "lam": jnp.asarray(regularization_strength, jnp.float32),
                "fixed": fixed2}
@@ -149,9 +149,10 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     if not field_distortion:
         kwargs_final["kwargs_distortion"] = \
             kwargs_init["kwargs_distortion"]
+    dft_mats = base_consts.get("dft_mats")
     narrow = model.narrow_psf(kwargs_final)
-    full = model.full_psf(kwargs_final)
-    model_imgs = model.model(kwargs_final, stamp_coords)
+    full = model.full_psf(kwargs_final, dft_mats=dft_mats)
+    model_imgs = model.model(kwargs_final, stamp_coords, dft_mats)
     chi2_per_star = _masked_chi2_per_star(d, model_imgs, sigma_2, masks)
     n_good = masks.sum(axis=(1, 2))
     chi2 = jnp.sum(jnp.where(n_good > 0, chi2_per_star, 0.0)) \

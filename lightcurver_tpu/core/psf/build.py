@@ -80,7 +80,8 @@ def _phase_losses(n_stars, n_pix, s, field_distortion,
     return model, loss_moffat, loss_pixels
 
 
-def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key):
+def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key,
+                             dft_mats=None):
     """Per-scale noise std of starlet coefficients of the PSF pixel grid.
 
     The operator from the grid g to the stamps is (per star)
@@ -88,7 +89,9 @@ def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key):
     gives the coefficient noise used as l1 weights (same scheme as
     core/noise.propagate_noise for the deconvolution background).
     ``sigma`` is a runtime argument (no closure constants, see
-    core/optimize.py module docstring).
+    core/optimize.py module docstring).  When ``dft_mats`` is given the
+    r-adjoint convolution runs as MXU matmuls (this backend's FFT is
+    slow; the Monte-Carlo pass was ~25% of the batched PSF fit).
     """
     L = conv.pad_len(m)
     r_hat = conv.r_kernel_fft(m, s)
@@ -96,8 +99,16 @@ def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key):
     def one(key):
         eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
         fine = upsample_transpose(eps, s)
-        fine_hat = jnp.fft.rfft2(fine, s=(L, L))
-        back = jnp.fft.irfft2(fine_hat * jnp.conj(r_hat), s=(L, L))[:m, :m]
+        if dft_mats is not None:
+            from ...ops.dft import irfft2_crop_matmul, rfft2_pad_matmul
+
+            fine_hat = rfft2_pad_matmul(fine, dft_mats)
+            # r_hat is real (Gaussian): conj is a no-op
+            back = irfft2_crop_matmul(fine_hat * r_hat, dft_mats)
+        else:
+            fine_hat = jnp.fft.rfft2(fine, s=(L, L))
+            back = jnp.fft.irfft2(fine_hat * jnp.conj(r_hat),
+                                  s=(L, L))[:m, :m]
         return starlet_transform(back, n_scales=n_scales)
 
     keys = jax.random.split(key, num_samples)
@@ -111,12 +122,13 @@ _grid_noise_weights = jax.jit(
 
 
 def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
-                                     num_samples=64, seed=0):
+                                     num_samples=64, seed=0,
+                                     dft_mats=None):
     sigma = jnp.nanmedian(jnp.asarray(noisemap, dtype=jnp.float32), axis=0)
     sigma = sigma / jnp.maximum(mean_amp, 1e-12)
     return _grid_noise_weights(sigma, model.m, model.s, num_samples,
                                n_starlet_scales(model.m),
-                               jax.random.PRNGKey(seed))
+                               jax.random.PRNGKey(seed), dft_mats)
 
 
 def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
@@ -240,7 +252,8 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     params2 = Params(kwargs_1, kwargs_fixed_2, kwargs_up, kwargs_down)
 
     mean_amp = jnp.mean(jnp.asarray(a0))
-    W = _propagate_noise_to_grid_weights(model, noisemap / scale, mean_amp)
+    W = _propagate_noise_to_grid_weights(model, noisemap / scale, mean_amp,
+                                         dft_mats=base_consts.get("dft_mats"))
 
     consts2 = {**base_consts, "W": W,
                "lam": jnp.asarray(regularization_strength, jnp.float32),
@@ -252,8 +265,10 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     kwargs_final = params2.merge(best2)
 
     narrow = model.narrow_psf(kwargs_final)
-    full = model.full_psf(kwargs_final)
-    model_imgs = model.model(kwargs_final, stamp_coordinates)
+    full = model.full_psf(kwargs_final,
+                          dft_mats=base_consts.get("dft_mats"))
+    model_imgs = model.model(kwargs_final, stamp_coordinates,
+                             base_consts.get("dft_mats"))
     chi2_per_star = _masked_chi2_per_star(data, model_imgs, sigma_2, masks_j)
     chi2 = float(jnp.mean(chi2_per_star))
     residuals = scale * np.asarray(data - model_imgs)

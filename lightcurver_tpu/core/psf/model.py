@@ -66,9 +66,14 @@ class PSFModel:
                              km["beta"]) + g
         return t / t.sum()
 
-    def full_psf(self, kwargs):
+    def full_psf(self, kwargs, dft_mats=None):
         """conv(t, r): the PSF as seen by a perfectly centered star."""
         t = self.narrow_psf(kwargs)
+        if dft_mats is not None:
+            from ...ops.dft import irfft2_crop_matmul
+
+            t_hat = _forward_fft(t, dft_mats) * self._r_hat()
+            return irfft2_crop_matmul(t_hat, dft_mats)
         t_hat = conv.psf_fft(t) * self._r_hat()
         L = conv.pad_len(self.m)
         full = jnp.fft.irfft2(t_hat, s=(L, L))[: self.m, : self.m]
@@ -100,6 +105,20 @@ class PSFModel:
         else:
             # one shared PSF: one forward FFT instead of N identical ones
             t_hat = _forward_fft(self.narrow_psf(kwargs), dft_mats)
+            if dft_mats is not None and "Ayp" in dft_mats:
+                # rank-1 fast path: each star is ONE shifted copy of the
+                # shared spectrum, so the per-star phase ramps modulate
+                # the pooled inverse matrices directly — the (N, L,
+                # L/2+1) per-star spectrum is never materialized
+                # (ops/dft.py irfft2_pool_shift_matmul)
+                from ...ops.dft import irfft2_pool_shift_matmul
+
+                S = t_hat * self._r_hat()
+                u_re, u_im, v_re, v_im = conv.point_source_ramps(
+                    self.m, self.s, kg["a"], kg["x0"], kg["y0"])
+                return irfft2_pool_shift_matmul(
+                    jnp.real(S), jnp.imag(S), u_re, u_im, v_re, v_im,
+                    dft_mats)
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])

@@ -84,3 +84,92 @@ def test_roundtrip_through_both():
     out = irfft2_crop_matmul(rfft2_pad_matmul(h, mats) * k_hat, mats)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4)
+
+
+def test_irfft2_pool_shift_matmul_shared_spectrum():
+    """Rank-1 modulated render == spectrum-materializing render (PSF path)."""
+    from lightcurver_tpu.core import convolution as conv
+    from lightcurver_tpu.ops.dft import (make_irfft2_pool_mats,
+                                         irfft2_pool_matmul,
+                                         irfft2_pool_shift_matmul)
+
+    rng = np.random.default_rng(3)
+    m, s, N = 32, 2, 4
+    L = conv.pad_len(m)
+    t = jnp.asarray(rng.normal(0, 1, (m, m)).astype(np.float32))
+    S = jnp.fft.rfft2(t, s=(L, L))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, N).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+
+    spec = conv.point_source_spectrum(m, s, a[:, None], px[:, None],
+                                      py[:, None])
+    mats = make_irfft2_pool_mats(L, m, s)
+    ref = irfft2_pool_matmul(spec * S, mats)
+
+    u_re, u_im, v_re, v_im = conv.point_source_ramps(m, s, a, px, py)
+    out = irfft2_pool_shift_matmul(jnp.real(S), jnp.imag(S),
+                                   u_re, u_im, v_re, v_im, mats)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_irfft2_pool_shift_matmul_batched_spectrum():
+    """Per-epoch spectra (star-photometry path): batched_spectrum=True."""
+    from lightcurver_tpu.core import convolution as conv
+    from lightcurver_tpu.ops.dft import (make_irfft2_pool_mats,
+                                         irfft2_pool_matmul,
+                                         irfft2_pool_shift_matmul)
+
+    rng = np.random.default_rng(4)
+    m, s, N = 32, 2, 3
+    L = conv.pad_len(m)
+    t = jnp.asarray(rng.normal(0, 1, (N, m, m)).astype(np.float32))
+    S = jnp.fft.rfft2(t, s=(L, L))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, N).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+
+    spec = conv.point_source_spectrum(m, s, a[:, None], px[:, None],
+                                      py[:, None])
+    mats = make_irfft2_pool_mats(L, m, s)
+    ref = irfft2_pool_matmul(spec * S, mats)
+
+    u_re, u_im, v_re, v_im = conv.point_source_ramps(m, s, a, px, py)
+    out = irfft2_pool_shift_matmul(jnp.real(S), jnp.imag(S),
+                                   u_re, u_im, v_re, v_im, mats,
+                                   batched_spectrum=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_deconv_model_fast_paths_match_fft_reference():
+    """M=1 modulated render + fixed_h_render == the plain FFT model."""
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.ops.dft import make_dft_mats
+
+    rng = np.random.default_rng(5)
+    N, n, s = 6, 16, 2
+    m = n * s
+    data = rng.normal(10, 1, (N, n, n)).astype(np.float32)
+    yy, xx = np.mgrid[:m, :m] - (m - 1) / 2.0
+    psf = np.exp(-(xx**2 + yy**2) / 6.0).astype(np.float32)
+    psf = np.broadcast_to(psf, (N, m, m)).copy()
+    model, kwargs, *_ = setup_model(data, data, psf, [0.4], [-0.3], s)
+    kwargs["kwargs_analytic"]["dx"] = jnp.asarray(
+        rng.uniform(-1, 1, N), jnp.float32)
+    kwargs["kwargs_analytic"]["dy"] = jnp.asarray(
+        rng.uniform(-1, 1, N), jnp.float32)
+    kwargs["kwargs_background"]["h"] = jnp.asarray(
+        rng.normal(0, 0.1, m * m), jnp.float32)
+
+    ref = np.asarray(model.model(kwargs, model.consts()))
+    mats = make_dft_mats(2 * m, m, pool=s)
+    c = {**model.consts(), "dft_mats": mats}
+    out_fast = np.asarray(model.model(kwargs, c))
+    np.testing.assert_allclose(out_fast, ref, rtol=1e-4, atol=1e-4)
+
+    hr = model._h_render(kwargs["kwargs_background"]["h"], c)
+    out_fixed = np.asarray(model.model(kwargs, {**c,
+                                                "fixed_h_render": hr}))
+    np.testing.assert_allclose(out_fixed, ref, rtol=1e-4, atol=1e-4)
