@@ -68,6 +68,37 @@ def r_kernel_fft(m, s, dtype=jnp.float32):
     return jnp.exp(-2.0 * jnp.pi**2 * sigma_f**2 * (fy**2 + fx**2))
 
 
+def r_kernel_fft_1d(m, s, dtype=jnp.float32):
+    """The SEPARABLE 1-D factors of :func:`r_kernel_fft`.
+
+    ``r_kernel_fft = ry[:, None] * rx[None, :]`` (a Gaussian factorizes
+    over axes).  Folding these into 1-D phase ramps lets hot paths touch
+    only the raw PSF spectrum per iteration (HBM-bound fits).
+    """
+    del s
+    sigma_f = fwhm_to_sigma(TARGET_FWHM_FINE_PIX)
+    L = pad_len(m)
+    fy = jnp.fft.fftfreq(L).astype(dtype)
+    fx = jnp.fft.rfftfreq(L).astype(dtype)
+    c = -2.0 * jnp.pi**2 * sigma_f**2
+    return jnp.exp(c * fy**2), jnp.exp(c * fx**2)
+
+
+def grid_center_phase_1d(m, dtype=jnp.float32):
+    """1-D factors of :func:`grid_center_phase`.
+
+    Returns ``(gy_re, gy_im, gx_re, gx_im)`` with
+    ``grid_center_phase = (gy_re + i gy_im)[:, None] * (gx_re + i gx_im)``.
+    """
+    c = (m - 1) / 2.0
+    L = pad_len(m)
+    fy = jnp.fft.fftfreq(L).astype(dtype)
+    fx = jnp.fft.rfftfreq(L).astype(dtype)
+    ay = 2.0 * jnp.pi * fy * c
+    ax = 2.0 * jnp.pi * fx * c
+    return jnp.cos(ay), jnp.sin(ay), jnp.cos(ax), jnp.sin(ax)
+
+
 def shift_phase(m, sx, sy, dtype=jnp.float32):
     """Phase ramp translating by (sx, sy) FINE pixels (real-valued shifts).
 
@@ -131,7 +162,8 @@ def render_from_fft(total_hat, m):
     return jnp.fft.irfft2(total_hat, s=(L, L))[..., :m, :m]
 
 
-def point_source_ramps(m, s, a, px, py, dtype=jnp.float32):
+def point_source_ramps(m, s, a, px, py, dtype=jnp.float32, ry=None,
+                       rx=None):
     """1-D factors of the separable point-source phase ramps.
 
     The spectrum of ``a * r(. - p)`` relative to a PSF transform is the
@@ -140,6 +172,10 @@ def point_source_ramps(m, s, a, px, py, dtype=jnp.float32):
     axis).  Returns ``(u_re, u_im, v_re, v_im)`` with a trailing
     frequency axis appended to the shapes of ``a``/``px``/``py``; the
     amplitude is folded into ``u``.
+
+    ``ry``/``rx`` (from :func:`r_kernel_fft_1d`) fold the separable
+    target-Gaussian transform into the ramps, so callers can pair the
+    ramps with the RAW PSF spectrum instead of a premultiplied one.
 
     These factors feed :func:`...ops.dft.irfft2_pool_shift_matmul`,
     which renders single-source models WITHOUT materializing the
@@ -151,7 +187,64 @@ def point_source_ramps(m, s, a, px, py, dtype=jnp.float32):
     ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
     ax = -2.0 * jnp.pi * fx * (s * jnp.asarray(px, dtype=dtype))[..., None]
     amps = jnp.asarray(a, dtype=dtype)[..., None]
-    return amps * jnp.cos(ay), amps * jnp.sin(ay), jnp.cos(ax), jnp.sin(ax)
+    uy = amps if ry is None else amps * ry
+    vx = jnp.ones((), dtype) if rx is None else rx
+    return (uy * jnp.cos(ay), uy * jnp.sin(ay),
+            vx * jnp.cos(ax), vx * jnp.sin(ax))
+
+
+def point_source_ramp_stacks(m, s, a, px, py, dtype=jnp.float32, ry=None,
+                             rx=None):
+    """Stacked rank-1 factors of the point-source spectrum.
+
+    Returns ``(u_re, u_im, v)`` with shapes (..., 2M, L), (..., 2M, L),
+    (..., 2M, L//2+1) such that
+
+        spec_re = sum_c u_re[c] (x) v[c]
+        spec_im = sum_c u_im[c] (x) v[c]
+
+    equals :func:`point_source_spectrum` (same stacking identity as its
+    GEMM formulation).  ``ry``/``rx`` fold the separable target-Gaussian
+    transform in (see :func:`point_source_ramps`).  Feeds
+    :func:`point_source_spectrum_parts` and the fused Pallas renderer
+    (ops/fused_render.py).
+    """
+    L = pad_len(m)
+    fy = jnp.fft.fftfreq(L).astype(dtype)
+    fx = jnp.fft.rfftfreq(L).astype(dtype)
+    ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
+    ax = -2.0 * jnp.pi * fx * (s * jnp.asarray(px, dtype=dtype))[..., None]
+    cy, sy_ = jnp.cos(ay), jnp.sin(ay)                     # (..., M, L)
+    cx, sx_ = jnp.cos(ax), jnp.sin(ax)                     # (..., M, Lh)
+    amps = jnp.asarray(a, dtype=dtype)[..., None]
+    uy = amps if ry is None else amps * ry
+    u_re = jnp.concatenate([uy * cy, -uy * sy_], axis=-2)
+    u_im = jnp.concatenate([uy * sy_, uy * cy], axis=-2)
+    if rx is not None:
+        cx, sx_ = rx * cx, rx * sx_
+    v = jnp.concatenate([cx, sx_], axis=-2)
+    return u_re, u_im, v
+
+
+def point_source_spectrum_parts(m, s, a, px, py, dtype=jnp.float32,
+                                ry=None, rx=None):
+    """(re, im) of :func:`point_source_spectrum` as separate REAL arrays.
+
+    The hot fits are HBM-bound; keeping the spectrum as an explicit
+    (re, im) pair end-to-end avoids the complex-array assembly and the
+    real()/imag() extraction copies of the complex path (measured on
+    the 1000-epoch joint fit).  ``ry``/``rx`` optionally fold the
+    separable r-kernel in (then multiply with the RAW PSF spectrum).
+    """
+    u_re, u_im, v = point_source_ramp_stacks(m, s, a, px, py, dtype=dtype,
+                                             ry=ry, rx=rx)
+    re = jnp.einsum("...jy,...jx->...yx", u_re, v,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype)
+    im = jnp.einsum("...jy,...jx->...yx", u_im, v,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=dtype)
+    return re, im
 
 
 def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):

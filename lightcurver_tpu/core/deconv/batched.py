@@ -55,6 +55,7 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     psf_pad = pad_psf_to(psf, m)
     psf_pad = psf_pad / psf_pad.sum(axis=(-2, -1), keepdims=True)
     spectra = model.spectra(psf_pad)
+    spectra.update(model.spectra_real(psf_pad))
 
     free = {
         "kwargs_analytic": {

@@ -205,6 +205,11 @@ class Loss:
 
             self.consts["dft_mats"] = make_dft_mats(2 * m, m,
                                                       pool=self.model.s)
+            # raw (re, im) PSF spectra: the model's all-real hot path
+            # reads ONLY these per iteration (ps_hat/grid_hat above stay
+            # for setup/diagnostic computations; unused args are pruned
+            # from the compiled optimizer step)
+            self.consts.update(self.model.spectra_real())
 
         # when the background channel h is FIXED (star photometry default,
         # ROI stage 1, ROI stage 2 without further_optimize_background) its

@@ -103,22 +103,27 @@ class PSFModel:
             t_stack = self._per_star_psfs(kwargs, stamp_coordinates)
             t_hat = _forward_fft(t_stack, dft_mats)    # (N, L, L/2+1)
         else:
-            # one shared PSF: one forward FFT instead of N identical ones
-            t_hat = _forward_fft(self.narrow_psf(kwargs), dft_mats)
             if dft_mats is not None and "Ayp" in dft_mats:
                 # rank-1 fast path: each star is ONE shifted copy of the
-                # shared spectrum, so the per-star phase ramps modulate
-                # the pooled inverse matrices directly — the (N, L,
-                # L/2+1) per-star spectrum is never materialized
-                # (ops/dft.py irfft2_pool_shift_matmul)
-                from ...ops.dft import irfft2_pool_shift_matmul
+                # shared spectrum, so the per-star phase ramps (with the
+                # separable r-kernel folded in) modulate the pooled
+                # inverse matrices directly — the (N, L, L/2+1) per-star
+                # spectrum is never materialized, and the RAW narrow-PSF
+                # spectrum is used as an explicit (re, im) pair (no
+                # complex extraction copies)
+                from ...ops.dft import (irfft2_pool_shift_matmul,
+                                        rfft2_pad_matmul_parts)
 
-                S = t_hat * self._r_hat()
+                t_re, t_im = rfft2_pad_matmul_parts(
+                    self.narrow_psf(kwargs), dft_mats)
+                ry, rx = conv.r_kernel_fft_1d(self.m, self.s)
                 u_re, u_im, v_re, v_im = conv.point_source_ramps(
-                    self.m, self.s, kg["a"], kg["x0"], kg["y0"])
+                    self.m, self.s, kg["a"], kg["x0"], kg["y0"],
+                    ry=ry, rx=rx)
                 return irfft2_pool_shift_matmul(
-                    jnp.real(S), jnp.imag(S), u_re, u_im, v_re, v_im,
-                    dft_mats)
+                    t_re, t_im, u_re, u_im, v_re, v_im, dft_mats)
+            # one shared PSF: one forward FFT instead of N identical ones
+            t_hat = _forward_fft(self.narrow_psf(kwargs), dft_mats)
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
             kg["y0"][:, None])

@@ -53,7 +53,11 @@ def make_irfft2_crop_mats(L, m, dtype=np.float32):
     """
     Ay, By, Cx, Sx = _crop_mats_np(L, m)
     return {"Ay": jnp.asarray(Ay, dtype), "By": jnp.asarray(By, dtype),
-            "Cx": jnp.asarray(Cx, dtype), "Sx": jnp.asarray(Sx, dtype)}
+            "Cx": jnp.asarray(Cx, dtype), "Sx": jnp.asarray(Sx, dtype),
+            # [Ay; By] stacked: stage 1 reads each spectrum part ONCE
+            # (two einsums instead of four — the fit is HBM-bound and
+            # XLA does not merge same-RHS dots here)
+            "ABy": jnp.asarray(np.concatenate([Ay, By], axis=0), dtype)}
 
 
 def make_irfft2_pool_mats(L, m, s, dtype=np.float32):
@@ -68,12 +72,17 @@ def make_irfft2_pool_mats(L, m, s, dtype=np.float32):
     assert m % s == 0
     n = m // s
     Ay, By, Cx, Sx = _crop_mats_np(L, m)  # float64 before pooling
-    return {"Ayp": jnp.asarray(Ay.reshape(n, s, L).sum(axis=1), dtype),
-            "Byp": jnp.asarray(By.reshape(n, s, L).sum(axis=1), dtype),
+    ayp = Ay.reshape(n, s, L).sum(axis=1)
+    byp = By.reshape(n, s, L).sum(axis=1)
+    return {"Ayp": jnp.asarray(ayp, dtype),
+            "Byp": jnp.asarray(byp, dtype),
             "Cxp": jnp.asarray(
                 Cx.reshape(L // 2 + 1, n, s).sum(axis=2), dtype),
             "Sxp": jnp.asarray(
-                Sx.reshape(L // 2 + 1, n, s).sum(axis=2), dtype)}
+                Sx.reshape(L // 2 + 1, n, s).sum(axis=2), dtype),
+            # stacked stage-1 matrix (see make_irfft2_crop_mats)
+            "AByp": jnp.asarray(np.concatenate([ayp, byp], axis=0),
+                                dtype)}
 
 
 def irfft2_pool_matmul(total_hat, mats, precision=None):
@@ -83,17 +92,36 @@ def irfft2_pool_matmul(total_hat, mats, precision=None):
     the sum-pool folded into the matrices (:func:`make_irfft2_pool_mats`).
     Returns the (..., m/s, m/s) DATA-grid render.
     """
+    return irfft2_pool_matmul_parts(jnp.real(total_hat),
+                                    jnp.imag(total_hat), mats, precision)
+
+
+def irfft2_pool_matmul_parts(Xr, Xi, mats, precision=None):
+    """:func:`irfft2_pool_matmul` on an explicit (re, im) spectrum pair.
+
+    Callers that already hold the spectrum as separate real arrays (the
+    all-real hot path of core/deconv/model.py) skip the complex
+    assembly + real()/imag() extraction copies entirely.
+    """
     precision = _precision(precision)
-    Xr = jnp.real(total_hat)
-    Xi = jnp.imag(total_hat)
-    A = jnp.einsum("yk,...kj->...yj", mats["Ayp"], Xr,
-                   precision=precision) \
-        - jnp.einsum("yk,...kj->...yj", mats["Byp"], Xi,
-                     precision=precision)
-    B = jnp.einsum("yk,...kj->...yj", mats["Ayp"], Xi,
-                   precision=precision) \
-        + jnp.einsum("yk,...kj->...yj", mats["Byp"], Xr,
-                     precision=precision)
+    n = mats["Ayp"].shape[0]
+    if "AByp" in mats:
+        # stacked stage 1: each of Xr/Xi streams through HBM once
+        P = jnp.einsum("yk,...kj->...yj", mats["AByp"], Xr,
+                       precision=precision)
+        Q = jnp.einsum("yk,...kj->...yj", mats["AByp"], Xi,
+                       precision=precision)
+        A = P[..., :n, :] - Q[..., n:, :]
+        B = Q[..., :n, :] + P[..., n:, :]
+    else:
+        A = jnp.einsum("yk,...kj->...yj", mats["Ayp"], Xr,
+                       precision=precision) \
+            - jnp.einsum("yk,...kj->...yj", mats["Byp"], Xi,
+                         precision=precision)
+        B = jnp.einsum("yk,...kj->...yj", mats["Ayp"], Xi,
+                       precision=precision) \
+            + jnp.einsum("yk,...kj->...yj", mats["Byp"], Xr,
+                         precision=precision)
     return jnp.einsum("...yj,jx->...yx", A, mats["Cxp"],
                       precision=precision) \
         - jnp.einsum("...yj,jx->...yx", B, mats["Sxp"],
@@ -197,6 +225,12 @@ def rfft2_pad_matmul(img, mats, precision=None):
     FLOPs (same reasoning as the k-first inverse, see
     irfft2_crop_matmul).
     """
+    re, im = rfft2_pad_matmul_parts(img, mats, precision)
+    return jax.lax.complex(re, im)
+
+
+def rfft2_pad_matmul_parts(img, mats, precision=None):
+    """:func:`rfft2_pad_matmul` returning the explicit (re, im) pair."""
     precision = _precision(precision)
     U = jnp.einsum("...yx,xj->...yj", img, mats["fCx"],
                    precision=precision)
@@ -210,7 +244,7 @@ def rfft2_pad_matmul(img, mats, precision=None):
                       precision=precision)
            + jnp.einsum("ky,...yj->...kj", mats["fSy"], U,
                         precision=precision))
-    return jax.lax.complex(re, im)
+    return re, im
 
 
 def make_dft_mats(L, m, dtype=np.float32, pool=None):
@@ -248,15 +282,25 @@ def irfft2_crop_matmul(total_hat, mats, precision=None):
     precision = _precision(precision)
     Xr = jnp.real(total_hat)
     Xi = jnp.imag(total_hat)
+    m = mats["Ay"].shape[0]
     # A + iB = (Ay + i By) @ X, contracting k (length L)
-    A = jnp.einsum("yk,...kj->...yj", mats["Ay"], Xr,
-                   precision=precision) \
-        - jnp.einsum("yk,...kj->...yj", mats["By"], Xi,
-                     precision=precision)
-    B = jnp.einsum("yk,...kj->...yj", mats["Ay"], Xi,
-                   precision=precision) \
-        + jnp.einsum("yk,...kj->...yj", mats["By"], Xr,
-                     precision=precision)
+    if "ABy" in mats:
+        # stacked stage 1: each of Xr/Xi streams through HBM once
+        P = jnp.einsum("yk,...kj->...yj", mats["ABy"], Xr,
+                       precision=precision)
+        Q = jnp.einsum("yk,...kj->...yj", mats["ABy"], Xi,
+                       precision=precision)
+        A = P[..., :m, :] - Q[..., m:, :]
+        B = Q[..., :m, :] + P[..., m:, :]
+    else:
+        A = jnp.einsum("yk,...kj->...yj", mats["Ay"], Xr,
+                       precision=precision) \
+            - jnp.einsum("yk,...kj->...yj", mats["By"], Xi,
+                         precision=precision)
+        B = jnp.einsum("yk,...kj->...yj", mats["Ay"], Xi,
+                       precision=precision) \
+            + jnp.einsum("yk,...kj->...yj", mats["By"], Xr,
+                         precision=precision)
     # Re{ (A + iB) @ (Cx + i Sx) }, contracting j (length L//2+1)
     return jnp.einsum("...yj,jx->...yx", A, mats["Cx"],
                       precision=precision) \

@@ -152,7 +152,8 @@ def strip_epoch_kwargs(kwargs, n_real, n_pad, n_sources):
 
 
 _EPOCH_CONST_KEYS = frozenset({"data", "sigma_2", "ps_hat", "grid_hat",
-                               "epoch_w", "fixed_h_render"})
+                               "t_re", "t_im", "epoch_w",
+                               "fixed_h_render"})
 
 
 def shard_consts(mesh, consts):

@@ -173,3 +173,46 @@ def test_deconv_model_fast_paths_match_fft_reference():
     out_fixed = np.asarray(model.model(kwargs, {**c,
                                                 "fixed_h_render": hr}))
     np.testing.assert_allclose(out_fixed, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n_sources", [1, 3])
+@pytest.mark.parametrize("fixed_h", [False, True])
+def test_deconv_all_real_t_layout_matches_fft(n_sources, fixed_h):
+    """The all-real raw-spectrum hot path == the complex FFT model.
+
+    Separable r-kernel / center-phase folding (core/deconv/model.py
+    _model_all_real) must be exact for any source count, with the
+    background channel free or fixed.
+    """
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.ops.dft import make_dft_mats
+
+    rng = np.random.default_rng(11)
+    N, n, s = 7, 24, 2
+    m = n * s
+    data = rng.normal(10, 1, (N, n, n)).astype(np.float32)
+    yy, xx = np.mgrid[:m, :m] - (m - 1) / 2.0
+    psf = np.exp(-(xx**2 + yy**2) / 6.0).astype(np.float32)
+    psf = np.broadcast_to(psf, (N, m, m)).copy()
+    xs = [0.3, -1.1, 0.7][:n_sources]
+    ys = [-0.2, 0.8, 1.4][:n_sources]
+    model, kwargs, *_ = setup_model(data, data, psf, xs, ys, s)
+    kwargs["kwargs_analytic"]["dx"] = jnp.asarray(
+        rng.uniform(-1, 1, N), jnp.float32)
+    kwargs["kwargs_analytic"]["dy"] = jnp.asarray(
+        rng.uniform(-1, 1, N), jnp.float32)
+    kwargs["kwargs_analytic"]["alpha"] = jnp.asarray(
+        rng.uniform(-5, 5, N), jnp.float32)
+    kwargs["kwargs_background"]["h"] = jnp.asarray(
+        rng.normal(0, 0.1, m * m), jnp.float32)
+    kwargs["kwargs_background"]["mean"] = jnp.asarray(
+        rng.normal(0, 0.1, N), jnp.float32)
+
+    ref = np.asarray(model.model(kwargs, model.consts()))
+    mats = make_dft_mats(2 * m, m, pool=s)
+    c = {**model.consts(), **model.spectra_real(), "dft_mats": mats}
+    if fixed_h:
+        c["fixed_h_render"] = model._h_render(
+            kwargs["kwargs_background"]["h"], c)
+    out = np.asarray(model.model(kwargs, c))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

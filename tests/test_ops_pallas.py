@@ -61,3 +61,43 @@ def test_backend_flag_roundtrip():
     ops.set_backend("pallas")
     assert ops.get_backend() == "pallas"
     ops.set_backend("xla")
+
+
+def test_fused_render_interpret_matches_xla():
+    """The (parked) fused Pallas renderer is exact vs the XLA render.
+
+    See ops/fused_render.py: measured slower on hardware, kept as a
+    tested experiment.  Runs in interpret mode (CPU backend).
+    """
+    from lightcurver_tpu.core import convolution as conv
+    from lightcurver_tpu.ops.dft import make_dft_mats, irfft2_pool_matmul
+    from lightcurver_tpu.ops.fused_render import _fused_render_fwd_impl
+
+    rng = np.random.default_rng(7)
+    N, n, s, M = 8, 16, 2, 3
+    m = n * s
+    L = 2 * m
+    t = jnp.asarray(rng.normal(0, 1, (N, m, m)).astype(np.float32))
+    t_hat = jnp.fft.rfft2(t, s=(L, L))
+    a = jnp.asarray(rng.uniform(0.5, 2, (N, M)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-2, 2, (N, M)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-2, 2, (N, M)).astype(np.float32))
+    h_hat = jnp.fft.rfft2(
+        jnp.asarray(rng.normal(0, 0.1, (m, m)).astype(np.float32)),
+        s=(L, L))
+
+    r_hat = conv.r_kernel_fft(m, s)
+    cp = conv.grid_center_phase(m)
+    mats = make_dft_mats(L, m, pool=s)
+
+    spec = conv.point_source_spectrum(m, s, a, px, py)
+    total = spec * (t_hat * r_hat) + h_hat * (t_hat * cp)
+    ref = np.asarray(irfft2_pool_matmul(total, mats))
+
+    u_re, u_im, v = conv.point_source_ramp_stacks(m, s, a, px, py)
+    out = np.asarray(_fused_render_fwd_impl(
+        u_re, u_im, v, jnp.real(t_hat), jnp.imag(t_hat), r_hat,
+        jnp.real(cp), jnp.imag(cp), jnp.real(h_hat), jnp.imag(h_hat),
+        mats["Ayp"], mats["Byp"], mats["Cxp"], mats["Sxp"],
+        include_h=True, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
