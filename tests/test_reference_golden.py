@@ -68,3 +68,111 @@ def test_matches_reference_golden(our_outputs):
     assert float(dmag.max()) < 1e-3, f"flux disagreement {dmag} mag"
     np.testing.assert_allclose(our_outputs["phot_chi2_per_frame"],
                                golden["phot_chi2_per_frame"], rtol=0.05)
+
+
+def _cols_close(ours, golden, rtol=1e-9, atol=1e-12):
+    """Compare dataframe-as-dict fixtures column by column (NaN == NaN)."""
+    for col, want in golden.items():
+        assert col in ours.columns, f"missing column {col}"
+        got = np.asarray(ours[col], dtype=float)
+        want = np.asarray([np.nan if v is None else v for v in want],
+                          dtype=float)
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol,
+                                   equal_nan=True, err_msg=col)
+
+
+@pytest.fixture(scope="module")
+def utilities_golden():
+    path = FIXTURES / "reference_utilities_golden.json"
+    return json.loads(path.read_text())
+
+
+@pytest.fixture(scope="module")
+def utilities_inputs():
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import make_inputs
+
+    return make_inputs()
+
+
+def test_grouping_matches_reference(utilities_golden, utilities_inputs):
+    """Nightly grouping == the ACTUAL reference implementation's output.
+
+    Fixture recorded by tools/record_reference_utilities_golden.py
+    running the reference's group_observations (reference
+    utilities/lightcurves_postprocessing.py:8) on the same inputs.
+    """
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import (
+        group_observations)
+
+    grouped = group_observations(utilities_inputs["phot_df"])
+    _cols_close(grouped, utilities_golden["grouped"], rtol=1e-9)
+
+
+def test_magnitudes_match_reference(utilities_golden, utilities_inputs):
+    """Flux->mag incl. asymmetric-error NaN branches == the reference."""
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import (
+        convert_flux_to_magnitude)
+
+    mags = convert_flux_to_magnitude(utilities_inputs["phot_df"])
+    _cols_close(mags, utilities_golden["magnitudes"], rtol=1e-9)
+
+
+def test_normalization_matches_reference(utilities_golden,
+                                         utilities_inputs):
+    """The SLSQP normalization recipe scored by OUR cost/std == reference.
+
+    Same pipeline (median-normalize, pivot, SLSQP with mean-1
+    constraint, inverse-variance combine) with our
+    cost_function_scatter_in_frame / weighted_std — the coefficients
+    must match the reference-scored run to optimizer tolerance.
+    """
+    import sys
+
+    from scipy.optimize import minimize
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import normalization_pipeline
+
+    from lightcurver_tpu.processes.normalization_calculation import (
+        cost_function_scatter_in_frame, weighted_std)
+
+    scales, coeff, err = normalization_pipeline(
+        utilities_inputs["norm_df"], cost_function_scatter_in_frame,
+        weighted_std, minimize)
+    np.testing.assert_allclose(scales,
+                               utilities_golden["norm_star_scales"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(coeff,
+                               utilities_golden["norm_coefficients"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(err, utilities_golden["norm_errors"],
+                               rtol=1e-5)
+
+
+def test_seeing_matches_reference(utilities_golden, utilities_inputs):
+    """COSMOULINE histogram-peak seeing == the reference, all regimes."""
+    from lightcurver_tpu.processes.frame_characterization import (
+        estimate_seeing)
+
+    for key, arr in (("seeing_many", "fwhm_many"),
+                     ("seeing_few", "fwhm_few"),
+                     ("seeing_none", "fwhm_none")):
+        got = estimate_seeing({"FWHM": utilities_inputs[arr]})
+        assert got == pytest.approx(utilities_golden[key], rel=1e-9), key
+
+
+def test_naming_and_coordinates_match_reference(utilities_golden,
+                                                utilities_inputs):
+    from lightcurver_tpu.utilities.image_coordinates import (
+        rescale_image_coordinates)
+    from lightcurver_tpu.utilities.star_naming import generate_star_names
+
+    assert generate_star_names(utilities_inputs["n_names"]) \
+        == utilities_golden["star_names"]
+    got = rescale_image_coordinates(utilities_inputs["xy"].copy(),
+                                    utilities_inputs["image_shape"])
+    np.testing.assert_allclose(got, utilities_golden["rescaled_xy"],
+                               rtol=1e-12)
