@@ -11,12 +11,24 @@ is initialized by tests.
 
 import os
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("LIGHTCURVER_TEST_TPU") == "1":
+    # opt-in: run the suite against the real accelerator (hardware
+    # smoke, e.g. `LIGHTCURVER_TEST_TPU=1 pytest tests/test_e2e_pipeline.py`);
+    # sharding tests then use however many real devices exist
+    import jax
 
-import jax  # noqa: E402
+    import pathlib
 
-jax.config.update("jax_platforms", "cpu")
+    cache = pathlib.Path(__file__).parents[1] / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+else:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
