@@ -70,6 +70,65 @@ class TestStarExtraction:
         assert (sources["ellipticity"] < 0.3).all()
 
 
+
+    @pytest.mark.parametrize("case", ["all_nan", "constant", "border_spike",
+                                      "huge", "tiny_image"])
+    def test_pathological_inputs_native_matches_fallback(self, case,
+                                                         monkeypatch):
+        """Fuzz the C++ extractor against the numpy fallback.
+
+        Degenerate frames (dead detector, saturated, cosmic at the
+        border, absurd scaling) must neither crash nor diverge between
+        backends — the pipeline flags such frames downstream instead.
+        """
+        from lightcurver_tpu.processes.star_extraction import \
+            extract_stars
+
+        rng = np.random.default_rng(5)
+        if case == "all_nan":
+            image = np.full((64, 64), np.nan, np.float32)
+        elif case == "constant":
+            image = np.full((64, 64), 7.0, np.float32)
+        elif case == "border_spike":
+            image = rng.normal(0, 1, (64, 64)).astype(np.float32)
+            image[0, :4] = 5000.0
+        elif case == "huge":
+            image = (1e30 * rng.normal(0, 1, (64, 64))).astype(np.float32)
+        else:  # tiny_image
+            image = rng.normal(0, 1, (4, 4)).astype(np.float32)
+        var = np.ones_like(image)
+
+        def run(disable_native):
+            if disable_native:
+                monkeypatch.setenv("LIGHTCURVER_DISABLE_NATIVE", "1")
+            else:
+                monkeypatch.delenv("LIGHTCURVER_DISABLE_NATIVE",
+                                   raising=False)
+            import lightcurver_tpu.native as nat
+
+            monkeypatch.setattr(nat, "_lib", None)
+            monkeypatch.setattr(nat, "_tried", False)
+            return extract_stars(image.copy(), var.copy(),
+                                 detection_threshold=3, min_area=8)
+
+        s_native = run(False)
+        s_numpy = run(True)
+        if case == "huge":
+            # 1e30 pixels overflow f32 variance (sigma^2 = 1e60): both
+            # backends must survive with finite coordinates, but their
+            # overflow artifacts legitimately differ — real frames are
+            # ADU-scaled and never get here
+            for s in (s_native, s_numpy):
+                if len(s):
+                    assert np.isfinite(np.asarray(s["x"], float)).all()
+            return
+        assert len(s_native) == len(s_numpy)
+        if len(s_native):
+            np.testing.assert_allclose(
+                np.sort(np.asarray(s_native["x"], float)),
+                np.sort(np.asarray(s_numpy["x"], float)), atol=0.5)
+
+
 class TestCosmics:
     def test_cosmic_masked_star_kept(self):
         from lightcurver_tpu.processes.cosmics import detect_cosmics
