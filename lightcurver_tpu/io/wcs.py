@@ -17,16 +17,89 @@ import numpy as np
 DEG = math.pi / 180.0
 
 
-class TanWCS:
-    """TAN projection with CD matrix."""
+def _sip_poly(coeffs, u, v):
+    """Evaluate a SIP polynomial sum_pq c[p, q] u^p v^q (Shupe+ 2005)."""
+    out = np.zeros(np.broadcast(u, v).shape, dtype=float)
+    order = coeffs.shape[0] - 1
+    for p in range(order + 1):
+        for q in range(order + 1 - p):
+            c = coeffs[p, q]
+            if c != 0.0:
+                out = out + c * u**p * v**q
+    return out
 
-    def __init__(self, crval1, crval2, crpix1, crpix2, cd):
+
+def _parse_sip(header, prefix):
+    """(order+1, order+1) coefficient matrix for A_/B_/AP_/BP_ cards."""
+    okey = f"{prefix}_ORDER"
+    if okey not in header:
+        return None
+    order = int(header[okey])
+    coeffs = np.zeros((order + 1, order + 1), dtype=float)
+    for p in range(order + 1):
+        for q in range(order + 1 - p):
+            key = f"{prefix}_{p}_{q}"
+            if key in header:
+                coeffs[p, q] = float(header[key])
+    return coeffs
+
+
+class TanWCS:
+    """TAN projection with CD matrix, plus optional SIP distortion.
+
+    SIP (Simple Imaging Polynomial, Shupe+ 2005 — the convention
+    astrometry.net's solve-field writes as ``RA---TAN-SIP``):
+    intermediate coordinates are ``CD @ (u + A(u, v), v + B(u, v))``
+    with ``u = FITSx - CRPIX1``.  The inverse uses the AP/BP
+    polynomials when present and polishes with Newton iterations on the
+    exact forward model (sub-1e-6 px even without AP/BP).  The
+    reference gets all of this from astropy.wcs; without SIP, edge-of-
+    field star cutouts from a solve-field solution can be off by
+    several pixels on wide-field frames.
+    """
+
+    def __init__(self, crval1, crval2, crpix1, crpix2, cd, sip_a=None,
+                 sip_b=None, sip_ap=None, sip_bp=None):
         self.crval1 = float(crval1)
         self.crval2 = float(crval2)
         self.crpix1 = float(crpix1)
         self.crpix2 = float(crpix2)
         self.cd = np.asarray(cd, dtype=float).reshape(2, 2)
         self._cd_inv = np.linalg.inv(self.cd)
+        as_arr = (lambda c: None if c is None
+                  else np.asarray(c, dtype=float))
+        self.sip_a = as_arr(sip_a)
+        self.sip_b = as_arr(sip_b)
+        self.sip_ap = as_arr(sip_ap)
+        self.sip_bp = as_arr(sip_bp)
+
+    @property
+    def has_sip(self):
+        return self.sip_a is not None or self.sip_b is not None
+
+    def _distort(self, u, v):
+        """(u, v) -> (u + A(u,v), v + B(u,v))."""
+        if not self.has_sip:
+            return u, v
+        du = _sip_poly(self.sip_a, u, v) if self.sip_a is not None else 0.0
+        dv = _sip_poly(self.sip_b, u, v) if self.sip_b is not None else 0.0
+        return u + du, v + dv
+
+    def _undistort(self, U, V, n_newton=3):
+        """Invert :meth:`_distort`: AP/BP initial guess + Newton polish."""
+        if not self.has_sip:
+            return U, V
+        u = U + (_sip_poly(self.sip_ap, U, V)
+                 if self.sip_ap is not None else 0.0)
+        v = V + (_sip_poly(self.sip_bp, U, V)
+                 if self.sip_bp is not None else 0.0)
+        # Newton on the exact forward model (the distortion is gentle:
+        # derivatives approximated by identity converge in 2-3 steps)
+        for _ in range(n_newton):
+            fu, fv = self._distort(u, v)
+            u = u - (fu - U)
+            v = v - (fv - V)
+        return u, v
 
     # -- constructors -------------------------------------------------------
 
@@ -56,18 +129,34 @@ class TanWCS:
             rho = float(header.get("CROTA2", 0.0)) * DEG
             cd = [[cdelt1 * math.cos(rho), -cdelt2 * math.sin(rho)],
                   [cdelt1 * math.sin(rho), cdelt2 * math.cos(rho)]]
-        return cls(crval1, crval2, crpix1, crpix2, cd)
+        return cls(crval1, crval2, crpix1, crpix2, cd,
+                   sip_a=_parse_sip(header, "A"),
+                   sip_b=_parse_sip(header, "B"),
+                   sip_ap=_parse_sip(header, "AP"),
+                   sip_bp=_parse_sip(header, "BP"))
 
     def to_header_cards(self):
-        """Dict of FITS cards describing this WCS."""
-        return {
-            "CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+        """Dict of FITS cards describing this WCS (SIP cards included)."""
+        suffix = "-SIP" if self.has_sip else ""
+        cards = {
+            "CTYPE1": "RA---TAN" + suffix, "CTYPE2": "DEC--TAN" + suffix,
             "CRVAL1": self.crval1, "CRVAL2": self.crval2,
             "CRPIX1": self.crpix1, "CRPIX2": self.crpix2,
             "CD1_1": self.cd[0, 0], "CD1_2": self.cd[0, 1],
             "CD2_1": self.cd[1, 0], "CD2_2": self.cd[1, 1],
             "CUNIT1": "deg", "CUNIT2": "deg",
         }
+        for prefix, coeffs in (("A", self.sip_a), ("B", self.sip_b),
+                               ("AP", self.sip_ap), ("BP", self.sip_bp)):
+            if coeffs is None:
+                continue
+            order = coeffs.shape[0] - 1
+            cards[f"{prefix}_ORDER"] = order
+            for p in range(order + 1):
+                for q in range(order + 1 - p):
+                    if coeffs[p, q] != 0.0:
+                        cards[f"{prefix}_{p}_{q}"] = coeffs[p, q]
+        return cards
 
     # -- transforms ----------------------------------------------------------
 
@@ -77,6 +166,7 @@ class TanWCS:
         y = np.asarray(y, dtype=float)
         u = x + 1.0 - self.crpix1
         v = y + 1.0 - self.crpix2
+        u, v = self._distort(u, v)
         xi = (self.cd[0, 0] * u + self.cd[0, 1] * v) * DEG
         eta = (self.cd[1, 0] * u + self.cd[1, 1] * v) * DEG
         ra0 = self.crval1 * DEG
@@ -101,6 +191,7 @@ class TanWCS:
                - np.sin(dec0) * np.cos(dec) * np.cos(dra)) / den / DEG
         u = self._cd_inv[0, 0] * xi + self._cd_inv[0, 1] * eta
         v = self._cd_inv[1, 0] * xi + self._cd_inv[1, 1] * eta
+        u, v = self._undistort(u, v)
         return (u + self.crpix1 - 1.0, v + self.crpix2 - 1.0)
 
     # -- derived quantities ---------------------------------------------------

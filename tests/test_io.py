@@ -133,3 +133,81 @@ class TestTanWCS:
         # 1 arcsec offset in dec
         sep = angular_separation_deg(10.0, 20.0, 10.0, 20.0 + 1 / 3600.0)
         assert float(sep) * 3600 == pytest.approx(1.0, rel=1e-9)
+
+
+class TestSipWCS:
+    """SIP distortion (Shupe+ 2005): what astrometry.net solve-field
+    writes as RA---TAN-SIP; the reference handles it via astropy.wcs."""
+
+    def _wcs(self, with_inverse):
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        # quadratic distortion, few-pixel amplitude at the field edge
+        a = np.zeros((3, 3))
+        b = np.zeros((3, 3))
+        a[2, 0] = 2.0e-6
+        a[0, 2] = -1.2e-6
+        a[1, 1] = 0.8e-6
+        b[2, 0] = -1.5e-6
+        b[0, 2] = 1.0e-6
+        kw = {}
+        if with_inverse:
+            # crude first-order inverse; Newton does the rest
+            kw = {"sip_ap": -a, "sip_bp": -b}
+        return TanWCS(150.1, -27.8, 1024.5, 1024.5,
+                      [[-7.0e-5, 1.5e-6], [1.4e-6, 7.1e-5]],
+                      sip_a=a, sip_b=b, **kw)
+
+    def test_distortion_is_applied(self):
+        wcs = self._wcs(False)
+        # at the field corner the quadratic terms move the source by
+        # pixels: pixel_to_world must differ from the SIP-less TAN
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        plain = TanWCS(150.1, -27.8, 1024.5, 1024.5,
+                       [[-7.0e-5, 1.5e-6], [1.4e-6, 7.1e-5]])
+        ra1, dec1 = wcs.pixel_to_world(1900.0, 1900.0)
+        ra0, dec0 = plain.pixel_to_world(1900.0, 1900.0)
+        sep_deg = np.hypot((ra1 - ra0) * np.cos(np.deg2rad(dec0)),
+                           dec1 - dec0)
+        assert sep_deg * 3600.0 > 0.2  # arcsec-level at the corner
+        # and the magnitude matches the polynomial directly
+        u = 1900.0 + 1.0 - 1024.5
+        du = 2.0e-6 * u**2 + 0.8e-6 * u * u - 1.2e-6 * u**2
+        dv = -1.5e-6 * u**2 + 1.0e-6 * u**2
+        expected_px = np.hypot(du, dv)
+        assert sep_deg / 7.05e-5 == pytest.approx(expected_px, rel=0.05)
+
+    @pytest.mark.parametrize("with_inverse", [False, True])
+    def test_roundtrip_subpixel(self, with_inverse):
+        wcs = self._wcs(with_inverse)
+        xs = np.array([10.0, 500.0, 1024.0, 1700.0, 2000.0])
+        ys = np.array([2000.0, 1500.0, 1024.0, 300.0, 15.0])
+        ra, dec = wcs.pixel_to_world(xs, ys)
+        x2, y2 = wcs.world_to_pixel(ra, dec)
+        np.testing.assert_allclose(x2, xs, atol=1e-5)
+        np.testing.assert_allclose(y2, ys, atol=1e-5)
+
+    def test_header_roundtrip(self):
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        wcs = self._wcs(True)
+        cards = wcs.to_header_cards()
+        assert cards["CTYPE1"] == "RA---TAN-SIP"
+        wcs2 = TanWCS.from_header({k: str(v) for k, v in cards.items()})
+        ra1, dec1 = wcs.pixel_to_world(1800.0, 200.0)
+        ra2, dec2 = wcs2.pixel_to_world(1800.0, 200.0)
+        assert ra1 == pytest.approx(ra2, abs=1e-10)
+        assert dec1 == pytest.approx(dec2, abs=1e-10)
+
+    def test_plain_tan_unchanged(self):
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        wcs = TanWCS(150.1, -27.8, 1024.5, 1024.5,
+                     [[-7.0e-5, 1.5e-6], [1.4e-6, 7.1e-5]])
+        assert not wcs.has_sip
+        assert "A_ORDER" not in wcs.to_header_cards()
+        ra, dec = wcs.pixel_to_world(100.0, 200.0)
+        x, y = wcs.world_to_pixel(ra, dec)
+        assert x == pytest.approx(100.0, abs=1e-8)
+        assert y == pytest.approx(200.0, abs=1e-8)
