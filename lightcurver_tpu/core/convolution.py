@@ -275,32 +275,25 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     #   re + i·im = Σ_j a_j (cy_j + i·sy_j)(cx_j + i·sx_j)
     #   re = [a·cy, -a·sy] @ [cx, sx]   (stacked along the j axis)
     #   im = [a·sy,  a·cy] @ [cx, sx]
-    L = pad_len(m)
-    fy = jnp.fft.fftfreq(L).astype(dtype)                  # (L,)
-    fx = jnp.fft.rfftfreq(L).astype(dtype)                 # (L/2+1,)
-    ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
-    ax = -2.0 * jnp.pi * fx * (s * jnp.asarray(px, dtype=dtype))[..., None]
-    cy, sy_ = jnp.cos(ay), jnp.sin(ay)                     # (..., M, L)
-    cx, sx_ = jnp.cos(ax), jnp.sin(ax)                     # (..., M, Lh)
-    amps = jnp.asarray(a, dtype=dtype)[..., None]
-    n_sources = cy.shape[-2]
-    if n_sources == 1:
+    if jnp.asarray(a).shape[-1] == 1:
         # single source: plain outer product (the GEMM detour measurably
         # hurts the per-star PSF/photometry fits)
-        u_re = (amps * cy)[..., 0, :, None]
-        u_im = (amps * sy_)[..., 0, :, None]
-        vx_c = cx[..., 0, None, :]
-        vx_s = sx_[..., 0, None, :]
+        L = pad_len(m)
+        fy = jnp.fft.fftfreq(L).astype(dtype)
+        fx = jnp.fft.rfftfreq(L).astype(dtype)
+        ay = -2.0 * jnp.pi * fy \
+            * (s * jnp.asarray(py, dtype=dtype))[..., None]
+        ax = -2.0 * jnp.pi * fx \
+            * (s * jnp.asarray(px, dtype=dtype))[..., None]
+        amps = jnp.asarray(a, dtype=dtype)[..., None]
+        u_re = (amps * jnp.cos(ay))[..., 0, :, None]
+        u_im = (amps * jnp.sin(ay))[..., 0, :, None]
+        vx_c = jnp.cos(ax)[..., 0, None, :]
+        vx_s = jnp.sin(ax)[..., 0, None, :]
         re = u_re * vx_c - u_im * vx_s
         im = u_re * vx_s + u_im * vx_c
         return jax.lax.complex(re, im)
-    u_re = jnp.concatenate([amps * cy, -amps * sy_], axis=-2)
-    u_im = jnp.concatenate([amps * sy_, amps * cy], axis=-2)
-    v = jnp.concatenate([cx, sx_], axis=-2)                # (..., 2M, Lh)
-    re = jnp.einsum("...jy,...jx->...yx", u_re, v,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=dtype)
-    im = jnp.einsum("...jy,...jx->...yx", u_im, v,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=dtype)
-    return jax.lax.complex(re, im)
+    # one authoritative implementation of the sign-sensitive stacking:
+    # the complex path is the all-real parts path plus an assembly
+    return jax.lax.complex(
+        *point_source_spectrum_parts(m, s, a, px, py, dtype=dtype))

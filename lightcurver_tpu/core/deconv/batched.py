@@ -111,9 +111,11 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
                                jnp.float32)
         # h is fixed at zero: its render is identically zero — the model
-        # skips the whole per-iteration h convolution chain
-        consts["fixed_h_render"] = jnp.zeros(
-            (n_epochs, image_size, image_size), jnp.float32)
+        # skips the whole per-iteration h convolution chain.  A scalar
+        # zero broadcasts in the final add, costing nothing per star
+        # (a full (n_epochs, n, n) zeros array would be re-read every
+        # AdaBelief step of every star)
+        consts["fixed_h_render"] = jnp.zeros((), jnp.float32)
     return free, lower, upper, consts, scale
 
 

@@ -129,11 +129,16 @@ class TanWCS:
             rho = float(header.get("CROTA2", 0.0)) * DEG
             cd = [[cdelt1 * math.cos(rho), -cdelt2 * math.sin(rho)],
                   [cdelt1 * math.sin(rho), cdelt2 * math.cos(rho)]]
-        return cls(crval1, crval2, crpix1, crpix2, cd,
-                   sip_a=_parse_sip(header, "A"),
-                   sip_b=_parse_sip(header, "B"),
-                   sip_ap=_parse_sip(header, "AP"),
-                   sip_bp=_parse_sip(header, "BP"))
+        if "-SIP" in ctype1:
+            # SIP applies only when CTYPE declares it; stale A_*/B_*
+            # cards under a plain RA---TAN (distortion invalidated)
+            # must be ignored, matching spec-conforming readers
+            return cls(crval1, crval2, crpix1, crpix2, cd,
+                       sip_a=_parse_sip(header, "A"),
+                       sip_b=_parse_sip(header, "B"),
+                       sip_ap=_parse_sip(header, "AP"),
+                       sip_bp=_parse_sip(header, "BP"))
+        return cls(crval1, crval2, crpix1, crpix2, cd)
 
     def to_header_cards(self):
         """Dict of FITS cards describing this WCS (SIP cards included)."""

@@ -17,9 +17,10 @@ This kernel never materializes the spectrum.  Per epoch, IN VMEM:
 
 HBM traffic per epoch: read t_hat (the only big array; r_hat and the
 center phase are shared (L, L/2+1) factors applied in-kernel) + write
-the (n, n) stamp.  The backward pass (custom VJP) re-reads t_hat once
-and accumulates the shared-background cotangent in VMEM across the
-sequential grid.
+the (n, n) stamp.  Only the FORWARD kernel exists — the planned custom
+VJP (backward kernels re-reading t_hat once and accumulating the
+shared-background cotangent in VMEM across the sequential grid) was
+never built because the forward already lost the measurement below.
 
 MEASURED OUTCOME (v5e, round 2): the kernel is numerically exact
 (f32 roundoff vs the XLA renderer) but 7x SLOWER at the 1000-epoch
@@ -52,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(u_re, u_im, v, t_re, t_im, r_hat, pc, ps_, h_re, h_im,
-                ayp, byp, cxp, sxp, out, *, be, two_m, include_h):
+                ayp, byp, cxp, sxp, out, *, be, include_h):
     """One grid program renders ``be`` epochs."""
 
     def one_epoch(e, _):
@@ -106,10 +107,6 @@ def _block(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
 
-def _const_spec():
-    return pl.BlockSpec(memory_space=pltpu.VMEM)
-
-
 @functools.partial(jax.jit, static_argnames=("include_h", "interpret"))
 def _fused_render_fwd_impl(u_re, u_im, v, t_re, t_im, r_hat, pc, ps_,
                            h_re, h_im, ayp, byp, cxp, sxp,
@@ -120,7 +117,7 @@ def _fused_render_fwd_impl(u_re, u_im, v, t_re, t_im, r_hat, pc, ps_,
     be = _epochs_per_program(n_ep, L, Lh)
     grid = (n_ep // be,)
 
-    kern = functools.partial(_fwd_kernel, be=be, two_m=two_m,
+    kern = functools.partial(_fwd_kernel, be=be,
                              include_h=include_h)
     ep = lambda i: (i, 0, 0)  # noqa: E731
     shared = lambda i: (0, 0)  # noqa: E731

@@ -37,8 +37,16 @@ def adapt_wcs(reference_wcs, reference_sources, target_sources):
     # pixel->world must compose with the inverse pixel map:
     # cd_new = cd_ref @ A^-1
     cd_new = reference_wcs.cd @ np.linalg.inv(A)
+    # the SIP polynomials describe the DETECTOR's optical distortion, so
+    # frames from the same instrument share them; re-anchoring at the
+    # dither-shifted CRPIX is exact up to the (second-order) variation
+    # of the distortion over the dither — far better than dropping the
+    # pixel-scale distortion entirely at the field edges
     return TanWCS(reference_wcs.crval1, reference_wcs.crval2,
-                  new_crpix[0], new_crpix[1], cd_new), matches
+                  new_crpix[0], new_crpix[1], cd_new,
+                  sip_a=reference_wcs.sip_a, sip_b=reference_wcs.sip_b,
+                  sip_ap=reference_wcs.sip_ap,
+                  sip_bp=reference_wcs.sip_bp), matches
 
 
 def alternate_plate_solve_adapt_ref():

@@ -67,8 +67,12 @@ def extract_stamp(data, header, exptime, sky_coord, cutout_size,
                       + np.abs(data_e))
     noise_e = np.maximum(noise_e, 1e-7).astype(np.float32)
 
+    # SIP coefficients carry over EXACTLY: u = FITSx - CRPIX1 is
+    # invariant under the cutout's simultaneous pixel/CRPIX shift
     cut_wcs = TanWCS(wcs.crval1, wcs.crval2,
-                     wcs.crpix1 - ix, wcs.crpix2 - iy, wcs.cd)
+                     wcs.crpix1 - ix, wcs.crpix2 - iy, wcs.cd,
+                     sip_a=wcs.sip_a, sip_b=wcs.sip_b,
+                     sip_ap=wcs.sip_ap, sip_bp=wcs.sip_bp)
     wcs_str = json.dumps(cut_wcs.to_header_cards())
     return (cutout.astype(np.float32), noise_e / exptime, wcs_str,
             np.array([x, y]))
