@@ -184,3 +184,79 @@ def test_sharded_fit_with_mxu_backend(toy):
     assert np.isfinite(hist).all()
     a = np.asarray(kwargs["kwargs_analytic"]["a"])
     assert np.isfinite(a).all()
+
+
+def test_sharded_step_collective_traffic_is_epoch_independent():
+    """ICI traffic of the epoch-sharded step is O(shared params), not O(N).
+
+    The design (SURVEY §2.4/§5): per-epoch parameters and data shard
+    along the epoch axis; only the SHARED background/astrometry
+    gradients cross chips.  The compiled HLO must therefore contain a
+    single fused gradient all-reduce — no all-gathers, no per-epoch
+    collectives — whose payload does not grow with the epoch count.
+    """
+    import re
+
+    import jax
+
+    from lightcurver_tpu import ops
+    from lightcurver_tpu.core.deconv.loss import Loss
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.core.params import Params
+    from lightcurver_tpu.parallel.deconv import (pad_epoch_stacks,
+                                                 shard_consts,
+                                                 shard_pytree,
+                                                 sharded_deconv_step)
+    from lightcurver_tpu.parallel.mesh import epoch_mesh
+    from lightcurver_tpu.utilities.synthetic import make_roi_scene
+
+    n_dev = jax.device_count()
+
+    def collective_bytes(n_epochs):
+        prev = ops.get_irfft_backend()
+        ops.set_irfft_backend("mxu")
+        try:
+            mesh = epoch_mesh(n_dev)
+            scene = make_roi_scene(n_epochs=n_epochs, n_pix=16, s=2,
+                                   n_sources=2)
+            data, sigma_2, psf, w = pad_epoch_stacks(
+                scene["data"], scene["sigma_2"], scene["psf"], n_dev)
+            model, ki, ku, kd, _ = setup_model(
+                data, sigma_2, psf, scene["xs"], scene["ys"], scene["s"])
+            params = Params(ki, {"kwargs_sersic": {}}, ku, kd)
+            for name in ("free0", "fixed", "lower", "upper"):
+                setattr(params, name,
+                        shard_pytree(mesh, getattr(params, name)))
+            loss = Loss(data, model, params, sigma_2, epoch_weights=w,
+                        regularization_terms="l1_starlet",
+                        regularization_strength_scales=1.0,
+                        regularization_strength_hf=1.0,
+                        regularization_strength_positivity=100.0)
+            loss.consts = shard_consts(mesh, loss.consts)
+            step, opt0 = sharded_deconv_step(loss, params)
+            hlo = jax.jit(step).lower(params.free0, opt0,
+                                      loss.consts).compile().as_text()
+        finally:
+            ops.set_irfft_backend(prev)
+
+        assert not re.search(r"all-gather\(|all-to-all\(", hlo)
+        reduces = [ln for ln in hlo.splitlines()
+                   if re.search(r" all-reduce\(", ln)]
+        assert len(reduces) == 1, reduces
+        total = 0
+        for shape in re.findall(r"f32\[([0-9,]*)\]", reduces[0]):
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            total += 4 * n
+        return total
+
+    b_small = collective_bytes(2 * n_dev)
+    b_large = collective_bytes(6 * n_dev)
+    assert b_small == b_large, (b_small, b_large)
+    # and the payload is a few copies of the shared parameters (h
+    # gradient in spectral form + source positions + scalars), far from
+    # any per-epoch array
+    m2 = (16 * 2) ** 2
+    assert b_large < 8 * 4 * m2, b_large
