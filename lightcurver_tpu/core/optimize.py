@@ -227,6 +227,17 @@ def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
     case; convergence is unchanged
     (tests/test_lbfgsb_scipy_parity.py still reaches scipy's minimum).
 
+    Known approximation (projected quasi-Newton, not true L-BFGS-B):
+    when the box projection actually clips a step, the NEXT iteration's
+    cached linesearch value/grad (optax value_and_grad_from_state)
+    refer to the pre-projection point.  An exact recompute would cost
+    one extra loss+grad per iteration under vmap (lax.cond batches to
+    select in the batched PSF path) for a condition that is inactive on
+    the production fits — Moffat/position iterates start and stay
+    inside their boxes; the scipy L-BFGS-B parity suite bounds the
+    practical effect, and the AdaBelief phase + exact GLS flux polish
+    run after this phase regardless.
+
     Returns:
         (best_free, final_free, loss_history[n_iter])
     """
@@ -534,7 +545,29 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                 path, z["inputs_digest"] if "inputs_digest" in z
                 else None, inputs_digest)
             n_leaves = treedef.num_leaves
-            leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
+            try:
+                leaves = [jnp.asarray(z[f"leaf_{i}"])
+                          for i in range(n_leaves)]
+            except KeyError as e:
+                raise ValueError(
+                    f"checkpoint {path} has fewer carry leaves than this "
+                    "problem (parameter structure changed, e.g. "
+                    "further_optimize_background flipped); refusing to "
+                    "resume — delete the checkpoint to restart") from e
+            fresh_leaves = jax.tree_util.tree_leaves(fresh_carry())
+            for i, (stored, fresh) in enumerate(zip(leaves, fresh_leaves)):
+                if tuple(stored.shape) != tuple(fresh.shape):
+                    raise ValueError(
+                        f"checkpoint {path} leaf {i} has shape "
+                        f"{tuple(stored.shape)}, expected "
+                        f"{tuple(fresh.shape)} (epoch padding/device "
+                        "count or free-parameter set changed); refusing "
+                        "to resume — delete the checkpoint to restart")
+            if f"leaf_{n_leaves}" in z:
+                raise ValueError(
+                    f"checkpoint {path} has more carry leaves than this "
+                    "problem (parameter structure changed); refusing to "
+                    "resume — delete the checkpoint to restart")
             carry = jax.tree_util.tree_unflatten(treedef, leaves)
             return carry, int(z["done"]), np.asarray(z["history"])
 
@@ -553,14 +586,15 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
         carry = fresh_carry()
 
     @functools.partial(jax.jit, static_argnames=("length",))
-    def segment(carry, consts, length):
-        step = adabelief_step_fn(fn, opt, consts, lower, upper)
+    def segment(carry, consts, lo, up, length):
+        # bounds as ARGUMENTS, never closure constants (module contract)
+        step = adabelief_step_fn(fn, opt, consts, lo, up)
         return jax.lax.scan(step, carry, None, length=length)
 
     done = start
     while done < n_iter:
         length = min(every, n_iter - done)
-        carry, hist = segment(carry, consts_, length)
+        carry, hist = segment(carry, consts_, lower, upper, length)
         histories.append(np.asarray(hist))
         done += length
         if checkpoint_path is not None:

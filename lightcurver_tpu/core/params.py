@@ -93,7 +93,11 @@ class Params:
         self.free0, self.fixed = split_free(self.kwargs_init, self.kwargs_fixed)
         self.upper = bounds_like_free(self.free0, kwargs_up, np.inf)
         self.lower = bounds_like_free(self.free0, kwargs_down, -np.inf)
-        self._best_free = self.free0
+        # lazily resolved to free0: callers may REASSIGN free0 after
+        # construction (e.g. parallel/deconv.shard_pytree places it on
+        # a mesh) and the first minimize must start from the reassigned
+        # arrays, not a stale alias captured here
+        self._best_free = None
 
     def merge(self, free):
         """Full kwargs from a free pytree (jit-safe)."""
@@ -110,6 +114,7 @@ class Params:
 
     def best_fit_values(self, as_kwargs=True):
         """Final parameter values (full kwargs when ``as_kwargs``)."""
+        best = self._best_free if self._best_free is not None else self.free0
         if as_kwargs:
-            return self.merge(self._best_free)
-        return self._best_free
+            return self.merge(best)
+        return best

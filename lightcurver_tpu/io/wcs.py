@@ -239,6 +239,40 @@ class TanWCS:
                            & (y >= m) & (y <= ny - 1 - m)))
 
 
+def upsampled_wcs(wcs, s):
+    """WCS of the s-times-subsampled fine grid of ``wcs``'s image.
+
+    Fine pixel x_f relates to data pixel x_d through the sum-pool
+    blocks of the numerical core (core/grids.py): data pixel x_d spans
+    fine pixels [s*x_d, s*x_d + s - 1], center s*x_d + (s-1)/2.  Hence
+    CRPIX_f = s*CRPIX_d - (s-1)/2 and CD_f = CD_d / s.  (The reference
+    writes plain ``crpix *= s`` for its high-res products — reference
+    processes/roi_modelling.py:391 — which offsets every source by
+    (s-1)/2 fine pixels; this implements the exact alignment.)  SIP
+    coefficients rescale as A'_pq = A_pq * s^(1-p-q) so the distortion
+    field is preserved in fine-pixel units.
+    """
+    s = int(s)
+
+    def rescale(coeffs):
+        if coeffs is None:
+            return None
+        out = np.array(coeffs, dtype=float)
+        order = out.shape[0] - 1
+        for p in range(order + 1):
+            for q in range(order + 1 - p):
+                out[p, q] *= float(s) ** (1 - p - q)
+        return out
+
+    return TanWCS(wcs.crval1, wcs.crval2,
+                  s * wcs.crpix1 - (s - 1) / 2.0,
+                  s * wcs.crpix2 - (s - 1) / 2.0,
+                  wcs.cd / s,
+                  sip_a=rescale(wcs.sip_a), sip_b=rescale(wcs.sip_b),
+                  sip_ap=rescale(wcs.sip_ap),
+                  sip_bp=rescale(wcs.sip_bp))
+
+
 def strip_wcs_cards(header):
     """Remove WCS-related cards from a Header in place (the reference strips
     and rebuilds WCS keywords on import, processes/frame_importation.py:97-115)."""

@@ -180,20 +180,22 @@ def sharded_deconv_step(loss, params, learning_rate=1e-3):
     """One jitted AdaBelief train step over whatever mesh the inputs live on.
 
     Returns ``(step_fn, opt_state0)`` where
-    ``step_fn(free, opt_state, consts) -> (free, opt_state, loss_value)``.
-    Used by the multi-chip dry run and by callers that need custom
-    stepping; the production path is :func:`fit_deconv_sharded`.
+    ``step_fn(free, opt_state, consts, lower, upper) ->
+    (free, opt_state, loss_value)``.  The bounds travel as ARGUMENTS —
+    never closure constants — per the TPU consts contract
+    (core/optimize.py module docstring).  Used by the multi-chip dry
+    run and by callers that need custom stepping; the production path
+    is :func:`fit_deconv_sharded`.
     """
     opt = optax.adabelief(learning_rate=learning_rate)
     opt_state0 = opt.init(params.free0)
 
     @jax.jit
-    def step(free, opt_state, consts):
+    def step(free, opt_state, consts, lower, upper):
         value, grad = jax.value_and_grad(loss.loss_fn)(free, consts)
         updates, opt_state = opt.update(grad, opt_state, free)
         free = optax.apply_updates(free, updates)
-        free = jax.tree_util.tree_map(jnp.clip, free, params.lower,
-                                      params.upper)
+        free = jax.tree_util.tree_map(jnp.clip, free, lower, upper)
         return free, opt_state, value
 
     return step, opt_state0

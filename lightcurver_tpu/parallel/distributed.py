@@ -41,7 +41,10 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
             f"{jax.process_index()}/{jax.process_count()}, "
             f"{jax.device_count()} global devices.")
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        # this jax raises "distributed.initialize should only be called
+        # once."; older versions said "already initialized" — match both
+        msg = str(e).lower()
+        if "already" in msg or "only be called once" in msg:
             logger.info("jax.distributed already initialized.")
         else:
             raise

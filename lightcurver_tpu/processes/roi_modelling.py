@@ -421,10 +421,12 @@ def do_modelling_of_roi():
                    scale * stacked, ref_header)
 
     high_res, background_only = model.getDeconvolved(kwargs_final, 0)
-    wcs_highres = TanWCS(wcs_ref.crval1, wcs_ref.crval2,
-                         wcs_ref.crpix1 * subsampling_factor,
-                         wcs_ref.crpix2 * subsampling_factor,
-                         wcs_ref.cd / subsampling_factor)
+    # exact fine-grid alignment incl. the (s-1)/2 pool-center offset
+    # and SIP carry-over (io/wcs.upsampled_wcs; the reference's plain
+    # crpix *= s shifts every source by half a fine pixel)
+    from ..io.wcs import upsampled_wcs
+
+    wcs_highres = upsampled_wcs(wcs_ref, subsampling_factor)
     header_highres = Header()
     header_highres.update(wcs_highres.to_header_cards())
     header_highres["ZPT"] = float(np.atleast_1d(zeropoint)[0])

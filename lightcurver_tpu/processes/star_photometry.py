@@ -159,14 +159,22 @@ def get_frames_for_star(combined_footprint_hash, gaia_id, psf_fit_chi2_min,
     """
     if only_fluxless_frames:
         query += "AND sff.frame_id IS NULL\n"
+    # chi2 gate applied to the JOINED PSF row (same footprint hash).
+    # The reference phrases this as an EXISTS subquery whose inner
+    # alias shadows the join and omits the hash constraint (reference
+    # processes/star_photometry.py:190-196), so its gate can match a
+    # different footprint's PSF row; this implements the documented
+    # intent ("frames ... have a PSF with chi2 between the bounds").
     query += """
-    AND EXISTS (
-        SELECT 1 FROM PSFs ps
-        WHERE f.id = ps.frame_id AND ps.chi2 BETWEEN ? AND ?
-    )"""
+    AND ps.chi2 BETWEEN ? AND ?"""
     params = (combined_footprint_hash, gaia_id, psf_fit_chi2_min,
               psf_fit_chi2_max)
-    return execute_sqlite_query(query, params, use_pandas=True)
+    frames = execute_sqlite_query(query, params, use_pandas=True)
+    if len(frames):
+        # one row per frame even when several PSF models exist for it
+        # (the epochs loader derives the psf_ref from config anyway)
+        frames = frames.drop_duplicates(subset=["id"], ignore_index=True)
+    return frames
 
 
 def update_star_fluxes(flux_data):
@@ -177,7 +185,9 @@ def update_star_fluxes(flux_data):
            relative_loss_differential) VALUES (?, ?, ?, ?, ?, ?, ?)
            ON CONFLICT(combined_footprint_hash, frame_id, star_gaia_id)
            DO UPDATE SET flux=excluded.flux,
-           flux_uncertainty=excluded.flux_uncertainty""",
+           flux_uncertainty=excluded.flux_uncertainty,
+           chi2=excluded.chi2,
+           relative_loss_differential=excluded.relative_loss_differential""",
         flux_data)
 
 
@@ -249,7 +259,10 @@ def do_star_photometry():
         with h5py.File(user_config["regions_path"], "r") as h5f:
             data, noisemap, cosmics, psf = _load_star_epochs(
                 user_config, h5f, frames, star, footprint_hash)
-        isnan = np.isnan(data) & np.isnan(noisemap)
+        # ANY-NaN pixels are dead: zero the data AND inflate the noise
+        # (a NaN datum with finite noise would otherwise enter the fit
+        # as a zero-flux measurement at full weight)
+        isnan = np.isnan(data) | np.isnan(noisemap)
         data[isnan] = 0.0
         noisemap[isnan] = 1e7
         noisemap[cosmics] *= 1000.0  # cosmics True = bad pixel

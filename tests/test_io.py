@@ -211,3 +211,28 @@ class TestSipWCS:
         x, y = wcs.world_to_pixel(ra, dec)
         assert x == pytest.approx(100.0, abs=1e-8)
         assert y == pytest.approx(200.0, abs=1e-8)
+
+
+def test_upsampled_wcs_exact_fine_grid_alignment():
+    """Fine pixel s*x + (s-1)/2 must hit the same sky as data pixel x.
+
+    The pool-center convention of the numerical core (core/grids.py);
+    the reference's plain crpix *= s misses the (s-1)/2 offset.  SIP
+    coefficients rescale with the grid.
+    """
+    from lightcurver_tpu.io.wcs import TanWCS, upsampled_wcs
+
+    a = np.zeros((3, 3))
+    a[2, 0] = 1.5e-6
+    a[0, 2] = -0.9e-6
+    wcs = TanWCS(210.5, 11.25, 33.0, 31.0,
+                 [[-5.5e-5, 1.0e-6], [0.9e-6, 5.6e-5]], sip_a=a)
+    for s in (2, 3):
+        fine = upsampled_wcs(wcs, s)
+        xs = np.array([0.0, 10.0, 31.5, 63.0])
+        ys = np.array([5.0, 20.0, 31.5, 1.0])
+        ra_d, dec_d = wcs.pixel_to_world(xs, ys)
+        ra_f, dec_f = fine.pixel_to_world(s * xs + (s - 1) / 2.0,
+                                          s * ys + (s - 1) / 2.0)
+        np.testing.assert_allclose(ra_f, ra_d, atol=1e-9)
+        np.testing.assert_allclose(dec_f, dec_d, atol=1e-9)

@@ -234,8 +234,9 @@ def test_sharded_step_collective_traffic_is_epoch_independent():
                         regularization_strength_positivity=100.0)
             loss.consts = shard_consts(mesh, loss.consts)
             step, opt0 = sharded_deconv_step(loss, params)
-            hlo = jax.jit(step).lower(params.free0, opt0,
-                                      loss.consts).compile().as_text()
+            hlo = step.lower(params.free0, opt0, loss.consts,
+                             params.lower,
+                             params.upper).compile().as_text()
         finally:
             ops.set_irfft_backend(prev)
 
