@@ -147,10 +147,13 @@ def _format_card(key, value, comment=""):
     elif isinstance(value, (int, np.integer)):
         body = str(int(value)).rjust(20)
     elif isinstance(value, (float, np.floating)):
-        body = np.format_float_scientific(
-            value, precision=12).replace("e", "E").rjust(20) \
-            if (value != 0 and (abs(value) >= 1e15 or abs(value) < 1e-9)) \
-            else repr(float(value)).rjust(20)
+        if value != 0 and (abs(value) >= 1e15 or abs(value) < 1e-9):
+            body = np.format_float_scientific(value, precision=12)
+        else:
+            body = repr(float(value))
+        # FITS mandates an UPPERCASE exponent letter; repr() emits e.g.
+        # '5.5e-05' for the WCS CD / SIP coefficient range
+        body = body.replace("e", "E").rjust(20)
     else:
         s = str(value).replace("'", "''")
         # 80-char card minus "KEY     = " and the two quotes leaves 68

@@ -29,10 +29,19 @@ from ..processes.star_extraction import extract_sources_from_sky_sub_image
 
 
 def worker_init(log_queue):
-    logger = logging.getLogger(f"worker-{os.getpid()}")
-    logger.setLevel(logging.INFO)
-    logger.addHandler(logging.handlers.QueueHandler(log_queue))
-    logger.propagate = False
+    """Route ALL worker logging through the queue.
+
+    Workers log to ``Process-{pid}`` (log_process) and ``lightcurver.*``
+    (the process modules), so the QueueHandler goes on the ROOT logger
+    and the fork-inherited handlers are dropped — otherwise many
+    processes append to the same session-file descriptor directly (and
+    under the 'spawn' start method worker logs would be lost entirely).
+    """
+    root = logging.getLogger()
+    for lg in (root, logging.getLogger("lightcurver")):
+        lg.handlers = []
+    root.setLevel(logging.INFO)
+    root.addHandler(logging.handlers.QueueHandler(log_queue))
 
 
 def log_process(func):
@@ -45,25 +54,55 @@ def log_process(func):
     return wrapper
 
 
+def _guarded(worker, job):
+    """Run one job, containing its failure to that job.
+
+    One corrupt frame (truncated FITS, unreadable header) must not
+    abort the import/solve of every other frame in the batch: the
+    failure is logged, the job is skipped, and — since the frame never
+    reaches the DB — a later run retries it.
+    """
+    ident = job[-1] if isinstance(job, tuple) else job
+    try:
+        worker(job)
+        return None
+    except Exception as e:  # noqa: BLE001 — per-job isolation
+        logging.getLogger("lightcurver.task_wrappers").exception(
+            f"job {ident!r} failed: {e}")
+        return (ident, f"{type(e).__name__}: {e}")
+
+
 def _pool_run(worker, jobs):
-    """Run jobs in a Pool with queue logging; serial for 1 process."""
+    """Run jobs in a Pool with queue logging; serial for 1 process.
+
+    Per-job failures are contained (see :func:`_guarded`); the task
+    completes the surviving jobs and logs a summary of the failures.
+    """
+    logger = logging.getLogger("lightcurver.task_wrappers")
     user_config = get_user_config()
     n_proc = int(user_config.get("multiprocessing_cpu_count", 1) or 1)
     if n_proc <= 1 or len(jobs) <= 1:
-        for job in jobs:
-            worker(job)
-        return
-    log_queue = Manager().Queue()
-    base_logger = logging.getLogger("lightcurver")
-    listener = logging.handlers.QueueListener(log_queue,
-                                              *base_logger.handlers)
-    listener.start()
-    try:
-        with Pool(processes=n_proc, initializer=worker_init,
-                  initargs=(log_queue,)) as pool:
-            pool.map(worker, jobs)
-    finally:
-        listener.stop()
+        failures = [f for f in (_guarded(worker, job) for job in jobs)
+                    if f is not None]
+    else:
+        log_queue = Manager().Queue()
+        base_logger = logging.getLogger("lightcurver")
+        listener = logging.handlers.QueueListener(log_queue,
+                                                  *base_logger.handlers)
+        listener.start()
+        try:
+            with Pool(processes=n_proc, initializer=worker_init,
+                      initargs=(log_queue,)) as pool:
+                failures = [f for f in pool.map(
+                    functools.partial(_guarded, worker), jobs)
+                    if f is not None]
+        finally:
+            listener.stop()
+    if failures:
+        logger.warning(
+            f"{len(failures)}/{len(jobs)} jobs failed and were skipped: "
+            + "; ".join(f"{i!r} ({m})" for i, m in failures[:10])
+            + (" ..." if len(failures) > 10 else ""))
 
 
 @log_process
@@ -115,10 +154,17 @@ def calc_common_and_total_footprint_and_save():
     logger = logging.getLogger(
         "lightcurver.combined_footprint_calculation")
     identify_and_eliminate_bad_pointings()
+    # the frame set MUST match what every downstream task hashes
+    # (plate_solved + not eliminated + ROI in footprint) — the
+    # reference hashes a different set here and in star querying
+    # (reference task_wrappers.py:138-144 vs processes/psf_modelling.py:86),
+    # so one unsolved-yet-tolerated frame desynchronizes its footprint
+    # hashes and downstream tasks find zero stars
     rows = execute_sqlite_query(
         """SELECT frames.id, footprints.polygon FROM footprints
            JOIN frames ON footprints.frame_id = frames.id
-           WHERE frames.eliminated != 1""")
+           WHERE frames.eliminated != 1 AND frames.plate_solved = 1
+             AND frames.roi_in_footprint = 1""")
     frames_hash = get_frames_hash([r[0] for r in rows])
     count = execute_sqlite_query(
         "SELECT COUNT(*) FROM combined_footprint WHERE hash = ?",

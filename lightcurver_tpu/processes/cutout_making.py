@@ -107,11 +107,23 @@ def _store(groups, key, cutout, noisemap, wcs_str, center, mask):
 
 
 def _frame_is_complete(reg_f, relpath, stars):
+    """Every wanted key present in EVERY group (not just 'data').
+
+    _store writes 'data' first and 'cosmicsmask' last: judging
+    completeness on 'data' alone would make a frame interrupted
+    mid-store look complete forever, and downstream loads would then
+    KeyError on the missing noisemap/cosmicsmask datasets.
+    """
     if relpath not in reg_f:
         return False
-    keys = set(reg_f[relpath]["data"].keys())
     wanted = {str(s) for s in stars["gaia_id"]} | {"ROI"}
-    return wanted <= keys and len(keys) == len(wanted)
+    for name in _GROUPS:
+        if name not in reg_f[relpath]:
+            return False
+        keys = set(reg_f[relpath][name].keys())
+        if not (wanted <= keys and len(keys) == len(wanted)):
+            return False
+    return True
 
 
 def extract_all_stamps():

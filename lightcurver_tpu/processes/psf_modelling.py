@@ -9,6 +9,7 @@ FWHM / loss-plateau metric in the PSFs table.
 """
 
 import logging
+import threading
 from pathlib import Path
 from time import time
 
@@ -62,8 +63,16 @@ def mask_surrounding_stars(data, noisemap):
     return mask
 
 
+# serializes regions-HDF5 opens between the prefetch thread (read-only
+# loads of the NEXT bucket) and the main thread (r+ stores of the
+# current bucket's results): HDF5 file locking rejects an r+ open while
+# a read handle is live in the same process, which would crash the task
+# timing-dependently on large buckets
+_REGIONS_IO_LOCK = threading.Lock()
+
+
 def _load_star_stack(regions_file, relpath, gaia_ids):
-    with h5py.File(regions_file, "r") as f:
+    with _REGIONS_IO_LOCK, h5py.File(regions_file, "r") as f:
         base = f[relpath]
         datas = np.array([base["data"][g][...] for g in gaia_ids])
         noisemaps = np.array([base["noisemap"][g][...] for g in gaia_ids])
@@ -279,7 +288,7 @@ def _store_psf_result(user_config, regions_file, job, result,
     except Exception as e:
         logger.warning(f"PSF diagnostic plot failed: {e}")
 
-    with h5py.File(regions_file, "r+") as f:
+    with _REGIONS_IO_LOCK, h5py.File(regions_file, "r+") as f:
         frame_group = f[frame["image_relpath"]]
         if psf_ref in frame_group:
             del frame_group[psf_ref]

@@ -25,6 +25,11 @@ def get_frames_for_roi(combined_footprint_hash, psf_fit_chi2_min,
                        psf_fit_chi2_max, constraints_on_frame_columns_dict,
                        constraints_on_normalization_coeff_dict):
     """Frames with best PSF (lowest chi2) + coefficient, user-filtered."""
+    # the best-PSF window partitions WITHIN this footprint hash; the
+    # reference's variant (roi_file_preparation.py:37-42) windows over
+    # every hash, so a marginally-lower-chi2 PSF surviving from a STALE
+    # footprint hash grabs rn=1 and silently drops the frame from the
+    # deconvolution file
     query = """
     SELECT f.*, ps.*, nc.*
     FROM frames f
@@ -32,13 +37,15 @@ def get_frames_for_roi(combined_footprint_hash, psf_fit_chi2_min,
         SELECT *,
         ROW_NUMBER() OVER (PARTITION BY frame_id ORDER BY chi2 ASC) as rn
         FROM PSFs
+        WHERE combined_footprint_hash = ?
     ) ps ON f.id = ps.frame_id AND ps.rn = 1
     JOIN normalization_coefficients nc ON f.id = nc.frame_id
         AND nc.combined_footprint_hash = ps.combined_footprint_hash
     WHERE nc.combined_footprint_hash = ?
     AND ps.chi2 BETWEEN ? AND ?
     """
-    params = [combined_footprint_hash, psf_fit_chi2_min, psf_fit_chi2_max]
+    params = [combined_footprint_hash, combined_footprint_hash,
+              psf_fit_chi2_min, psf_fit_chi2_max]
     for column, (lo, hi) in constraints_on_frame_columns_dict.items():
         query += f" AND f.{column} BETWEEN ? AND ?"
         params.extend([lo, hi])

@@ -26,8 +26,16 @@ def query_gaia_stars():
     """Pipeline task: fetch + register the reference stars."""
     logger = logging.getLogger("lightcurver.querying_ref_stars_from_gaia")
     user_config = get_user_config()
+    # hash over the SAME frame set every downstream task uses
+    # (cutouts/PSFs/photometry all hash plate_solved + not eliminated +
+    # roi_in_footprint; the reference hashes 'eliminated != 1' here —
+    # reference processes/star_querying.py:28 — which desynchronizes
+    # the star registry from downstream whenever a frame failed plate
+    # solving within the tolerated success fraction)
     frames_info = get_pandas(columns=["id", "pixel_scale"],
-                             conditions=["frames.eliminated != 1"])
+                             conditions=["frames.plate_solved = 1",
+                                         "frames.eliminated != 1",
+                                         "frames.roi_in_footprint = 1"])
     if user_config["star_selection_strategy"] != "ROI_disk":
         frames_hash = get_frames_hash(frames_info["id"].to_list())
     else:

@@ -55,6 +55,11 @@ def get_user_config():
     config["frames_dir"] = workdir / "frames"
     config["regions_path"] = workdir / "regions.h5"
     config["psfs_path"] = workdir / "psfs.h5"
+    # user-provided override arrives as a YAML string; downstream code
+    # calls .parent/.mkdir on it
+    if config.get("prepared_roi_cutouts_path"):
+        config["prepared_roi_cutouts_path"] = Path(
+            config["prepared_roi_cutouts_path"])
     for d in ("plots_dir", "logs_dir", "frames_dir"):
         config[d].mkdir(parents=True, exist_ok=True)
 
