@@ -48,7 +48,11 @@ def linear_flux_solve(kwargs, data, sigma_2, model, consts=None):
         },
     }
     baseline = model.model(zero_flux, consts)            # (N, n, n)
-    w = 1.0 / sigma_2
+    # any-NaN pixels get ZERO weight (the loss's nansum convention);
+    # a NaN in sigma_2 or data must not poison the Gram matrix or be
+    # counted as a zero residual at full weight
+    w = jnp.where(jnp.isfinite(sigma_2) & jnp.isfinite(data),
+                  1.0 / sigma_2, 0.0)
     r = jnp.nan_to_num(data - baseline)
     bw = basis * w[:, None, :, :]
     gram = jnp.einsum("nmyx,nkyx->nmk", bw, jnp.nan_to_num(basis),

@@ -35,6 +35,10 @@ def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key):
     own split key, mirroring core/psf/build._grid_noise_weights_impl).
     """
     L = conv.pad_len(m)
+    # a pixel whose noise is NaN in every epoch would otherwise spread
+    # NaN through the starlet smoothing into ALL weights (and the l1
+    # term would NaN the whole fit): contribute zero noise there
+    sigma = jnp.where(jnp.isfinite(sigma), sigma, 0.0)
 
     def one_sample(key):
         eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)

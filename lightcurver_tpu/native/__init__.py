@@ -22,9 +22,19 @@ _tried = False
 
 
 def _compile():
+    # compile to a per-process temp path and os.replace (atomic): Pool
+    # workers all hit first-use compilation concurrently, and g++
+    # writing the final .so directly could leave a corrupt library that
+    # a sibling worker dlopens mid-write (or that poisons every later
+    # run with a fresh mtime)
+    tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_LIB), str(_SRC)]
-    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+           "-o", str(tmp), str(_SRC)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def load():

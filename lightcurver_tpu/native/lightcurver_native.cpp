@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -24,31 +25,55 @@ struct BoxStats {
   float rms;
 };
 
-// SExtractor-style clipped mode estimate of one mesh box.
-BoxStats clipped_mode(std::vector<float>& values) {
-  if (values.empty()) return {0.0f, 0.0f};
-  double med = 0.0, mean = 0.0, std = 0.0;
+// numpy-compatible median (average of the two central values for even n).
+double median_of(std::vector<float>& values) {
   size_t n = values.size();
+  std::nth_element(values.begin(), values.begin() + n / 2, values.end());
+  double med = values[n / 2];
+  if (n % 2 == 0) {
+    // the other central element is the max of the lower partition
+    float lower = *std::max_element(values.begin(), values.begin() + n / 2);
+    med = 0.5 * (med + lower);
+  }
+  return med;
+}
+
+void mean_std_of(const std::vector<float>& values, double* mean,
+                 double* std) {
+  size_t n = values.size();
+  double m = 0.0;
+  for (float v : values) m += v;
+  m /= n;
+  double s = 0.0;
+  for (float v : values) s += (v - m) * (v - m);
+  *mean = m;
+  *std = std::sqrt(s / n);
+}
+
+// SExtractor-style clipped mode estimate of one mesh box.  Mirrors the
+// Python fallback (processes/background_estimation._sigma_clip_box):
+// stats are recomputed on the FINAL surviving sample after the clipping
+// loop, and an empty box reports NaN (the caller fills with the global
+// median, matching the fallback's convention).
+BoxStats clipped_mode(std::vector<float>& values) {
+  const float kNan = std::numeric_limits<float>::quiet_NaN();
+  if (values.empty()) return {kNan, kNan};
   // 3 iterations of 3-sigma clipping about the median
   for (int iter = 0; iter < 3; ++iter) {
-    if (values.empty()) break;
-    n = values.size();
-    std::nth_element(values.begin(), values.begin() + n / 2, values.end());
-    med = values[n / 2];
-    mean = 0.0;
-    for (float v : values) mean += v;
-    mean /= n;
-    std = 0.0;
-    for (float v : values) std += (v - mean) * (v - mean);
-    std = std::sqrt(std / n);
+    double med = median_of(values);
+    double mean, std;
+    mean_std_of(values, &mean, &std);
     if (std == 0.0) break;
     std::vector<float> kept;
-    kept.reserve(n);
+    kept.reserve(values.size());
     for (float v : values)
       if (std::fabs(v - med) <= 3.0 * std) kept.push_back(v);
     if (kept.size() == values.size() || kept.empty()) break;
     values.swap(kept);
   }
+  double med = median_of(values);
+  double mean, std;
+  mean_std_of(values, &mean, &std);
   double mode = 2.5 * med - 1.5 * mean;
   if (std == 0.0 || std::fabs(med - mean) / (std + 1e-30) > 0.3) mode = med;
   return {static_cast<float>(mode), static_cast<float>(std)};

@@ -45,8 +45,7 @@ def calculate_zeropoints():
 
     source_catalog = user_config["reference_absolute_photometric_survey"]
     absolute_mag_func = magnitude_calculation_functions[source_catalog]
-    for gaia_id in dict.fromkeys(
-            get_gaia_ids_with_flux_in_frame(footprint_hash)):
+    for gaia_id in get_gaia_ids_with_flux_in_frame(footprint_hash):
         absolute_mag_func(gaia_id)
 
     flux_data = execute_sqlite_query(

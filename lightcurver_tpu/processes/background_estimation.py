@@ -64,18 +64,29 @@ def _mesh_stats(image, box_size, mask=None):
     ny, nx = image.shape
     gy = max(ny // box_size, 1)
     gx = max(nx // box_size, 1)
-    back = np.empty((gy, gx))
-    rms = np.empty((gy, gx))
-    for iy in range(gy):
-        y0 = iy * ny // gy
-        y1 = (iy + 1) * ny // gy
-        for ix in range(gx):
-            x0 = ix * nx // gx
-            x1 = (ix + 1) * nx // gx
-            box = image[y0:y1, x0:x1]
-            if mask is not None:
-                box = box[~mask[y0:y1, x0:x1]]
-            back[iy, ix], rms[iy, ix] = _sigma_clip_box(np.ravel(box))
+    # C++ mesh estimator when available (same box edges, clipping and
+    # mode formula; empty boxes report NaN in both backends)
+    from ..native import background_mesh
+
+    native = background_mesh(
+        image, gy, gx,
+        mask=(np.asarray(mask, dtype=np.uint8)
+              if mask is not None else None))
+    if native is not None:
+        back, rms = native
+    else:
+        back = np.empty((gy, gx))
+        rms = np.empty((gy, gx))
+        for iy in range(gy):
+            y0 = iy * ny // gy
+            y1 = (iy + 1) * ny // gy
+            for ix in range(gx):
+                x0 = ix * nx // gx
+                x1 = (ix + 1) * nx // gx
+                box = image[y0:y1, x0:x1]
+                if mask is not None:
+                    box = box[~mask[y0:y1, x0:x1]]
+                back[iy, ix], rms[iy, ix] = _sigma_clip_box(np.ravel(box))
     # fill empty (fully masked) boxes with the global median
     bad = ~np.isfinite(back)
     if bad.any():

@@ -55,7 +55,9 @@ def ephemeris(mjd, ra_object, dec_object, telescope_longitude,
         results["comments"] += (f"Target altitude: {target_alt:.2f} degrees "
                                 f"(airmass {airmass:.2f}).")
 
-    moon_ra, moon_dec, _, _ = eph.moon_position(mjd)
+    # topocentric: lunar parallax reaches ~1 deg near the horizon
+    moon_ra, moon_dec, _, _ = eph.moon_position(
+        mjd, telescope_latitude, telescope_longitude)
     moon_alt, _ = eph.radec_to_altaz(moon_ra, moon_dec, mjd,
                                      telescope_latitude,
                                      telescope_longitude)

@@ -140,7 +140,10 @@ def prepare_roi_file():
 
     data = np.array(columns["data"])
     noisemap = np.array(columns["noisemap"])
-    isnan = np.isnan(data) & np.isnan(noisemap)
+    # ANY-NaN pixels are dead: zero the data AND inflate the noise
+    # (matches star_photometry; a half-NaN pixel must not reach the
+    # fits or the GLS polish at full weight)
+    isnan = np.isnan(data) | np.isnan(noisemap)
     data[isnan] = 0.0
     noisemap[isnan] = 1e7
     good = ~np.array(columns["mask"]).astype(bool)

@@ -20,7 +20,10 @@ def _segment(image, variance_map, threshold, min_area):
     """
     sigma = np.sqrt(np.maximum(variance_map, 0.0))
     detect = image > threshold * sigma
-    seg, n_raw = ndimage.label(detect)
+    # 8-connectivity, matching the C++ extractor and sep: the default
+    # 4-connected labeling splits diagonal-touching components and the
+    # two backends would produce different catalogs
+    seg, n_raw = ndimage.label(detect, structure=np.ones((3, 3)))
     if n_raw == 0:
         return [], seg
     counts = ndimage.sum_labels(np.ones_like(seg), seg,
@@ -87,9 +90,12 @@ def extract_stars(image_background_subtracted, variance_map,
     elongation = sources["a"] / sources["b"]
     sources["elongation"] = elongation
     if len(sources):
-        # drop weirdly elongated detections (not star-like)
+        # drop weirdly elongated detections (not star-like).  <= and not
+        # the reference's strict < (reference star_extraction.py:37-41):
+        # with a single detection (or all-equal elongations) std is 0
+        # and the strict comparison discards EVERY source
         sources = sources[
-            elongation < elongation.median() + 3 * elongation.std(ddof=0)]
+            elongation <= elongation.median() + 3 * elongation.std(ddof=0)]
     sources["FWHM"] = 2.0 * np.sqrt(
         np.log(2.0) * (sources["a"] ** 2 + sources["b"] ** 2))
     sources["ellipticity"] = 1.0 - sources["b"] / sources["a"]

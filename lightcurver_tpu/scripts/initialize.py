@@ -36,7 +36,7 @@ def initialize():
     args = parser.parse_args()
 
     workdir = Path(args.workdir).absolute()
-    workdir.mkdir(exist_ok=True)
+    workdir.mkdir(exist_ok=True, parents=True)
     print(f"Initializing working directory at {workdir}")
 
     config_path = workdir / "config.yaml"

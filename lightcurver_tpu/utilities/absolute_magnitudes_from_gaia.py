@@ -6,6 +6,8 @@ reference (lightcurver/utilities/absolute_magnitudes_from_gaia.py:5-66):
 band_mag = G - sum_i c_i (BP-RP)^i, nominal scatter 0.03 mag.
 """
 
+import math
+
 from ..structure.database import execute_sqlite_query
 from ..structure.user_config import get_user_config
 
@@ -40,6 +42,10 @@ def save_gaia_catalog_photometry_to_database(gaia_id):
         return
     bp_rp = float(mags["bmag"][0] - mags["rmag"][0])
     g = float(mags["gmag"][0])
+    if not (math.isfinite(bp_rp) and math.isfinite(g)):
+        # stars without BP/RP photometry cannot be colour-transformed;
+        # a NaN magnitude row would silently thin the zeropoint medians
+        return
     coef = GAIA_COLOR_COEFFICIENTS[band]
     band_mag = g - sum(c * bp_rp**i for i, c in enumerate(coef))
 

@@ -101,10 +101,13 @@ def photometric_selection_heuristic(mast_results):
     def mag_of(b):
         value = row.get(f"{b}MeanPSFMag")
         err = row.get(f"{b}MeanPSFMagErr")
-        ok = value is not None and np.isfinite(value) and value > -100
+        # PS1 uses -999 sentinels; a missing/invalid ERROR must also
+        # reject the band, not get stored as mag_err=-999
+        ok = (value is not None and np.isfinite(value) and value > -100
+              and err is not None and np.isfinite(err) and err > 0)
         return (float(value), float(err)) if ok else None
 
-    if band in "grizy":
+    if band in ("g", "r", "i", "z", "y"):
         got = mag_of(band)
         if got is None:
             return None

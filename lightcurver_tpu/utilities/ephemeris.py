@@ -56,10 +56,15 @@ def sun_position(mjd):
     return ra, dec, _rev(lam)
 
 
-def moon_position(mjd):
-    """Approximate geocentric (ra, dec, lambda, beta) of the Moon, deg.
+def moon_position(mjd, lat_deg=None, lon_deg_east=None):
+    """Approximate (ra, dec, lambda, beta) of the Moon, degrees.
 
     Truncated ELP series (Astronomical Almanac low-precision formula).
+    With an observer position the returned ra/dec are TOPOCENTRIC —
+    lunar horizontal parallax reaches ~57 arcmin, so the geocentric
+    direction (which pyephem, the reference's engine, corrects for) can
+    be ~1 deg off near the horizon.  lambda/beta stay geocentric (they
+    feed the illumination phase, which is a geocentric quantity).
     """
     T = julian_centuries(mjd)
     lam = (218.32 + 481267.881 * T
@@ -75,6 +80,26 @@ def moon_position(mjd):
            - 0.17 * math.sin((217.6 - 407332.21 * T) * DEG))
     lam, bet = _rev(lam), bet
     ra, dec = ecliptic_to_equatorial(lam, bet, mjd)
+    if lat_deg is not None and lon_deg_east is not None:
+        # horizontal parallax series (same Almanac formula family)
+        par = (0.9508
+               + 0.0518 * math.cos((134.9 + 477198.85 * T) * DEG)
+               + 0.0095 * math.cos((259.2 - 413335.38 * T) * DEG)
+               + 0.0078 * math.cos((235.7 + 890534.23 * T) * DEG)
+               + 0.0028 * math.cos((269.9 + 954397.70 * T) * DEG))
+        r = 1.0 / math.sin(par * DEG)          # Earth radii
+        lst = (gmst_deg(mjd) + lon_deg_east) * DEG
+        lat = lat_deg * DEG
+        obs = (math.cos(lat) * math.cos(lst),
+               math.cos(lat) * math.sin(lst),
+               math.sin(lat))
+        ra_r, dec_r = ra * DEG, dec * DEG
+        vec = (r * math.cos(dec_r) * math.cos(ra_r) - obs[0],
+               r * math.cos(dec_r) * math.sin(ra_r) - obs[1],
+               r * math.sin(dec_r) - obs[2])
+        norm = math.sqrt(sum(v * v for v in vec))
+        dec = math.asin(vec[2] / norm) / DEG
+        ra = _rev(math.atan2(vec[1], vec[0]) / DEG)
     return ra, dec, lam, bet
 
 

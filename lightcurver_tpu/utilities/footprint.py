@@ -48,6 +48,10 @@ def calc_common_and_total_footprint(list_of_footprints):
         (common, largest): SimplePolygons; common is None when the frames
         share no area.
     """
+    if not list_of_footprints:
+        raise RuntimeError(
+            "No frame footprints available — no frame is plate-solved "
+            "with the ROI in its footprint yet; cannot combine.")
     polygons = [SimplePolygon(fp) for fp in list_of_footprints]
     common = polygons[0]
     for poly in polygons[1:]:
@@ -76,11 +80,16 @@ def database_get_footprint(frame_id):
 
 def save_combined_footprints_to_db(frames_hash, common_footprint,
                                    largest_footprint):
+    # an empty intersection (disjoint pointings) is stored as an empty
+    # polygon rather than crashing: downstream ROI/star containment
+    # checks then fail with informative "not in footprint" paths
+    common = (common_footprint.mapping()
+              if common_footprint is not None else [])
     execute_sqlite_query(
         "INSERT INTO combined_footprint (hash, largest, common) "
         "VALUES (?, ?, ?)",
         params=(frames_hash, json.dumps(largest_footprint.mapping()),
-                json.dumps(common_footprint.mapping())),
+                json.dumps(common)),
         is_select=False)
 
 
@@ -104,7 +113,9 @@ def check_in_footprint_for_all_images():
     user_config = get_user_config()
     for _, frame in frames.iterrows():
         path = user_config["workdir"] / frame["image_relpath"]
-        data, header = read_fits(path)
+        # only the header is needed: skip loading (and BSCALE-converting)
+        # the full wide-field pixel array per frame
+        _, header = read_fits(path, header_only=True)
         wcs = TanWCS.from_header(header)
         shape = (int(header["NAXIS2"]), int(header["NAXIS1"]))
         inside = wcs.contains_world(user_config["ROI_ra_deg"],

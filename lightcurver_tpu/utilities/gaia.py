@@ -15,6 +15,7 @@ import io
 import os
 import urllib.parse
 import urllib.request
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -97,8 +98,12 @@ def run_query(gaia_provider, adql_query):
         # VizieR does not provide the reference epoch; DR3 is 2016.0
         result["ref_epoch"] = np.full(len(result), 2016.0)
         if "gaiadr3" not in adql_query:
-            raise FutureWarning(
-                "Using VizieR and 2016 as ref epoch, but not Gaia DR3.")
+            # warn, do not raise: the reference raises FutureWarning here
+            # (reference utilities/gaia.py:130), discarding a result the
+            # network already delivered
+            warnings.warn(
+                "Using VizieR and 2016 as ref epoch, but not Gaia DR3.",
+                FutureWarning)
     else:
         raise RuntimeError("gaia_provider must be 'gaia' or 'vizier'")
     return result

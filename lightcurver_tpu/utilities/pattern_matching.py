@@ -129,13 +129,16 @@ def find_transform(source, target, max_control_points=50,
     tree = cKDTree(feat_d)
     dist, idx = tree.query(feat_s, k=1,
                            distance_upper_bound=invariant_tolerance)
-    candidates = [(order_s[i], order_d[j])
+    candidates = [(d, order_s[i], order_d[j])
                   for i, (d, j) in enumerate(zip(dist, idx))
                   if np.isfinite(d)]
     if not candidates:
         raise ValueError("no matching triangles")
-    # most-distinctive (rarest) candidates first, cap the RANSAC work
-    candidates = candidates[:max_candidates]
+    # BEST invariant matches first (smallest KD-tree distance), then cap
+    # the RANSAC work — an unsorted cap could drop every true
+    # correspondence in a dense field
+    candidates.sort(key=lambda c: c[0])
+    candidates = [(vs, vd) for _, vs, vd in candidates[:max_candidates]]
 
     dst_tree = cKDTree(dst)
     best = None

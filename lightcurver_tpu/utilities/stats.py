@@ -19,9 +19,13 @@ def sigma_clipped_stats(data, sigma=3.0, maxiters=5):
         selected = arr[mask]
         med = np.median(selected)
         std = np.std(selected)
-        new_mask = np.abs(arr - med) <= sigma * std
-        if new_mask.sum() == mask.sum() or new_mask.sum() == 0:
-            mask = new_mask if new_mask.sum() else mask
+        # astropy semantics: clip from the SURVIVORS (clipped points
+        # never re-enter), and converge on mask identity, not count —
+        # equal counts with different members is not convergence
+        new_mask = mask & (np.abs(arr - med) <= sigma * std)
+        if new_mask.sum() == 0:
+            break
+        if np.array_equal(new_mask, mask):
             break
         mask = new_mask
     selected = arr[mask]

@@ -129,6 +129,40 @@ class TestStarExtraction:
                 np.sort(np.asarray(s_numpy["x"], float)), atol=0.5)
 
 
+
+class TestBackgroundMeshParity:
+    def test_native_matches_fallback(self, monkeypatch):
+        """The C++ mesh estimator equals the Python fallback (f32 eps)."""
+        import lightcurver_tpu.native as nat
+        import lightcurver_tpu.processes.background_estimation as bg
+
+        rng = np.random.default_rng(0)
+        img = (10 + rng.normal(0, 0.5, (200, 180))).astype(np.float32)
+        _gaussian(img, 45, 55, 5000.0)
+        img[0:3, 0:3] = np.nan
+        mask = np.zeros_like(img, dtype=bool)
+        mask[100:120, :] = True
+
+        def fresh(disable):
+            if disable:
+                monkeypatch.setenv("LIGHTCURVER_DISABLE_NATIVE", "1")
+            else:
+                monkeypatch.delenv("LIGHTCURVER_DISABLE_NATIVE",
+                                   raising=False)
+            monkeypatch.setattr(nat, "_lib", None)
+            monkeypatch.setattr(nat, "_tried", False)
+            return bg.Background(img, box_size=32, mask=mask)
+
+        b_native = fresh(False)
+        if nat._lib is None:
+            pytest.skip("native backend unavailable (no toolchain)")
+        b_python = fresh(True)
+        np.testing.assert_allclose(b_native.back(), b_python.back(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(b_native.rms(), b_python.rms(),
+                                   atol=1e-5)
+
+
 class TestCosmics:
     def test_cosmic_masked_star_kept(self):
         from lightcurver_tpu.processes.cosmics import detect_cosmics
