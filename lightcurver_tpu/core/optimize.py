@@ -218,7 +218,8 @@ def run_adabelief(loss_fn, free0, lower, upper, n_iter,
 
 
 def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
-                memory_size=10, max_linesearch_steps=6):
+                memory_size=10, max_linesearch_steps=6,
+                exact_bounds=True):
     """Projected L-BFGS scan body (traceable; zoom linesearch inside).
 
     max_linesearch_steps caps the zoom linesearch (optax default 20).
@@ -227,16 +228,17 @@ def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
     case; convergence is unchanged
     (tests/test_lbfgsb_scipy_parity.py still reaches scipy's minimum).
 
-    Known approximation (projected quasi-Newton, not true L-BFGS-B):
-    when the box projection actually clips a step, the NEXT iteration's
-    cached linesearch value/grad (optax value_and_grad_from_state)
-    refer to the pre-projection point.  An exact recompute would cost
-    one extra loss+grad per iteration under vmap (lax.cond batches to
-    select in the batched PSF path) for a condition that is inactive on
-    the production fits — Moffat/position iterates start and stay
-    inside their boxes; the scipy L-BFGS-B parity suite bounds the
-    practical effect, and the AdaBelief phase + exact GLS flux polish
-    run after this phase regardless.
+    Bound handling (projected quasi-Newton): when the box projection
+    actually clips a step, the next iteration's cached linesearch
+    value/grad (optax value_and_grad_from_state) refer to the
+    pre-projection point.  With ``exact_bounds=True`` (default) the
+    pair is recomputed at the projected point via lax.cond — free when
+    no bound is active, and only when one IS active does it cost one
+    extra loss+grad.  Under vmap the cond batches to a select that pays
+    that extra evaluation EVERY iteration, so the vmapped batched-PSF
+    caller opts out (bounds are inactive on its production fits; the
+    scipy-parity suite bounds the approximation there, and AdaBelief +
+    the exact GLS flux polish run afterwards regardless).
 
     Returns:
         (best_free, final_free, loss_history[n_iter])
@@ -254,8 +256,15 @@ def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
     value_and_grad = optax.value_and_grad_from_state(bound_loss)
 
     def step(carry, _):
-        params, opt_state, best_params, best_loss = carry
+        params, opt_state, best_params, best_loss, clipped_prev = carry
         value, grad = value_and_grad(params, state=opt_state)
+        if exact_bounds:
+            # the cached pair refers to the pre-projection point when
+            # the previous step clipped: recompute at the actual params
+            value, grad = jax.lax.cond(
+                clipped_prev,
+                lambda p: jax.value_and_grad(bound_loss)(p),
+                lambda p: (value, grad), params)
         improved = value < best_loss
         best_loss = jnp.where(improved, value, best_loss)
         best_params = jax.tree_util.tree_map(
@@ -263,18 +272,27 @@ def lbfgsb_scan(loss_fn, free0, consts, lower, upper, n_iter,
         updates, opt_state = opt.update(
             grad, opt_state, params, value=value, grad=grad,
             value_fn=bound_loss)
-        params = _project(optax.apply_updates(params, updates), lower, upper)
-        return (params, opt_state, best_params, best_loss), value
+        raw = optax.apply_updates(params, updates)
+        params = _project(raw, lower, upper)
+        clipped = jax.tree_util.tree_reduce(
+            jnp.logical_or,
+            jax.tree_util.tree_map(lambda a, b: jnp.any(a != b), raw,
+                                   params),
+            jnp.asarray(False))
+        return (params, opt_state, best_params, best_loss, clipped), value
 
-    init = (free0, opt_state, free0, jnp.asarray(jnp.inf, dtype=jnp.float32))
-    (final_params, _, best_params, _), history = jax.lax.scan(
+    init = (free0, opt_state, free0,
+            jnp.asarray(jnp.inf, dtype=jnp.float32),
+            jnp.asarray(False))
+    (final_params, _, best_params, _, _), history = jax.lax.scan(
         step, init, None, length=n_iter)
     return best_params, final_params, history
 
 
 _run_lbfgsb = jax.jit(
     lbfgsb_scan, static_argnames=("loss_fn", "n_iter", "memory_size",
-                                  "max_linesearch_steps"))
+                                  "max_linesearch_steps",
+                                  "exact_bounds"))
 
 
 def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10,

@@ -118,11 +118,15 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
              "kwargs_gaussian": kwargs_init["kwargs_gaussian"]}
     fixed1 = _subset(kwargs_init, fixed1_spec)
     consts1 = {**base_consts, "fixed": fixed1}
+    # exact_bounds=False: under vmap the bound-recovery cond batches to
+    # a select that would pay one extra loss+grad EVERY iteration;
+    # Moffat iterates stay inside their boxes on production fits
+    # (core/optimize.lbfgsb_scan docstring)
     best1, _, hist1 = lbfgsb_scan(
         loss_moffat, free1, consts1,
         {k: _subset(lower, {k: free1[k]})[k] for k in free1},
         {k: _subset(upper, {k: free1[k]})[k] for k in free1},
-        n_iter_analytic)
+        n_iter_analytic, exact_bounds=False)
 
     # ---- phase 2: pixel grid (+ distortion), Moffat fixed ---------------
     free2 = {"kwargs_gaussian": best1["kwargs_gaussian"],

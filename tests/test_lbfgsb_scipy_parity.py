@@ -147,3 +147,48 @@ def test_lbfgsb_respects_active_bounds():
     best, final, _ = run_lbfgsb(loss, free0, lower, upper, 30,
                                 consts={})
     assert float(best["x"][0]) == pytest.approx(2.0, abs=1e-6)
+
+
+def test_exact_bounds_matches_scipy_on_boundary_ridden_problem():
+    """A problem whose unconstrained optimum violates two bounds: the
+    exact-bound-recovery path must land on scipy L-BFGS-B's constrained
+    minimum (the clipped-step cached-gradient approximation is what
+    exact_bounds=True exists to remove)."""
+    from scipy.optimize import minimize as scipy_minimize
+
+    from lightcurver_tpu.core.optimize import run_lbfgsb
+
+    # correlated quadratic: the constrained optimum sits ON the bounds
+    # and the unconstrained gradient keeps pushing outward
+    A = np.array([[3.0, 1.2, 0.0],
+                  [1.2, 2.0, 0.5],
+                  [0.0, 0.5, 1.0]])
+    target = np.array([4.0, -3.0, 0.5])
+
+    def f_np(x):
+        d = x - target
+        return float(d @ A @ d)
+
+    def loss(free, consts):
+        del consts
+        d = free["x"] - jnp.asarray(target, jnp.float32)
+        return d @ jnp.asarray(A, jnp.float32) @ d
+
+    x0 = np.zeros(3)
+    lo = np.array([-1.0, -1.0, -1.0])
+    hi = np.array([1.0, 1.0, 1.0])
+    ref = scipy_minimize(f_np, x0, method="L-BFGS-B",
+                         bounds=list(zip(lo, hi)))
+
+    best, _, _ = run_lbfgsb(
+        loss, {"x": jnp.asarray(x0, jnp.float32)},
+        {"x": jnp.asarray(lo, jnp.float32)},
+        {"x": jnp.asarray(hi, jnp.float32)}, 60, consts={})
+    x = np.asarray(best["x"], float)
+    # the active bound is identified exactly
+    assert x[0] == pytest.approx(1.0, abs=1e-6)
+    # the constrained minimum VALUE matches scipy's; the free
+    # coordinates ride a flat valley where projected L-BFGS and
+    # L-BFGS-B's subspace minimization park slightly differently
+    assert f_np(x) == pytest.approx(ref.fun, rel=2e-4)
+    np.testing.assert_allclose(x, ref.x, atol=0.06)
