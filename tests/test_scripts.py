@@ -56,3 +56,24 @@ def test_lc_run_sets_env_and_forwards_steps(tmp_path, monkeypatch):
 
     assert os.environ["LIGHTCURVER_CONFIG"] == str(config)
     assert calls == {"start": "psf_modeling", "stop": "star_photometry"}
+
+
+def test_pool_run_contains_per_job_failures(tmp_path, monkeypatch, caplog):
+    """One corrupt job must not abort the batch (serial and pooled)."""
+    import logging
+
+    import lightcurver_tpu.pipeline.task_wrappers as tw
+
+    done = []
+
+    def worker(job):
+        if job[0] == "bad":
+            raise IOError("truncated FITS")
+        done.append(job[0])
+
+    monkeypatch.setattr(tw, "get_user_config",
+                        lambda: {"multiprocessing_cpu_count": 1})
+    with caplog.at_level(logging.WARNING, logger="lightcurver"):
+        tw._pool_run(worker, [("a", 1), ("bad", 2), ("b", 3)])
+    assert done == ["a", "b"]
+    assert any("1/3 jobs failed" in r.message for r in caplog.records)
