@@ -572,7 +572,10 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                     "problem (parameter structure changed, e.g. "
                     "further_optimize_background flipped); refusing to "
                     "resume — delete the checkpoint to restart") from e
-            fresh_leaves = jax.tree_util.tree_leaves(fresh_carry())
+            # shapes only — eval_shape avoids allocating a full carry
+            # (params + optimizer moments) just to validate a resume
+            fresh_leaves = jax.tree_util.tree_leaves(
+                jax.eval_shape(fresh_carry))
             for i, (stored, fresh) in enumerate(zip(leaves, fresh_leaves)):
                 if tuple(stored.shape) != tuple(fresh.shape):
                     raise ValueError(

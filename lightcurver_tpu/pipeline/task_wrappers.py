@@ -99,10 +99,20 @@ def _pool_run(worker, jobs):
         finally:
             listener.stop()
     if failures:
+        summary = ("; ".join(f"{i!r} ({m})" for i, m in failures[:10])
+                   + (" ..." if len(failures) > 10 else ""))
+        if len(failures) == len(jobs):
+            # EVERY job failing is a systematic error (missing binary,
+            # unreadable raw_dirs, ...), not per-frame data trouble —
+            # containment must not let the pipeline march on vacuously
+            from ..structure.exceptions import TaskWasNotSuccessful
+
+            raise TaskWasNotSuccessful(
+                f"all {len(jobs)} jobs of this task failed — systematic "
+                f"error, not bad frames: {summary}")
         logger.warning(
-            f"{len(failures)}/{len(jobs)} jobs failed and were skipped: "
-            + "; ".join(f"{i!r} ({m})" for i, m in failures[:10])
-            + (" ..." if len(failures) > 10 else ""))
+            f"{len(failures)}/{len(jobs)} jobs failed and were "
+            f"skipped: {summary}")
 
 
 @log_process

@@ -58,6 +58,13 @@ def query_gaia_stars():
     strategy = user_config["star_selection_strategy"]
     if strategy == "common_footprint_stars":
         _, common = load_combined_footprint_from_db(frames_hash)
+        if not common:
+            # stored as [] when the frames share no area (footprint.py)
+            raise RuntimeError(
+                "The frames share NO common footprint — cannot select "
+                "stars with strategy 'common_footprint_stars'. Check "
+                "the pointings (eliminate outliers) or switch to the "
+                "'stars_per_frame' / 'ROI_disk' strategy.")
         region_type, region = "polygon", common["coordinates"][0]
     elif strategy == "stars_per_frame":
         largest, _ = load_combined_footprint_from_db(frames_hash)

@@ -40,12 +40,15 @@ def save_gaia_catalog_photometry_to_database(gaia_id):
         (gaia_id,), use_pandas=True)
     if mags.empty:
         return
-    bp_rp = float(mags["bmag"][0] - mags["rmag"][0])
-    g = float(mags["gmag"][0])
-    if not (math.isfinite(bp_rp) and math.isfinite(g)):
-        # stars without BP/RP photometry cannot be colour-transformed;
-        # a NaN magnitude row would silently thin the zeropoint medians
+    raw = [mags["gmag"][0], mags["bmag"][0], mags["rmag"][0]]
+    # SQLite returns NULL magnitudes as None (object dtype): guard
+    # BEFORE any arithmetic — stars without BP/RP photometry cannot be
+    # colour-transformed, and a NaN row would silently thin the
+    # zeropoint medians
+    if any(v is None or not math.isfinite(float(v)) for v in raw):
         return
+    g, bmag, rmag = (float(v) for v in raw)
+    bp_rp = bmag - rmag
     coef = GAIA_COLOR_COEFFICIENTS[band]
     band_mag = g - sum(c * bp_rp**i for i, c in enumerate(coef))
 

@@ -77,3 +77,19 @@ def test_pool_run_contains_per_job_failures(tmp_path, monkeypatch, caplog):
         tw._pool_run(worker, [("a", 1), ("bad", 2), ("b", 3)])
     assert done == ["a", "b"]
     assert any("1/3 jobs failed" in r.message for r in caplog.records)
+
+
+def test_pool_run_escalates_when_all_jobs_fail(monkeypatch):
+    """100% job failure is a systematic error, not bad frames."""
+    import pytest as _pytest
+
+    import lightcurver_tpu.pipeline.task_wrappers as tw
+    from lightcurver_tpu.structure.exceptions import TaskWasNotSuccessful
+
+    def worker(job):
+        raise IOError("binary missing")
+
+    monkeypatch.setattr(tw, "get_user_config",
+                        lambda: {"multiprocessing_cpu_count": 1})
+    with _pytest.raises(TaskWasNotSuccessful):
+        tw._pool_run(worker, [("a", 1), ("b", 2)])
