@@ -36,6 +36,15 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     m = model.m
 
+    # dummy padding epochs are uniformly noise >= 1e7 (the documented
+    # convention); a real epoch always has SOME pixel below 1e6.  The
+    # mask drives exact loss weighting and keeps the Monte-Carlo noise
+    # weights / mean PSF spectrum uncontaminated by padding (a star
+    # padded to several times its real epoch count would otherwise get
+    # its background regularization inflated by orders of magnitude).
+    real_epoch = (noisemap < 1e6).any(axis=(1, 2))
+    n_real = jnp.maximum(real_epoch.sum(), 1)
+
     scale = jnp.nanmax(data)
     scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale, 1.0)
     d = data / scale
@@ -53,7 +62,11 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     a0 = jnp.nansum(d, axis=(1, 2)) - d[0].size * borders
 
     psf_pad = pad_psf_to(psf, m)
-    psf_pad = psf_pad / psf_pad.sum(axis=(-2, -1), keepdims=True)
+    psf_sum = psf_pad.sum(axis=(-2, -1), keepdims=True)
+    # all-zero padded PSFs (dummy epochs) must not 0/0 into NaN spectra
+    # — NaN would poison the SHARED parameters' gradients via the
+    # nansum VJP and the whole star's fit would return its init
+    psf_pad = psf_pad / jnp.where(psf_sum > 0, psf_sum, 1.0)
     spectra = model.spectra(psf_pad)
     spectra.update(model.spectra_real(psf_pad))
 
@@ -96,7 +109,7 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
 
     consts = {
         "data": d, "sigma_2": sigma_2, "fixed": fixed,
-        "epoch_w": jnp.ones(n_epochs, jnp.float32),
+        "epoch_w": real_epoch.astype(jnp.float32),
         "lambda_scales": jnp.float32(3.0), "lambda_hf": jnp.float32(3.0),
         "lambda_pos": jnp.float32(0.0), "lambda_pts": jnp.float32(0.0),
         "lambda_flux_uni": jnp.float32(0.0),
@@ -104,8 +117,12 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         **spectra,
     }
     if starlet_global_background:
+        # statistics over REAL epochs only (padding excluded)
+        sig_real = jnp.where(real_epoch[:, None, None], sig, jnp.nan)
+        w = real_epoch.astype(spectra["ps_hat"].real.dtype)[:, None, None]
+        mean_ps_hat = (spectra["ps_hat"] * w).sum(axis=0) / n_real
         consts["W"] = _mc_starlet_noise(
-            jnp.nanmedian(sig, axis=0), spectra["ps_hat"].mean(axis=0),
+            jnp.nanmedian(sig_real, axis=0), mean_ps_hat,
             m, s, 200, n_starlet_scales(m), key)
     else:
         consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
@@ -160,7 +177,10 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
         "fluxes": scale * kwargs["kwargs_analytic"]["a"],
         "fluxes_uncertainties": scale * flux_err,
         "chi2_per_frame": chi2_per_frame,
-        "chi2": jnp.nanmean(chi2_per_frame),
+        # mean over REAL epochs only: zero-weight padding epochs have
+        # ~0 chi2 and would dilute the scalar toward zero
+        "chi2": (jnp.nansum(chi2_per_frame * consts["epoch_w"])
+                 / jnp.maximum(consts["epoch_w"].sum(), 1)),
         "loss_history": history,
         "residuals": scale * residuals,
         "starlet_background": scale * h,
@@ -337,6 +357,10 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
             start = int(z["done"])
             histories = [np.asarray(z["history"])]
 
+    if int(checkpoint_every) <= 0:
+        raise ValueError(
+            f"checkpoint_every must be positive, got {checkpoint_every} "
+            "(a non-positive segment length would loop forever)")
     done = start
     while done < n_iter:
         length = min(int(checkpoint_every), n_iter - done)
@@ -362,8 +386,13 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
 
     Args:
         data, noisemap: (S, N, n, n) — S stars, N epochs each (pad
-            missing epochs with data 0 / noise 1e7).
-        psf: (S, N, mp, mp) narrow PSFs.
+            missing epochs with data 0 / noise 1e7; padding epochs are
+            detected from the noise level and exactly masked out of the
+            loss and the regularization statistics).
+        psf: (S, N, mp, mp) narrow PSFs.  Pad missing epochs by
+            REPEATING any real PSF (all-zero pads are tolerated — the
+            normalization guards the 0/0 — but a real PSF keeps the
+            dummy epochs' spectra well-conditioned).
         subsampling_factor: int s.
         checkpoint_path: when set, the AdaBelief loop runs in
             ``checkpoint_every``-iteration segments with the optimizer

@@ -523,6 +523,10 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
 
     n_iter = int(n_iter)
     every = int(checkpoint_every)
+    if every <= 0:
+        raise ValueError(
+            f"checkpoint_every must be positive, got {checkpoint_every} "
+            "(a non-positive segment length would loop forever)")
     opt = make_adabelief(n_iter, init_learning_rate,
                          schedule_learning_rate)
 

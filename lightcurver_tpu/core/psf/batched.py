@@ -25,38 +25,30 @@ from .distortion import zero_distortion_kwargs
 
 
 def _bounds(n_stars, n_pix, m):
-    big = jnp.inf
-    upper = {
-        "kwargs_moffat": {
-            "fwhm_x": jnp.asarray(0.9 * n_pix, jnp.float32),
-            "fwhm_y": jnp.asarray(0.9 * n_pix, jnp.float32),
-            "beta": jnp.asarray(10.0, jnp.float32)},
-        "kwargs_gaussian": {
-            "a": jnp.full((n_stars,), big, jnp.float32),
-            "x0": jnp.full((n_stars,), 3.0, jnp.float32),
-            "y0": jnp.full((n_stars,), 3.0, jnp.float32)},
-        "kwargs_background": {
-            "background": jnp.full((m * m,), big, jnp.float32)},
-        "kwargs_distortion": {
-            k: jnp.full((5,), 0.5, jnp.float32)
-            for k in ("dilation_x", "dilation_y", "shear")},
+    """Bound pytrees matching the batched parameter shapes.
+
+    The VALUES come from build.psf_bound_values (single source of
+    truth) — only the broadcasting to array shapes lives here.
+    """
+    from .build import psf_bound_values
+
+    kwargs_up, kwargs_down = psf_bound_values(n_pix)
+    shapes = {
+        "kwargs_moffat": {"fwhm_x": (), "fwhm_y": (), "beta": ()},
+        "kwargs_gaussian": {"a": (n_stars,), "x0": (n_stars,),
+                            "y0": (n_stars,)},
+        "kwargs_background": {"background": (m * m,)},
+        "kwargs_distortion": {k: (5,) for k in ("dilation_x",
+                                                "dilation_y", "shear")},
     }
-    lower = {
-        "kwargs_moffat": {
-            "fwhm_x": jnp.asarray(0.8, jnp.float32),
-            "fwhm_y": jnp.asarray(0.8, jnp.float32),
-            "beta": jnp.asarray(1.15, jnp.float32)},
-        "kwargs_gaussian": {
-            "a": jnp.zeros((n_stars,), jnp.float32),
-            "x0": jnp.full((n_stars,), -3.0, jnp.float32),
-            "y0": jnp.full((n_stars,), -3.0, jnp.float32)},
-        "kwargs_background": {
-            "background": jnp.full((m * m,), -big, jnp.float32)},
-        "kwargs_distortion": {
-            k: jnp.full((5,), -0.5, jnp.float32)
-            for k in ("dilation_x", "dilation_y", "shear")},
-    }
-    return lower, upper
+
+    def broadcast(values):
+        return {group: {key: jnp.full(shapes[group][key], values[group][key],
+                                      jnp.float32)
+                        for key in keys}
+                for group, keys in shapes.items()}
+
+    return broadcast(kwargs_down), broadcast(kwargs_up)
 
 
 def _subset(tree, spec):
@@ -84,7 +76,14 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     scale = jnp.where(jnp.isfinite(scale) & (scale > 0), scale, 1.0)
     d = jnp.nan_to_num(data / scale)
     sig = jnp.nan_to_num(noisemap / scale, nan=1e8)
-    sigma_2 = sig**2
+    # masked pixels are excluded from the chi2 by weight; unit noise
+    # there keeps a zero-noise padding convention (docstring: "pad
+    # missing stars with zeros and masks=False") from producing inf
+    # partials whose 0-cotangent VJP is NaN
+    sigma_2 = jnp.where(masks, sig**2, 1.0)
+    # fully-masked entries are dummy padding stars: keep them out of
+    # the weight statistics below
+    star_valid = masks.any(axis=(1, 2))
 
     fwhm0 = jnp.clip(fwhm0, 1.2, 0.45 * n_pix).astype(jnp.float32)
     a0 = jnp.clip(jnp.sum(jnp.where(masks, d, 0.0), axis=(1, 2)),
@@ -137,7 +136,16 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     else:
         fixed2["kwargs_distortion"] = kwargs_init["kwargs_distortion"]
 
-    sigma_med = jnp.median(sig, axis=0) / jnp.maximum(jnp.mean(a0), 1e-12)
+    # noise median over REAL stars only (NaN noise pixels excluded per
+    # pixel, mirroring build_psf's nanmedian; dummy padding stars would
+    # otherwise drag the weights by up to the padding fraction), scaled
+    # by the mean amplitude of the real stars
+    sig_w = jnp.where(jnp.isfinite(noisemap), noisemap / scale, jnp.nan)
+    sig_w = jnp.where(star_valid[:, None, None], sig_w, jnp.nan)
+    sigma_med = jnp.nanmedian(sig_w, axis=0)
+    n_valid = jnp.maximum(star_valid.sum(), 1)
+    mean_amp = jnp.sum(jnp.where(star_valid, a0, 0.0)) / n_valid
+    sigma_med = sigma_med / jnp.maximum(mean_amp, 1e-12)
     W = _grid_noise_weights_impl(sigma_med, m, s, 64, n_starlet_scales(m),
                                  key, base_consts.get("dft_mats"))
     consts2 = {**base_consts, "W": W,
@@ -204,7 +212,9 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
 
     Args:
         images: (F, N, n, n) star stamps — F frames, N stars each (pad
-            missing stars with zeros and masks=False).
+            missing stars with zeros and masks=False; any noise padding
+            value works — masked pixels get unit variance internally so
+            zero-noise pads cannot NaN the gradients).
         noisemaps: (F, N, n, n) noise sigmas.
         subsampling_factor: int s.
         masks: (F, N, n, n) bool, True = good pixel.

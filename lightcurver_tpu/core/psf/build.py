@@ -95,6 +95,11 @@ def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key,
     """
     L = conv.pad_len(m)
     r_hat = conv.r_kernel_fft(m, s)
+    # a pixel with NaN noise (in all stars) would spread NaN through the
+    # starlet smoothing into every weight and silently disable the
+    # pixel-grid fit (NaN loss -> init returned); contribute zero there
+    # (same guard as core/noise._mc_starlet_noise)
+    sigma = jnp.where(jnp.isfinite(sigma), sigma, 0.0)
 
     def one(key):
         eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
@@ -129,6 +134,31 @@ def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
     return _grid_noise_weights(sigma, model.m, model.s, num_samples,
                                n_starlet_scales(model.m),
                                jax.random.PRNGKey(seed), dft_mats)
+
+
+def psf_bound_values(n_pix):
+    """(kwargs_up, kwargs_down) scalar bound values of the PSF fit.
+
+    SINGLE source of truth — the batched fitter
+    (core/psf/batched._bounds) broadcasts these same values to its
+    array shapes; keep them here so the two paths cannot drift.
+    """
+    kwargs_up = {
+        "kwargs_moffat": {"fwhm_x": 0.9 * n_pix, "fwhm_y": 0.9 * n_pix,
+                          "beta": 10.0},
+        "kwargs_gaussian": {"a": np.inf, "x0": 3.0, "y0": 3.0},
+        "kwargs_background": {"background": np.inf},
+        "kwargs_distortion": {"dilation_x": 0.5, "dilation_y": 0.5,
+                              "shear": 0.5},
+    }
+    kwargs_down = {
+        "kwargs_moffat": {"fwhm_x": 0.8, "fwhm_y": 0.8, "beta": 1.15},
+        "kwargs_gaussian": {"a": 0.0, "x0": -3.0, "y0": -3.0},
+        "kwargs_background": {"background": -np.inf},
+        "kwargs_distortion": {"dilation_x": -0.5, "dilation_y": -0.5,
+                              "shear": -0.5},
+    }
+    return kwargs_up, kwargs_down
 
 
 def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
@@ -205,21 +235,7 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
         "kwargs_background": {"background": jnp.zeros(m * m, jnp.float32)},
         "kwargs_distortion": zero_distortion_kwargs(),
     }
-    kwargs_up = {
-        "kwargs_moffat": {"fwhm_x": 0.9 * n_pix, "fwhm_y": 0.9 * n_pix,
-                          "beta": 10.0},
-        "kwargs_gaussian": {"a": np.inf, "x0": 3.0, "y0": 3.0},
-        "kwargs_background": {"background": np.inf},
-        "kwargs_distortion": {"dilation_x": 0.5, "dilation_y": 0.5,
-                              "shear": 0.5},
-    }
-    kwargs_down = {
-        "kwargs_moffat": {"fwhm_x": 0.8, "fwhm_y": 0.8, "beta": 1.15},
-        "kwargs_gaussian": {"a": 0.0, "x0": -3.0, "y0": -3.0},
-        "kwargs_background": {"background": -np.inf},
-        "kwargs_distortion": {"dilation_x": -0.5, "dilation_y": -0.5,
-                              "shear": -0.5},
-    }
+    kwargs_up, kwargs_down = psf_bound_values(n_pix)
 
     # --- phase 1: analytic Moffat (grid and distortion fixed at zero) ---
     kwargs_fixed_1 = {

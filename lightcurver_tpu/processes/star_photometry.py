@@ -44,9 +44,13 @@ def do_one_star_forward_modelling(data, noisemap, psf, subsampling_factor,
     data = np.array(data, dtype=np.float32)
     noisemap = np.array(noisemap, dtype=np.float32)
     scale = float(np.nanmax(data))
+    if not np.isfinite(scale) or scale <= 0:
+        scale = 1.0
     data /= scale
     noisemap /= scale
-    sigma_2 = noisemap**2
+    # flux init first (it expects the NaNs), then sanitize: a single
+    # NaN pixel reaching the loss would NaN every gradient through the
+    # nansum VJP and the fit would silently return its init
 
     # flux init: stamp sum minus a border-median background estimate
     borders = np.nanmean([
@@ -57,6 +61,13 @@ def do_one_star_forward_modelling(data, noisemap, psf, subsampling_factor,
     ], axis=0)
     borders = np.nan_to_num(borders, nan=0.0)
     a_est = np.nansum(data, axis=(1, 2)) - data[0].size * borders
+
+    # dead (any-NaN) pixels: zero data, inflated noise — same guard the
+    # batched pipeline path applies before calling into the core
+    isnan = np.isnan(data) | np.isnan(noisemap)
+    data[isnan] = 0.0
+    noisemap[isnan] = 1e7
+    sigma_2 = noisemap**2
 
     model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
         data, sigma_2, psf, np.array([0.0]), np.array([0.0]),
@@ -245,10 +256,11 @@ def do_star_photometry():
     only_fluxless = not user_config["redo_star_photometry"]
     time_now = datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
 
-    # gather per-star jobs (host IO)
+    # gather per-star jobs (host IO); ONE read-only open for the loop
     jobs = []
     chi2_min, chi2_max = get_chi2_bounds(psf_or_fluxes="psf")
-    for _, star in stars.iterrows():
+    with h5py.File(user_config["regions_path"], "r") as h5f:
+      for _, star in stars.iterrows():
         frames = get_frames_for_star(
             gaia_id=star["gaia_id"], psf_fit_chi2_min=chi2_min,
             psf_fit_chi2_max=chi2_max, only_fluxless_frames=only_fluxless,
@@ -256,9 +268,8 @@ def do_star_photometry():
         if len(frames) == 0:
             logger.info(f"Star {star['name']}: up to date.")
             continue
-        with h5py.File(user_config["regions_path"], "r") as h5f:
-            data, noisemap, cosmics, psf = _load_star_epochs(
-                user_config, h5f, frames, star, footprint_hash)
+        data, noisemap, cosmics, psf = _load_star_epochs(
+            user_config, h5f, frames, star, footprint_hash)
         # ANY-NaN pixels are dead: zero the data AND inflate the noise
         # (a NaN datum with finite noise would otherwise enter the fit
         # as a zero-flux measurement at full weight)

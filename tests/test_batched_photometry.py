@@ -76,3 +76,35 @@ def test_padded_epochs_have_zero_weight(star_set):
                                rtol=2e-2)
     # dummy epochs contribute ~zero chi2
     assert (padded["chi2_per_frame"][:, 6:] < 1e-3).all()
+
+
+def test_padding_does_not_contaminate_starlet_weights(star_set):
+    """Heavy padding + starlet background: the regularization statistics
+    (noise median, mean PSF spectrum) must come from REAL epochs only —
+    dummy 1e7-noise epochs would inflate the l1 threshold by orders of
+    magnitude and crush the background channel."""
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+
+    data, noise, psf, true_flux = star_set
+    # pad to 2x the real epoch count (the contamination regime)
+    n_pad = data.shape[1]
+    pad = ((0, 0), (0, n_pad), (0, 0), (0, 0))
+    data_p = np.pad(data, pad)
+    noise_p = np.pad(noise, pad, constant_values=1e7)
+    psf_p = np.concatenate([psf, psf[:, -1:].repeat(n_pad, axis=1)],
+                           axis=1)
+
+    ref = fit_stars_batched(data, noise, psf, 2, n_iter=200,
+                            starlet_global_background=True)
+    padded = fit_stars_batched(data_p, noise_p, psf_p, 2, n_iter=200,
+                               starlet_global_background=True)
+    np.testing.assert_allclose(padded["fluxes"][:, :n_pad],
+                               ref["fluxes"], rtol=2e-2)
+    # the fitted background must agree too (it is what the weights
+    # regularize); scale both by the flux level for a meaningful atol
+    level = np.abs(ref["fluxes"]).mean()
+    np.testing.assert_allclose(
+        padded["starlet_background"] / level,
+        ref["starlet_background"] / level, atol=5e-3)
+    # and the scalar chi2 is not diluted by the padding epochs
+    np.testing.assert_allclose(padded["chi2"], ref["chi2"], rtol=5e-2)
