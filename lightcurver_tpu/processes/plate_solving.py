@@ -49,25 +49,129 @@ def solve_field_available():
     return shutil.which("solve-field") is not None
 
 
-def solve_one_image(image_path, sources_path, user_config):
-    """Blind astrometric solution via the astrometry.net CLI.
+NOVA_API_URL = "https://nova.astrometry.net/api/"
 
-    Feeds the extracted source list (x, y, flux; brightest first) to
-    ``solve-field`` with the ROI position hint and plate-scale interval,
-    then reads back the solved WCS and writes it into the frame header.
 
-    Raises CouldNotSolveError when the binary is missing or fails.
+def solve_via_nova_api(sources, nx, ny, user_config, api_url=None,
+                       poll_interval=5.0, timeout=600.0):
+    """Blind solution through the nova.astrometry.net web API.
+
+    The reference supports this path when ``astrometry_net_api_key`` is
+    set (reference processes/plate_solving.py:48-52, through the
+    widefield_plate_solver package) — it serves users WITHOUT a local
+    astrometry.net index installation.  The extracted source list is
+    uploaded as the same FITS x,y table the local binary consumes,
+    with the ROI position hint and plate-scale interval; the job is
+    polled until the service returns a WCS header.
+
+    Returns a TanWCS.  Raises CouldNotSolveError on login/upload/solve
+    failure or timeout.  ``api_url`` is overridable for offline tests.
     """
-    if not solve_field_available():
-        raise CouldNotSolveError(
-            "astrometry.net's solve-field is not installed; use "
-            "plate_solving_strategy 'alternate_gaia_solve' or "
-            "'adapt_wcs_from_reference', or set already_plate_solved.")
+    import json
+    import time as _time
+
+    import requests
+
+    api_url = api_url or NOVA_API_URL
+    scale_min, scale_max = user_config["plate_scale_interval"]
+    http = requests.Session()
+
+    def call(endpoint, payload, files=None):
+        resp = http.post(api_url + endpoint,
+                         data={"request-json": json.dumps(payload)},
+                         files=files, timeout=60)
+        out = resp.json()
+        if out.get("status") not in (None, "success"):
+            raise CouldNotSolveError(
+                f"nova.astrometry.net {endpoint} failed: {out!r}")
+        return out
+
+    login = call("login",
+                 {"apikey": user_config["astrometry_net_api_key"]})
+    session = login["session"]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        xyls = Path(tmp) / "sources.xyls"
+        _write_xyls(xyls, sources, nx, ny)
+        upload_args = {
+            "session": session,
+            "scale_units": "arcsecperpix",
+            "scale_type": "ul",
+            "scale_lower": float(scale_min),
+            "scale_upper": float(scale_max),
+            "center_ra": float(user_config["ROI_ra_deg"]),
+            "center_dec": float(user_config["ROI_dec_deg"]),
+            "radius": 2.0,
+            "image_width": int(nx), "image_height": int(ny),
+        }
+        up = call("upload", upload_args,
+                  files={"file": ("sources.xyls", xyls.read_bytes())})
+    subid = up["subid"]
+
+    deadline = _time.monotonic() + timeout
+    job_id = None
+    while _time.monotonic() < deadline:
+        if job_id is None:
+            sub = http.get(f"{api_url}submissions/{subid}",
+                           timeout=60).json()
+            jobs = [j for j in sub.get("jobs", []) if j]
+            if jobs:
+                job_id = jobs[0]
+        else:
+            job = http.get(f"{api_url}jobs/{job_id}", timeout=60).json()
+            status = job.get("status")
+            if status == "success":
+                base = api_url[: -len("api/")] if api_url.endswith("api/") \
+                    else api_url
+                wcs_bytes = http.get(f"{base}wcs_file/{job_id}",
+                                     timeout=60).content
+                with tempfile.TemporaryDirectory() as tmp:
+                    wcs_path = Path(tmp) / "solution.wcs"
+                    wcs_path.write_bytes(wcs_bytes)
+                    _, wcs_header = read_fits(wcs_path, header_only=True)
+                return TanWCS.from_header(wcs_header)
+            if status == "failure":
+                raise CouldNotSolveError(
+                    f"nova.astrometry.net job {job_id} failed")
+        _time.sleep(poll_interval)
+    raise CouldNotSolveError(
+        f"nova.astrometry.net timed out after {timeout:.0f}s "
+        f"(submission {subid}, job {job_id})")
+
+
+def solve_one_image(image_path, sources_path, user_config):
+    """Blind astrometric solution via astrometry.net.
+
+    Local ``solve-field`` by default; the nova.astrometry.net web API
+    when ``astrometry_net_api_key`` is set (the reference's dispatch,
+    processes/plate_solving.py:48-52).  Feeds the extracted source
+    list (x, y, flux; brightest first) with the ROI position hint and
+    plate-scale interval, then writes the solved WCS into the frame
+    header.
+
+    Raises CouldNotSolveError when the solver is unavailable or fails.
+    """
     from .star_extraction import read_sources
 
     sources = read_sources(sources_path)
     data, header = read_fits(image_path)
     ny, nx = data.shape
+
+    if user_config.get("astrometry_net_api_key"):
+        wcs = solve_via_nova_api(sources, nx, ny, user_config)
+        from ..io.wcs import strip_wcs_cards
+
+        strip_wcs_cards(header)
+        header.update(wcs.to_header_cards())
+        write_fits(image_path, data, header)
+        return wcs
+
+    if not solve_field_available():
+        raise CouldNotSolveError(
+            "astrometry.net's solve-field is not installed; set "
+            "astrometry_net_api_key to use the nova.astrometry.net web "
+            "API, use plate_solving_strategy 'alternate_gaia_solve' or "
+            "'adapt_wcs_from_reference', or set already_plate_solved.")
     scale_min, scale_max = user_config["plate_scale_interval"]
 
     with tempfile.TemporaryDirectory() as tmp:

@@ -141,3 +141,90 @@ def test_xyls_is_valid_bintable(tmp_path):
     data_start = (data_start // 2880 + 1) * 2880
     row0 = struct.unpack(">ddd", raw[data_start:data_start + 24])
     assert row0 == (2.0, 4.0, 10.0)
+
+
+def test_nova_api_solver_against_fake_server(tmp_path):
+    """Full client flow (login -> xyls upload -> poll -> wcs fetch)
+    against an in-process fake of the nova.astrometry.net API."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pandas as pd
+
+    from lightcurver_tpu.io.fits import write_fits, Header
+    from lightcurver_tpu.io.wcs import TanWCS
+    from lightcurver_tpu.processes.plate_solving import solve_via_nova_api
+
+    true_wcs = TanWCS(150.1, 2.2, 33.0, 31.0,
+                      [[-5.5e-5, 0.0], [0.0, 5.5e-5]])
+    wcs_path = tmp_path / "solution.wcs"
+    hdr = Header()
+    hdr.update(true_wcs.to_header_cards())
+    write_fits(wcs_path, np.zeros((1, 1), np.float32), hdr)
+    wcs_bytes = wcs_path.read_bytes()
+
+    seen = {"login": 0, "upload": 0}
+
+    class FakeNova(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if self.path.endswith("/api/login"):
+                seen["login"] += 1
+                assert b"fake-key" in body
+                self._json({"status": "success", "session": "s1"})
+            elif self.path.endswith("/api/upload"):
+                seen["upload"] += 1
+                assert b"sources.xyls" in body      # multipart filename
+                assert b"scale_lower" in body       # hints forwarded
+                self._json({"status": "success", "subid": 77})
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def do_GET(self):
+            if self.path.endswith("/api/submissions/77"):
+                self._json({"jobs": [123]})
+            elif self.path.endswith("/api/jobs/123"):
+                self._json({"status": "success"})
+            elif self.path.endswith("/wcs_file/123"):
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(wcs_bytes)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    server = HTTPServer(("127.0.0.1", 0), FakeNova)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        port = server.server_address[1]
+        sources = pd.DataFrame({"x": [10.0, 20.0], "y": [12.0, 25.0],
+                                "flux": [500.0, 300.0]})
+        config = {"astrometry_net_api_key": "fake-key",
+                  "plate_scale_interval": [0.15, 0.25],
+                  "ROI_ra_deg": 150.1, "ROI_dec_deg": 2.2}
+        wcs = solve_via_nova_api(
+            sources, 160, 160, config,
+            api_url=f"http://127.0.0.1:{port}/api/",
+            poll_interval=0.01, timeout=10.0)
+    finally:
+        server.shutdown()
+    assert seen == {"login": 1, "upload": 1}
+    assert wcs.crval1 == pytest.approx(150.1)
+    ra, dec = wcs.pixel_to_world(32.0, 30.0)
+    ra0, dec0 = true_wcs.pixel_to_world(32.0, 30.0)
+    assert ra == pytest.approx(ra0, abs=1e-9)
+    assert dec == pytest.approx(dec0, abs=1e-9)
