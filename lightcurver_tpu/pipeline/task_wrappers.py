@@ -135,6 +135,23 @@ def read_convert_skysub_character_catalog():
     else:
         imported_names = set()
     new_frames = [f for f in available if f.name not in imported_names]
+    # the calibrated frame path and the anti-join both key on the bare
+    # file NAME (reference semantics, tolerant to moved raw_dirs) — two
+    # distinct raws with equal names would race writing the same
+    # calibrated file and silently corrupt an epoch; keep the first,
+    # refuse the rest LOUDLY
+    seen_names = {}
+    deduped = []
+    for f in new_frames:
+        if f.name in seen_names:
+            logger.error(
+                f"Duplicate raw file name {f.name!r}: keeping "
+                f"{seen_names[f.name]}, SKIPPING {f}. Rename one of "
+                "them to import both.")
+        else:
+            seen_names[f.name] = f
+            deduped.append(f)
+    new_frames = deduped
     logger.info(f"Importing {len(new_frames)} new frames from "
                 f"{user_config['raw_dirs']}.")
     _pool_run(process_new_frame_wrapper,

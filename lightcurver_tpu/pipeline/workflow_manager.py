@@ -47,6 +47,13 @@ def setup_base_logger():
         level=logging.INFO,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
     base_logger = logging.getLogger("lightcurver")
+    # constructing WorkflowManager repeatedly (notebook re-runs) must
+    # not stack file handlers — every line would be written to every
+    # previously opened session log
+    for old in [h for h in base_logger.handlers
+                if isinstance(h, logging.FileHandler)]:
+        base_logger.removeHandler(old)
+        old.close()
     handler = logging.FileHandler(str(log_dir / f"{time_now}.log"))
     handler.setFormatter(logging.Formatter(
         "%(asctime)s - %(name)s - %(levelname)s - %(message)s"))
@@ -170,8 +177,18 @@ class WorkflowManager:
             f"{stop_step or 'end'}; workdir "
             f"{self.user_config['workdir']}.")
         ordered = self.topological_sort()
+        for name in (start_step, stop_step):
+            if name is not None and name not in ordered:
+                raise ValueError(
+                    f"Unknown pipeline step {name!r}. Valid steps, in "
+                    f"order: {ordered}")
         start = ordered.index(start_step) if start_step else 0
         stop = ordered.index(stop_step) + 1 if stop_step else len(ordered)
+        if start >= stop:
+            raise ValueError(
+                f"start_step {start_step!r} comes after stop_step "
+                f"{stop_step!r} in the pipeline order {ordered}; "
+                "nothing would run.")
         for task_name in ordered[start:stop]:
             task = next((t for t in self.pipe_config["tasks"]
                          if t["name"] == task_name), None)

@@ -120,8 +120,10 @@ def _frame_is_complete(reg_f, relpath, stars):
     for name in _GROUPS:
         if name not in reg_f[relpath]:
             return False
-        keys = set(reg_f[relpath][name].keys())
-        if not (wanted <= keys and len(keys) == len(wanted)):
+        # subset, not equality: stale keys from an earlier (larger)
+        # star assignment are harmless, and demanding exact equality
+        # would re-read the full frame FITS on EVERY run forever
+        if not wanted <= set(reg_f[relpath][name].keys()):
             return False
     return True
 

@@ -48,9 +48,11 @@ def process_new_frame(fits_file, user_config):
     data = np.asarray(data[trim_v:ny - trim_v or None,
                            trim_h:nx - trim_h or None], dtype=np.float64)
     if trim_h or trim_v:
-        # cropping moves the WCS reference pixel
+        # cropping moves the WCS reference pixel; check each axis card
+        # independently (merged multi-HDU headers can carry only one)
         if "CRPIX1" in header:
             header["CRPIX1"] = float(header["CRPIX1"]) - trim_h
+        if "CRPIX2" in header:
             header["CRPIX2"] = float(header["CRPIX2"]) - trim_v
     header["BUNIT"] = "ELPERSEC"
 

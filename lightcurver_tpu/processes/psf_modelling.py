@@ -163,7 +163,9 @@ def _fit_jobs_batched(user_config, jobs):
         masks[i, :k] = job["masks"]
         coords[i, :k] = job["stamp_coords"]
         seeing = job["frame"]["seeing_pixels"]
-        fwhm0[i] = seeing if seeing and np.isfinite(seeing) else 3.0
+        # > 0: estimate_seeing returns -1.0 for source-less frames
+        fwhm0[i] = seeing if (seeing and np.isfinite(seeing)
+                              and seeing > 0) else 3.0
 
     out = build_psf_batched(
         data, noise, user_config["subsampling_factor"], masks=masks,

@@ -170,7 +170,9 @@ def do_modelling_of_roi():
                "Incompatible with joint modelling.")
     if unique_sub.size != 1:
         logger.error(message)
-    assert unique_sub.size == 1, message
+        # a hard error, not an assert: under python -O the joint fit
+        # would silently misinterpret half the PSF grids
+        raise RuntimeError(message)
     subsampling_factor = int(unique_sub[0])
     n_epochs, im_size_y, im_size_x = data.shape
 
@@ -193,10 +195,18 @@ def do_modelling_of_roi():
         ys.append(float(y))
     xs, ys = np.array(xs), np.array(ys)
 
-    # flux initial guess: aperture sums on the median stack
+    # flux initial guess: aperture sums on the median stack.  Seeing
+    # can be NaN or the -1 'no sources' sentinel for individual frames
+    # (estimate_seeing) — a poisoned average would zero every initial
+    # flux via an empty aperture
     pixel_scale = float(np.nanmedian(pixel_scales))
     stack = np.nanmedian(data, axis=0)
-    radius = 0.66 * float(np.average(seeings)) / pixel_scale
+    good_seeing = np.asarray(seeings, dtype=float)
+    good_seeing = good_seeing[np.isfinite(good_seeing)
+                              & (good_seeing > 0)]
+    mean_seeing = float(good_seeing.mean()) if good_seeing.size \
+        else 3.0 * pixel_scale
+    radius = 0.66 * mean_seeing / pixel_scale
     aperture_fluxes = circular_aperture_photometry(
         stack, list(zip(xs, ys)), radius)
 
@@ -233,7 +243,8 @@ def do_modelling_of_roi():
         bck_path = Path(user_config["starting_background"])
         if not bck_path.is_absolute():
             bck_path = user_config["workdir"] / bck_path
-        if bck_path.name.endswith("fits"):
+        if bck_path.name.lower().endswith((".fits", ".fit",
+                                           ".fits.gz", ".fits.fz")):
             from ..io.fits import read_fits
 
             bck, _ = read_fits(bck_path)
