@@ -26,12 +26,17 @@ from ..fisher import _diag_fisher
 
 def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                       uniform_background_per_epoch,
-                      starlet_global_background):
+                      starlet_global_background, dft_mats=None):
     """Setup of one star's fit: (free0, lower, upper, consts, scale).
 
-    Star-independent constants (the DFT matrices) are NOT included —
-    under vmap they would be materialized once PER STAR; the callers
-    merge one shared copy (see ``_merge_shared``).
+    Star-independent constants (the DFT matrices) are NOT included in
+    the returned consts — under vmap they would be materialized once
+    PER STAR; the callers merge one shared copy.  They ARE accepted as
+    ``dft_mats`` (a broadcast closure constant under vmap) so the
+    per-star spectra and MC weights compute as MXU matmuls: the FFT op
+    is slow on TPU and XLA SPMD cannot partition its batch dims, so
+    the FFT path would all-gather the full star stack on every device
+    when the star axis is sharded (parallel/batch.py).
     """
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     m = model.m
@@ -67,8 +72,8 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     # — NaN would poison the SHARED parameters' gradients via the
     # nansum VJP and the whole star's fit would return its init
     psf_pad = psf_pad / jnp.where(psf_sum > 0, psf_sum, 1.0)
-    spectra = model.spectra(psf_pad)
-    spectra.update(model.spectra_real(psf_pad))
+    spectra = model.spectra(psf_pad, dft_mats=dft_mats)
+    spectra.update(model.spectra_real(psf_pad, dft_mats=dft_mats))
 
     free = {
         "kwargs_analytic": {
@@ -123,7 +128,7 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         mean_ps_hat = (spectra["ps_hat"] * w).sum(axis=0) / n_real
         consts["W"] = _mc_starlet_noise(
             jnp.nanmedian(sig_real, axis=0), mean_ps_hat,
-            m, s, 200, n_starlet_scales(m), key)
+            m, s, 200, n_starlet_scales(m), key, dft_mats)
     else:
         consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
                                jnp.float32)
@@ -152,6 +157,11 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
     m = model.m
     d, sigma_2, fixed = consts["data"], consts["sigma_2"], consts["fixed"]
     spectra = {"ps_hat": consts["ps_hat"], "grid_hat": consts["grid_hat"]}
+    if "dft_mats" in consts:
+        # keep the GLS polish and Fisher basis on the matmul inverse:
+        # the FFT op is slow on TPU and forces an all-gather when the
+        # star axis is sharded
+        spectra["dft_mats"] = consts["dft_mats"]
 
     kwargs = {**best, "kwargs_analytic": {**best["kwargs_analytic"],
                                           **fixed["kwargs_analytic"]}}
@@ -202,10 +212,12 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                   starlet_global_background, lr, irfft_backend,
                   dft_precision):
     """Pure single-star joint fit (fully traceable)."""
+    shared = _shared_consts(image_size, s, irfft_backend)
     free, lower, upper, consts, scale = _prepare_one_star(
         data, noisemap, psf, key, n_epochs, image_size, s,
-        uniform_background_per_epoch, starlet_global_background)
-    consts = {**consts, **_shared_consts(image_size, s, irfft_backend)}
+        uniform_background_per_epoch, starlet_global_background,
+        dft_mats=shared.get("dft_mats"))
+    consts = {**consts, **shared}
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
                             starlet_global_background, dft_precision)
     best, _, history = adabelief_scan(
@@ -242,14 +254,16 @@ def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s",
                      "uniform_background_per_epoch",
-                     "starlet_global_background"))
+                     "starlet_global_background", "irfft_backend"))
 def _prepare_stars(data, noisemap, psf, keys, n_epochs, image_size, s,
                    uniform_background_per_epoch,
-                   starlet_global_background):
+                   starlet_global_background, irfft_backend):
+    shared = _shared_consts(image_size, s, irfft_backend)
     prep = functools.partial(
         _prepare_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
         uniform_background_per_epoch=uniform_background_per_epoch,
-        starlet_global_background=starlet_global_background)
+        starlet_global_background=starlet_global_background,
+        dft_mats=shared.get("dft_mats"))
     return jax.vmap(prep)(data, noisemap, psf, keys)
 
 
@@ -320,7 +334,8 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
-        uniform_background_per_epoch, starlet_global_background)
+        uniform_background_per_epoch, starlet_global_background,
+        irfft_backend)
     shared = _shared_consts(image_size, s, irfft_backend)
     carry = _init_carry_stars(free0, n_iter, lr)
     treedef = jax.tree_util.tree_structure(carry)
@@ -381,7 +396,8 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
 def fit_stars_batched(data, noisemap, psf, subsampling_factor,
                       n_iter=2000, uniform_background_per_epoch=False,
                       starlet_global_background=False, lr=1e-3, seed=0,
-                      checkpoint_path=None, checkpoint_every=500):
+                      checkpoint_path=None, checkpoint_every=500,
+                      mesh="auto"):
     """Joint PSF photometry of many stars in one compiled program.
 
     Args:
@@ -398,6 +414,12 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
             ``checkpoint_every``-iteration segments with the optimizer
             carry checkpointed to this path (resume on re-call); when
             None (default) the whole fit is one compiled program.
+        mesh: "auto" (default) shards the star axis across all visible
+            devices when there is more than one (parallel/batch.py —
+            per-star fits are independent: collective-free pure data
+            parallelism); None forces single-device; or an explicit 1-D
+            ``batch`` mesh.  Star counts that do not divide the mesh
+            are padded with duplicate stars, stripped from the result.
 
     Returns:
         dict of stacked per-star results (numpy), matching the
@@ -406,12 +428,28 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     data = np.nan_to_num(np.asarray(data, dtype=np.float32))
     noisemap = np.nan_to_num(np.asarray(noisemap, dtype=np.float32),
                              nan=1e7)
+    psf = np.asarray(psf, dtype=np.float32)
     n_stars, n_epochs, image_size = data.shape[:3]
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_stars)
     from ...ops import get_dft_precision, get_irfft_backend
+    from ...parallel.batch import (auto_batch_mesh, pad_batch_arrays,
+                                   strip_batch)
 
-    args = (jnp.asarray(data), jnp.asarray(noisemap),
-            jnp.asarray(np.asarray(psf, dtype=np.float32)), keys,
+    if mesh == "auto":
+        mesh = auto_batch_mesh()
+    # keys are split for the REAL star count and padded like the data
+    # (splitting for the padded count would change the real stars' keys)
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed),
+                                       n_stars))
+    if mesh is not None and mesh.size > 1:
+        (data_d, noise_d, psf_d, keys), n_pad = pad_batch_arrays(
+            mesh, data, noisemap, psf, keys)
+    else:
+        data_d, noise_d, psf_d = (jnp.asarray(data),
+                                  jnp.asarray(noisemap),
+                                  jnp.asarray(psf))
+        n_pad = 0
+
+    args = (data_d, noise_d, psf_d, keys,
             int(n_epochs), int(image_size), int(subsampling_factor),
             int(n_iter), bool(uniform_background_per_epoch),
             bool(starlet_global_background), float(lr),
@@ -424,6 +462,5 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
         out = _fit_stars_checkpointed(
             *args, checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every,
-            inputs_digest=arrays_digest(
-                data, noisemap, np.asarray(psf, dtype=np.float32)))
-    return jax.tree_util.tree_map(np.asarray, out)
+            inputs_digest=arrays_digest(data, noisemap, psf))
+    return jax.tree_util.tree_map(np.asarray, strip_batch(out, n_pad))

@@ -118,20 +118,33 @@ class DeconvModel:
 
     # ---- array preparation ---------------------------------------------
 
-    def spectra(self, psf_pad=None):
+    def spectra(self, psf_pad=None, dft_mats=None):
         """Per-epoch channel spectra: ``{'ps_hat', 'grid_hat'}``.
 
         ``ps_hat`` multiplies point-source phase ramps (includes the target
         Gaussian r); ``grid_hat`` convolves the gridded ``h`` channel
         (includes the center-alignment phase).  Computable in-graph.
+
+        With ``dft_mats`` the forward transform runs as MXU matmuls
+        instead of the FFT op — faster on TPU, and (unlike FFT, which
+        XLA SPMD cannot partition and all-gathers around) it keeps a
+        batch-sharded program collective-free.
         """
         if psf_pad is None:
             psf_pad = self.psf_pad
-        t_hat = conv.psf_fft(psf_pad)
+        t_hat = self._psf_fft(psf_pad, dft_mats)
         return {
             "ps_hat": t_hat * conv.r_kernel_fft(self.m, self.s),
             "grid_hat": t_hat * conv.grid_center_phase(self.m),
         }
+
+    @staticmethod
+    def _psf_fft(psf_pad, dft_mats=None):
+        if dft_mats is None:
+            return conv.psf_fft(psf_pad)
+        from ...ops.dft import rfft2_pad_matmul
+
+        return rfft2_pad_matmul(psf_pad, dft_mats)
 
     def consts(self):
         """Cached eager spectra for the convenience (non-jit) API."""
@@ -139,7 +152,7 @@ class DeconvModel:
             self._consts_cache = self.spectra()
         return self._consts_cache
 
-    def spectra_real(self, psf_pad=None):
+    def spectra_real(self, psf_pad=None, dft_mats=None):
         """RAW per-epoch PSF spectra as explicit (re, im) f32 arrays.
 
         The all-real hot path: the separable r-kernel and center phase
@@ -147,9 +160,15 @@ class DeconvModel:
         (see :meth:`model`), so one optimizer iteration touches only
         these raw spectra — no premultiplied ps_hat/grid_hat reads and
         no complex extraction copies (measured on the 1000-epoch fit).
+        ``dft_mats``: see :meth:`spectra`.
         """
         if psf_pad is None:
             psf_pad = self.psf_pad
+        if dft_mats is not None:
+            from ...ops.dft import rfft2_pad_matmul_parts
+
+            t_re, t_im = rfft2_pad_matmul_parts(psf_pad, dft_mats)
+            return {"t_re": t_re, "t_im": t_im}
         t_hat = conv.psf_fft(psf_pad)
         return {"t_re": jnp.real(t_hat), "t_im": jnp.imag(t_hat)}
 
@@ -328,12 +347,23 @@ class DeconvModel:
         m, s, M = self.m, self.s, self.n_sources
         px, py = self.source_positions(kwargs)
         ones = jnp.ones_like(px[:, :1])
+        mats = consts.get("dft_mats")
 
         def one_source(pxj, pyj):
-            spec = conv.point_source_spectrum(
-                m, s, ones, pxj[:, None], pyj[:, None])
-            fine = conv.render_from_fft(spec * consts["ps_hat"], m)
-            return downsample(fine, s)
+            prod = conv.point_source_spectrum(
+                m, s, ones, pxj[:, None], pyj[:, None]) * consts["ps_hat"]
+            # same inverse-backend dispatch as model(): matmul on TPU
+            # (faster, and partitionable when the batch axis is sharded
+            # — the FFT op would force an all-gather), FFT fallback
+            if mats is not None and "Ayp" in mats:
+                from ...ops.dft import irfft2_pool_matmul
+
+                return irfft2_pool_matmul(prod, mats)
+            if mats is not None:
+                from ...ops.dft import irfft2_crop_matmul
+
+                return downsample(irfft2_crop_matmul(prod, mats), s)
+            return downsample(conv.render_from_fft(prod, m), s)
 
         basis = [one_source(px[:, j], py[:, j]) for j in range(M)]
         return jnp.stack(basis, axis=1)

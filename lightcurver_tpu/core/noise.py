@@ -28,11 +28,15 @@ from . import convolution as conv
 
 @functools.partial(jax.jit, static_argnames=("m", "s", "num_samples",
                                              "n_scales"))
-def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key):
+def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key,
+                      dft_mats=None):
     """std of starlet coefficients of PSF-correlated upsampled noise.
 
     ``key`` is a PRNG key array (vmap-safe: callers under vmap pass their
     own split key, mirroring core/psf/build._grid_noise_weights_impl).
+    With ``dft_mats`` the adjoint convolution runs as MXU matmuls (same
+    rationale as _grid_noise_weights_impl: the TPU FFT op is slow AND
+    blocks batch-axis SPMD partitioning).
     """
     L = conv.pad_len(m)
     # a pixel whose noise is NaN in every epoch would otherwise spread
@@ -44,9 +48,16 @@ def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key):
         eps = sigma * jax.random.normal(key, sigma.shape, dtype=jnp.float32)
         fine = upsample_transpose(eps, s)
         # correlate with the PSF (adjoint of convolution): conjugate spectrum
-        fine_hat = jnp.fft.rfft2(fine, s=(L, L))
-        back = jnp.fft.irfft2(fine_hat * jnp.conj(mean_ps_hat),
-                              s=(L, L))[:m, :m]
+        if dft_mats is not None:
+            from ..ops.dft import irfft2_crop_matmul, rfft2_pad_matmul
+
+            fine_hat = rfft2_pad_matmul(fine, dft_mats)
+            back = irfft2_crop_matmul(fine_hat * jnp.conj(mean_ps_hat),
+                                      dft_mats)
+        else:
+            fine_hat = jnp.fft.rfft2(fine, s=(L, L))
+            back = jnp.fft.irfft2(fine_hat * jnp.conj(mean_ps_hat),
+                                  s=(L, L))[:m, :m]
         return starlet_transform(back, n_scales=n_scales)
 
     keys = jax.random.split(key, num_samples)

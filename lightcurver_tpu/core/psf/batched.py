@@ -207,7 +207,7 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
                       stamp_coordinates=None, guess_fwhm_pixels=None,
                       n_iter_analytic=100, n_iter_adabelief=3000,
                       field_distortion=False, regularization_strength=1.0,
-                      adabelief_lr=5e-4, seed=0):
+                      adabelief_lr=5e-4, seed=0, mesh="auto"):
     """Fit the narrow PSFs of many frames in one compiled program.
 
     Args:
@@ -220,6 +220,13 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         masks: (F, N, n, n) bool, True = good pixel.
         stamp_coordinates: (F, N, 2) rescaled star positions (distortion).
         guess_fwhm_pixels: (F,) per-frame seeing guess.
+        mesh: "auto" (default) shards the frame axis across all visible
+            devices when there is more than one (parallel/batch.py — the
+            per-frame fits are independent, so this is collective-free
+            pure data parallelism); None forces single-device; or an
+            explicit 1-D ``batch`` mesh.  Frame counts that do not
+            divide the mesh are padded with duplicate frames, stripped
+            from the result.
 
     Returns:
         dict of stacked per-frame results (numpy).
@@ -234,17 +241,30 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         guess_fwhm_pixels = np.full((n_frames,), 3.0, np.float32)
     guess_fwhm_pixels = np.where(
         np.isfinite(guess_fwhm_pixels), guess_fwhm_pixels, 3.0)
-    keys = jax.random.split(jax.random.PRNGKey(seed), n_frames)
     from ...ops import get_dft_precision, get_irfft_backend
+    from ...parallel.batch import (auto_batch_mesh, pad_batch_arrays,
+                                   strip_batch)
+
+    if mesh == "auto":
+        mesh = auto_batch_mesh()
+    # keys are split for the REAL frame count and padded like the data:
+    # splitting for the padded count would hand the real frames
+    # different MC-weight keys than the unsharded path
+    keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed),
+                                       n_frames))
+    arrays = (images, np.asarray(noisemaps, dtype=np.float32),
+              np.asarray(masks, dtype=bool),
+              np.asarray(stamp_coordinates, dtype=np.float32),
+              np.asarray(guess_fwhm_pixels, dtype=np.float32), keys)
+    if mesh is not None and mesh.size > 1:
+        arrays, n_pad = pad_batch_arrays(mesh, *arrays)
+    else:
+        arrays, n_pad = tuple(jnp.asarray(a) for a in arrays), 0
+    *arrays, keys = arrays
 
     out = _fit_frames(
-        jnp.asarray(images),
-        jnp.asarray(np.asarray(noisemaps, dtype=np.float32)),
-        jnp.asarray(np.asarray(masks, dtype=bool)),
-        jnp.asarray(np.asarray(stamp_coordinates, dtype=np.float32)),
-        jnp.asarray(np.asarray(guess_fwhm_pixels, dtype=np.float32)),
-        keys, n_stars, int(n_pix), int(subsampling_factor),
+        *arrays, keys, n_stars, int(n_pix), int(subsampling_factor),
         bool(field_distortion), int(n_iter_analytic),
         int(n_iter_adabelief), float(regularization_strength),
         float(adabelief_lr), get_irfft_backend(), get_dft_precision())
-    return jax.tree_util.tree_map(np.asarray, out)
+    return jax.tree_util.tree_map(np.asarray, strip_batch(out, n_pad))

@@ -203,7 +203,11 @@ def model_all_psfs():
     Frames are fitted in BATCHES (one vmapped compiled program per
     bucket) instead of the reference's serial per-frame loop — the
     pipeline's main per-frame GPU/TPU cost (reference
-    psf_modelling.py:92, tutorial: 2-3 s/frame).
+    psf_modelling.py:92, tutorial: 2-3 s/frame).  On a multi-chip
+    backend the bucket's frame axis is additionally sharded across the
+    device mesh (build_psf_batched mesh="auto", parallel/batch.py):
+    per-frame fits are independent, so the partitioned program is
+    collective-free and scales linearly in chips.
     """
     logger = logging.getLogger("lightcurver.psf_modelling")
     user_config = get_user_config()

@@ -8,10 +8,12 @@ L-BFGS, then everything with AdaBelief under starlet regularization),
 yielding light curves, astrometry, a high-resolution image, and
 diagnostic stacks.
 
-TPU notes: when several devices are visible and the epoch count divides
-the device count, the stage-2 fit runs epoch-sharded over a 1-D mesh
-(parallel/deconv.py); otherwise single-device.  All heavy arrays flow
-through ``consts`` (see core/optimize.py module docstring).
+TPU notes: when several devices are visible the stage-2 fit runs
+epoch-sharded over a 1-D mesh for ANY epoch count — non-divisible counts
+are padded with zero-weight dummy epochs whose loss contribution is
+exactly masked out (parallel/deconv.pad_epoch_stacks; equivalence pinned
+by tests/test_parallel.py).  All heavy arrays flow through ``consts``
+(see core/optimize.py module docstring).
 """
 
 import json

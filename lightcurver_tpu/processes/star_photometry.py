@@ -238,7 +238,11 @@ def do_star_photometry():
     Stars are fitted in one BATCHED (vmapped) program per bucket —
     epochs padded to the bucket maximum with zero-weight dummies —
     instead of the reference's serial per-star loop
-    (star_photometry.py:257).
+    (star_photometry.py:257).  On a multi-chip backend the star axis is
+    additionally sharded across the device mesh (fit_stars_batched
+    mesh="auto", parallel/batch.py): per-star fits are independent, so
+    the partitioned program is collective-free and scales linearly in
+    chips.
     """
     logger = logging.getLogger("lightcurver.star_photometry")
     user_config = get_user_config()
