@@ -117,6 +117,37 @@ def run_roi_deconv(scene, n_iter=2000):
     return wall, red_chi2, kwargs
 
 
+def run_roi_cost(scene, n_iter=2000):
+    """Driver-verifiable roofline evidence for the 1000-epoch ROI fit.
+
+    XLA cost analysis ("bytes accessed" / flops) of ONE value_and_grad
+    of the production loss — the per-iteration program of the AdaBelief
+    loop.  Note: "bytes accessed" is XLA's static accounting and counts
+    VMEM-resident reuse too, so implied GB/s can exceed physical HBM
+    bandwidth; it is an upper bound on streamed bytes (BASELINE.md
+    quotes the measured-roofline interpretation).
+    """
+    import jax
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.core.deconv.loss import Loss
+    from lightcurver_tpu.core.params import Params
+    from lightcurver_tpu.utilities.benchmarking import compiled_cost
+
+    model, kwargs_init, kwargs_up, kwargs_down, _ = setup_model(
+        scene["data"], scene["sigma_2"], scene["psf"], scene["xs"],
+        scene["ys"], scene["s"])
+    params = Params(kwargs_init, {"kwargs_sersic": {}}, kwargs_up,
+                    kwargs_down)
+    loss = Loss(scene["data"], model, params, scene["sigma_2"],
+                regularization_terms="l1_starlet",
+                regularization_strength_scales=1.0,
+                regularization_strength_hf=1.0,
+                regularization_strength_positivity=100.0)
+    vg_bytes, vg_flops = compiled_cost(
+        jax.value_and_grad(loss.loss_fn), params.free0, loss.consts)
+    return vg_bytes, vg_flops
+
+
 def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
                   n_iter_analytic=100, n_iter_adabelief=3000):
     """Batched per-frame PSF fits; returns (fits/sec, mean chi2)."""
@@ -141,6 +172,49 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
     out = fit(data * np.float32(1 + 1e-6))
     wall = time.perf_counter() - t0
     return n_frames / wall, float(out["chi2"].mean())
+
+
+def run_psf_bench_pipelined(n_buckets=3, n_frames=16, n_stars=8,
+                            n_pix=64, s=2, n_iter_analytic=100,
+                            n_iter_adabelief=3000):
+    """Production-loop PSF throughput: buckets pipelined.
+
+    Mirrors processes/psf_modelling.model_all_psfs: each bucket's fit
+    is dispatched asynchronously (fetch="device") and the previous
+    bucket's results are materialized while the device computes — the
+    device->host transfer (0.3-0.5 s/bucket on the tunneled bench
+    backend) overlaps compute instead of serializing with it.
+    """
+    import jax
+    from lightcurver_tpu.core.psf.batched import build_psf_batched
+    from lightcurver_tpu.utilities.synthetic import make_star_stamps
+
+    frames = [make_star_stamps(n_stars=n_stars, n_pix=n_pix, s=s, seed=i,
+                               fwhm_x=2.4 + 0.1 * i, fwhm_y=2.4 + 0.1 * i)
+              for i in range(n_frames)]
+    data = np.stack([f["data"] for f in frames])
+    sigma = np.stack([f["sigma"] for f in frames])
+    kw = dict(n_iter_analytic=n_iter_analytic,
+              n_iter_adabelief=n_iter_adabelief)
+
+    build_psf_batched(data, sigma, s, **kw)     # compile + warm
+    chi2s = []
+
+    def fetch(out):
+        chi2s.append(float(np.asarray(out["chi2"]).mean()))
+        jax.tree_util.tree_map(np.asarray, out)
+
+    t0 = time.perf_counter()
+    in_flight = None
+    for b in range(n_buckets):
+        out = build_psf_batched(data * np.float32(1 + 1e-6 * (b + 1)),
+                                sigma, s, fetch="device", **kw)
+        if in_flight is not None:
+            fetch(in_flight)
+        in_flight = out
+    fetch(in_flight)
+    wall = time.perf_counter() - t0
+    return n_buckets * n_frames / wall, float(np.mean(chi2s))
 
 
 def _retry(fn, what, attempts=3):
@@ -214,6 +288,11 @@ def main():
         (float("nan"), float("nan"), None))
 
     fits_per_sec, psf_chi2 = _retry(lambda: run_psf_bench(), "psf16")
+    # the production-loop throughput (pipelined buckets, the
+    # model_all_psfs pattern) — transfers overlap device compute
+    fits_pipelined, _ = _optional(
+        lambda: run_psf_bench_pipelined(), "psfpipe",
+        (float("nan"), float("nan")))
     # vmap amortization curve (fits/sec at batch 1 / 32, full budget;
     # 16 is the headline above — throughput peaks there, batch 64
     # measured slower)
@@ -228,6 +307,21 @@ def main():
     # ops/starlet_op.py)
     t_xla, t_pal = _optional(lambda: run_starlet_micro(), "starlet",
                              (float("nan"), float("nan")))
+
+    # roofline evidence (VERDICT r2 #4): per-iteration XLA cost of the
+    # two hot fits, driver-verifiable each round.  ms/iter from the
+    # measured walls over the known iteration budgets (2000 ROI its;
+    # the PSF fit's 0.1 s L-BFGS + overhead share is folded in — a
+    # conservative upper bound on the Ada per-iter time).
+    from lightcurver_tpu.utilities.benchmarking import \
+        psf_pixel_phase_cost
+
+    roi_vg = _optional(lambda: run_roi_cost(scene1000), "roi1000cost",
+                       (float("nan"), float("nan")))
+    psf_vg = _optional(lambda: psf_pixel_phase_cost(16, 8, 64, 2)[0],
+                       "psfcost", (float("nan"), float("nan")))
+    roi_ms_iter = roi1000_wall * 1e3 / 2000
+    psf_ms_iter = (16.0 / fits_per_sec) * 1e3 / 3100
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
     baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
@@ -249,8 +343,17 @@ def main():
         "psf_fits_per_sec": round(fits_per_sec, 3),
         "psf_fits_per_sec_vs_baseline": round(
             fits_per_sec / baseline_psf_fits_per_sec, 2),
+        "psf_fits_per_sec_pipelined": _num(round(fits_pipelined, 3)),
         "psf_chi2": round(psf_chi2, 4),
         **{k: _num(v) for k, v in psf_scaling.items()},
+        "roi1000_ms_per_iter": _num(round(roi_ms_iter, 3)),
+        "roi1000_vg_bytes_per_iter": _num(roi_vg[0]),
+        "roi1000_implied_gbps": _num(round(
+            roi_vg[0] / (roi_ms_iter / 1e3) / 1e9, 1))
+        if roi_vg[0] == roi_vg[0] and roi_ms_iter == roi_ms_iter
+        else None,
+        "psf_ms_per_iter_upper": _num(round(psf_ms_iter, 4)),
+        "psf_pixel_vg_bytes_per_iter": _num(psf_vg[0]),
         "starlet_xla_us": _num(round(t_xla * 1e6, 1)),
         "starlet_pallas_us": _num(round(t_pal * 1e6, 1)),
         "starlet_backend_selected": ops.get_backend(),

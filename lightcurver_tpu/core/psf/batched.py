@@ -19,7 +19,7 @@ import numpy as np
 
 from ..starlet import n_starlet_scales
 from ..optimize import adabelief_scan, lbfgsb_scan
-from .build import (_phase_losses, _grid_noise_weights_impl,
+from .build import (_phase_losses, _grid_noise_weights_closed,
                     _masked_chi2_per_star)
 from .distortion import zero_distortion_kwargs
 
@@ -146,8 +146,12 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     n_valid = jnp.maximum(star_valid.sum(), 1)
     mean_amp = jnp.sum(jnp.where(star_valid, a0, 0.0)) / n_valid
     sigma_med = sigma_med / jnp.maximum(mean_amp, 1e-12)
-    W = _grid_noise_weights_impl(sigma_med, m, s, 64, n_starlet_scales(m),
-                                 key, base_consts.get("dft_mats"))
+    # closed-form starlet noise weights: exact (no MC sampling noise)
+    # and ~100x cheaper — the 64-sample MC estimate was 0.99 s of a
+    # 2.34 s 16-frame bucket (tools/psf_roofline.py); `key` is retained
+    # in the signature for the MC fallback but unused here
+    W = _grid_noise_weights_closed(sigma_med, m, s, n_starlet_scales(m),
+                                   base_consts.get("dft_mats"))
     consts2 = {**base_consts, "W": W,
                "lam": jnp.asarray(regularization_strength, jnp.float32),
                "fixed": fixed2}
@@ -207,7 +211,8 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
                       stamp_coordinates=None, guess_fwhm_pixels=None,
                       n_iter_analytic=100, n_iter_adabelief=3000,
                       field_distortion=False, regularization_strength=1.0,
-                      adabelief_lr=5e-4, seed=0, mesh="auto"):
+                      adabelief_lr=5e-4, seed=0, mesh="auto",
+                      fetch="numpy"):
     """Fit the narrow PSFs of many frames in one compiled program.
 
     Args:
@@ -227,9 +232,16 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
             explicit 1-D ``batch`` mesh.  Frame counts that do not
             divide the mesh are padded with duplicate frames, stripped
             from the result.
+        fetch: "numpy" (default) blocks and returns host arrays;
+            "device" returns the jitted call's UNMATERIALIZED jax
+            arrays — dispatch is asynchronous, so the caller can issue
+            the next bucket's fit and fetch these results while the
+            device computes it (processes/psf_modelling.py pipelines
+            buckets this way; device->host time then overlaps compute).
 
     Returns:
-        dict of stacked per-frame results (numpy).
+        dict of stacked per-frame results (numpy, or jax arrays with
+        fetch="device").
     """
     images = np.asarray(images, dtype=np.float32)
     n_frames, n_stars, n_pix = images.shape[:3]
@@ -267,4 +279,7 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         bool(field_distortion), int(n_iter_analytic),
         int(n_iter_adabelief), float(regularization_strength),
         float(adabelief_lr), get_irfft_backend(), get_dft_precision())
-    return jax.tree_util.tree_map(np.asarray, strip_batch(out, n_pad))
+    out = strip_batch(out, n_pad)
+    if fetch == "device":
+        return out
+    return jax.tree_util.tree_map(np.asarray, out)

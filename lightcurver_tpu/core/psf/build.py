@@ -126,14 +126,106 @@ _grid_noise_weights = jax.jit(
     static_argnames=("m", "s", "num_samples", "n_scales"))
 
 
+def _starlet_transfer_fns(L, n_scales, dtype=jnp.float32):
+    """Fourier transfer functions of the starlet detail scales.
+
+    The separable B3 a-trous smoothing at dilation d has the 1-D
+    transfer (6 + 8 cos(w d) + 2 cos(2 w d)) / 16; detail scale j is
+    C_j (1 - S_{2^j}) with C_j the product of the coarser smoothings.
+    Returns (n_scales + 1, L, L//2+1), coarse last, all real.
+    """
+    wy = 2.0 * jnp.pi * jnp.fft.fftfreq(L).astype(dtype)[:, None]
+    wx = 2.0 * jnp.pi * jnp.fft.rfftfreq(L).astype(dtype)[None, :]
+
+    def smooth_1d(w, d):
+        return (6.0 + 8.0 * jnp.cos(w * d) + 2.0 * jnp.cos(2.0 * w * d)) \
+            / 16.0
+
+    out = []
+    c = jnp.ones((L, L // 2 + 1), dtype)
+    for j in range(n_scales):
+        d = float(2 ** j)
+        s_j = smooth_1d(wy, d) * smooth_1d(wx, d)
+        out.append(c * (1.0 - s_j))
+        c = c * s_j
+    out.append(c)
+    return jnp.stack(out)
+
+
+def _grid_noise_weights_closed(sigma, m, s, n_scales, dft_mats=None):
+    """CLOSED-FORM per-scale starlet coefficient noise (no Monte-Carlo).
+
+    The map from data noise eps to the starlet coefficients of the
+    r-correlated, block-repeated field is linear, so the coefficient
+    variance is exact:
+
+        Var_j[p] = sum_q b_j(p - s q)^2 sigma_q^2
+                 = conv(zero_insert(sigma^2), b_j^2)[p],
+
+    with b_j = (starlet_j kernel) * r * (s x s box) — the box summing
+    the block-repeat of upsample_transpose.  The squared-kernel spectra
+    are frame-independent constants (hoisted under vmap/jit), so one
+    frame costs ONE forward + (n_scales+1) inverse transforms — this
+    replaced the 64-sample Monte-Carlo estimate that dominated the
+    batched PSF fit's fixed overhead (measured 0.99 s of a 2.34 s
+    16-frame bucket on v5e; see tools/psf_roofline.py).
+
+    vs Monte-Carlo semantics: MC applies the mirror-boundary starlet to
+    the m-grid crop; this closed form models the chain as circular
+    convolutions on the padded L-grid.  Interior agreement is exact in
+    expectation (MC at 64 samples carries ~9% sampling noise; this has
+    none); coarse scales deviate near the borders where the boundary
+    models differ (bounded by tests/test_noise_and_metrics.py).
+    """
+    L = conv.pad_len(m)
+    r_hat = conv.r_kernel_fft(m, s)
+    sigma = jnp.where(jnp.isfinite(sigma), sigma, 0.0)
+
+    # frame-invariant squared-kernel spectra (n_scales+1, L, L//2+1)
+    d_hat = _starlet_transfer_fns(L, n_scales)
+    wy = 2.0 * jnp.pi * jnp.fft.fftfreq(L).astype(jnp.float32)[:, None]
+    wx = 2.0 * jnp.pi * jnp.fft.rfftfreq(L).astype(jnp.float32)[None, :]
+
+    def box_1d(w):
+        re = sum(jnp.cos(w * k) for k in range(s))
+        im = -sum(jnp.sin(w * k) for k in range(s))
+        return jax.lax.complex(re, im)
+
+    box_hat = box_1d(wy) * box_1d(wx)
+    k_hat = d_hat * r_hat * box_hat
+    b = jnp.fft.irfft2(k_hat, s=(L, L))
+    b2_hat = jnp.fft.rfft2(b * b)
+
+    # per-frame part: conv(zero-inserted sigma^2, b_j^2)
+    sig2_up = jnp.zeros((m, m), jnp.float32)
+    sig2_up = sig2_up.at[::s, ::s].set(sigma.astype(jnp.float32) ** 2)
+    if dft_mats is not None:
+        from ...ops.dft import irfft2_crop_matmul, rfft2_pad_matmul
+
+        sig2_hat = rfft2_pad_matmul(sig2_up, dft_mats)
+        var = irfft2_crop_matmul(sig2_hat * b2_hat, dft_mats)
+    else:
+        sig2_hat = jnp.fft.rfft2(sig2_up, s=(L, L))
+        var = jnp.fft.irfft2(sig2_hat * b2_hat, s=(L, L))[..., :m, :m]
+    return jnp.sqrt(jnp.maximum(var, 1e-24)).astype(jnp.float32)
+
+
+_grid_noise_weights_closed_jit = jax.jit(
+    _grid_noise_weights_closed, static_argnames=("m", "s", "n_scales"))
+
+
 def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
                                      num_samples=64, seed=0,
                                      dft_mats=None):
+    """Starlet l1 weights of the PSF grid (closed form; see
+    _grid_noise_weights_closed).  num_samples/seed retained for the MC
+    fallback's signature but unused on the production path."""
+    del num_samples, seed
     sigma = jnp.nanmedian(jnp.asarray(noisemap, dtype=jnp.float32), axis=0)
     sigma = sigma / jnp.maximum(mean_amp, 1e-12)
-    return _grid_noise_weights(sigma, model.m, model.s, num_samples,
-                               n_starlet_scales(model.m),
-                               jax.random.PRNGKey(seed), dft_mats)
+    return _grid_noise_weights_closed_jit(sigma, model.m, model.s,
+                                          n_starlet_scales(model.m),
+                                          dft_mats)
 
 
 def psf_bound_values(n_pix):

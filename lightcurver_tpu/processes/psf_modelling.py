@@ -134,12 +134,14 @@ def _prepare_frame_job(user_config, regions_file, frame,
     }
 
 
-def _fit_jobs_batched(user_config, jobs):
-    """Fit several same-stamp-size frames in one compiled program.
+def _dispatch_fit_jobs(user_config, jobs, fetch="device"):
+    """Dispatch one bucket's batched fit; returns UNMATERIALIZED output.
 
     Star counts are padded to the batch maximum with fully-masked dummy
-    slices (zero chi2 weight); returns a per-job result list with the
-    build_psf result-dict surface.
+    slices (zero chi2 weight).  With the default fetch="device" the
+    jitted call returns immediately (asynchronous dispatch): the caller
+    collects the results later, overlapping the device->host transfer
+    with the next bucket's device work.
     """
     from ..core.psf.batched import build_psf_batched
 
@@ -167,13 +169,19 @@ def _fit_jobs_batched(user_config, jobs):
         fwhm0[i] = seeing if (seeing and np.isfinite(seeing)
                               and seeing > 0) else 3.0
 
-    out = build_psf_batched(
+    return build_psf_batched(
         data, noise, user_config["subsampling_factor"], masks=masks,
         stamp_coordinates=coords, guess_fwhm_pixels=fwhm0,
         n_iter_analytic=user_config["psf_n_iter_analytic"],
         n_iter_adabelief=user_config["psf_n_iter_pixels"],
-        field_distortion=user_config["field_distortion"])
+        field_distortion=user_config["field_distortion"], fetch=fetch)
 
+
+def _collect_fit_results(out, jobs):
+    """Materialize a dispatched bucket into per-job result dicts."""
+    out = {key: np.asarray(val) if not isinstance(val, dict)
+           else {k2: np.asarray(v2) for k2, v2 in val.items()}
+           for key, val in out.items()}
     results = []
     for i, job in enumerate(jobs):
         k = len(job["data"])
@@ -236,27 +244,39 @@ def model_all_psfs():
         return chunk
 
     # streaming loader: the NEXT bucket's HDF5 reads + segmentation run
-    # on a worker thread while the device fits the current bucket
+    # on a worker thread while the device fits the current bucket, and
+    # the CURRENT bucket's fit is dispatched asynchronously before the
+    # PREVIOUS bucket's results are fetched/stored — device->host
+    # transfer and host bookkeeping overlap device compute
     from concurrent.futures import ThreadPoolExecutor
+
+    def store_bucket(chunk, out, t0):
+        results = _collect_fit_results(out, chunk)
+        logger.info(f"Fitted {len(chunk)} PSFs in {time() - t0:.1f}s "
+                    "(batched).")
+        for job, result in zip(chunk, results):
+            _store_psf_result(user_config, regions_file, job, result,
+                              combined_footprint_hash, logger)
 
     buckets = [frame_rows[lo:lo + batch_size]
                for lo in range(0, len(frame_rows), batch_size)]
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = pool.submit(prepare_chunk, buckets[0]) if buckets \
             else None
+        in_flight = None  # (chunk, dispatched device output, t0)
         for i in range(len(buckets)):
             chunk = pending.result()
             pending = pool.submit(prepare_chunk, buckets[i + 1]) \
                 if i + 1 < len(buckets) else None
             if not chunk:
                 continue
-            t0 = time()
-            results = _fit_jobs_batched(user_config, chunk)
-            logger.info(f"Fitted {len(chunk)} PSFs in {time() - t0:.1f}s "
-                        "(batched).")
-            for job, result in zip(chunk, results):
-                _store_psf_result(user_config, regions_file, job, result,
-                                  combined_footprint_hash, logger)
+            dispatched = (chunk, _dispatch_fit_jobs(user_config, chunk),
+                          time())
+            if in_flight is not None:
+                store_bucket(*in_flight)
+            in_flight = dispatched
+        if in_flight is not None:
+            store_bucket(*in_flight)
 
 
 def _store_psf_result(user_config, regions_file, job, result,

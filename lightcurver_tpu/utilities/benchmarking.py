@@ -33,3 +33,113 @@ def time_compiled_loop(fn, img, n_rep):
     t0 = time.perf_counter()
     float(many(img * 1.000001))
     return (time.perf_counter() - t0) / n_rep
+
+
+def compiled_cost(fn, *args):
+    """(bytes_accessed, flops) of ``jit(fn)(*args)`` by XLA cost analysis.
+
+    Static program properties — a driver-verifiable record of the
+    per-call HBM traffic and FLOPs (note: a lax.scan/while body is
+    counted ONCE, not times the trip count, so pass the per-iteration
+    function, e.g. a loss value_and_grad, not a whole optimizer loop).
+    """
+    import jax
+
+    comp = jax.jit(fn).lower(*args).compile()
+    ca = comp.cost_analysis()
+    if isinstance(ca, list):  # older jax returns a per-device list
+        ca = ca[0]
+    return (float(ca.get("bytes accessed", float("nan"))),
+            float(ca.get("flops", float("nan"))))
+
+
+def psf_pixel_phase_cost(batch, n_stars, n_pix, s):
+    """(bytes, flops) of one vmapped pixel-phase PSF value_and_grad.
+
+    The per-iteration program of the dominant PSF-fit phase (AdaBelief
+    over the pixel grid) at the given batch shape, on the CURRENT ops
+    backends — the driver-verifiable roofline evidence emitted by
+    bench.py each round (tools/psf_roofline.py adds the wall-clock
+    side).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import ops
+    from ..core.psf.build import _phase_losses
+    from ..core.starlet import n_starlet_scales
+
+    m = n_pix * s
+    _, _, loss_pixels = _phase_losses(n_stars, n_pix, s, False,
+                                      ops.get_dft_precision())
+    free = {
+        "kwargs_gaussian": {
+            "a": jnp.ones((batch, n_stars), jnp.float32),
+            "x0": jnp.zeros((batch, n_stars), jnp.float32),
+            "y0": jnp.zeros((batch, n_stars), jnp.float32)},
+        "kwargs_background": {
+            "background": jnp.zeros((batch, m * m), jnp.float32)},
+    }
+    fixed = {
+        "kwargs_moffat": {
+            "fwhm_x": jnp.full((batch,), 2.5, jnp.float32),
+            "fwhm_y": jnp.full((batch,), 2.5, jnp.float32),
+            "beta": jnp.full((batch,), 2.5, jnp.float32)},
+        "kwargs_distortion": {
+            k: jnp.zeros((batch, 5), jnp.float32)
+            for k in ("dilation_x", "dilation_y", "shear")},
+    }
+    consts = {
+        "data": jnp.zeros((batch, n_stars, n_pix, n_pix), jnp.float32),
+        "sigma_2": jnp.ones((batch, n_stars, n_pix, n_pix), jnp.float32),
+        "masks": jnp.ones((batch, n_stars, n_pix, n_pix), bool),
+        "stamp_coordinates": jnp.zeros((batch, n_stars, 2), jnp.float32),
+        "W": jnp.ones((batch, n_starlet_scales(m) + 1, m, m),
+                      jnp.float32),
+        "lam": jnp.asarray(1.0, jnp.float32),
+        "fixed": fixed,
+    }
+    in_axes_consts = {"data": 0, "sigma_2": 0, "masks": 0,
+                      "stamp_coordinates": 0, "W": 0, "lam": None,
+                      "fixed": 0}
+    if ops.get_irfft_backend() == "mxu":
+        from ..ops.dft import make_dft_mats
+
+        consts["dft_mats"] = make_dft_mats(2 * m, m, pool=s)
+        in_axes_consts["dft_mats"] = None
+
+    vg = jax.vmap(jax.value_and_grad(loss_pixels),
+                  in_axes=(0, in_axes_consts))
+    return compiled_cost(vg, free, consts), (vg, free, consts)
+
+
+def time_vg_loop(vg, free, consts, n_rep=200):
+    """Mean per-iteration wall of ``vg`` inside one compiled scan.
+
+    The carry is a gradient-descent update of the parameters — a real
+    loop-carried data dependence, so XLA cannot hoist the body (same
+    rationale as :func:`time_compiled_loop`).  One compile, honest
+    per-iteration time of the optimizer's dominant work (the AdaBelief
+    moment updates it omits are a few % of the loss+grad cost).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def many(free, consts):
+        def body(c, _):
+            value, grad = vg(c, consts)
+            c = jax.tree_util.tree_map(
+                lambda x, g: x - 1e-9 * g, c, grad)
+            return c, jnp.sum(value)
+
+        _, ys = jax.lax.scan(body, free, None, length=n_rep)
+        return ys[-1]
+
+    float(many(free, consts))    # compile + first run
+    t0 = _time.perf_counter()
+    float(many(jax.tree_util.tree_map(lambda x: x * (1 + 1e-6), free),
+               consts))
+    return (_time.perf_counter() - t0) / n_rep

@@ -62,3 +62,71 @@ def test_relative_loss_differential():
     # not converged: still dropping in the tail
     history = np.linspace(100, 0, 100)
     assert relative_loss_differential(history) > 0.05
+
+
+class TestClosedFormGridWeights:
+    """Closed-form starlet noise weights vs a large-sample MC oracle.
+
+    The closed form (core/psf/build._grid_noise_weights_closed) is the
+    production path of the PSF pixel-grid regularization; the MC
+    estimator remains as the oracle.  Agreement is pinned in the
+    interior on the loss-relevant scales (the coarse residual is
+    excluded from the l1 term, build.py loss_pixels W[:-1]); border
+    zones of the coarsest detail scales differ by design (mirror vs
+    circular boundary models).
+    """
+
+    def test_matches_mc_oracle_interior(self):
+        import jax
+        import numpy as np
+
+        from lightcurver_tpu.core.psf.build import (
+            _grid_noise_weights_closed, _grid_noise_weights_impl)
+
+        m, s, nsc = 32, 2, 5
+        rng = np.random.default_rng(3)
+        sigma = rng.uniform(0.5, 1.5, (m // s, m // s)).astype(np.float32)
+        W_mc = np.asarray(jax.jit(
+            lambda sg, k: _grid_noise_weights_impl(sg, m, s, 4096, nsc, k)
+        )(sigma, jax.random.PRNGKey(5)))
+        W_cf = np.asarray(jax.jit(
+            lambda sg: _grid_noise_weights_closed(sg, m, s, nsc))(sigma))
+        assert W_cf.shape == W_mc.shape == (nsc + 1, m, m)
+        assert (W_cf > 0).all()
+        # fine scales (support well inside the image): tight agreement
+        for j in range(3):
+            ratio = W_cf[j, 6:-6, 6:-6] / W_mc[j, 6:-6, 6:-6]
+            np.testing.assert_allclose(ratio, 1.0, atol=0.06)
+        # coarser detail scales: same magnitude in the interior
+        for j in range(3, nsc):
+            ratio = W_cf[j, 8:-8, 8:-8] / W_mc[j, 8:-8, 8:-8]
+            assert 0.5 < np.median(ratio) < 1.5
+
+    def test_scales_linearly_with_noise(self):
+        import jax
+        import numpy as np
+
+        from lightcurver_tpu.core.psf.build import \
+            _grid_noise_weights_closed
+
+        m, s, nsc = 32, 2, 5
+        sigma = np.full((m // s, m // s), 0.7, np.float32)
+        f = jax.jit(lambda sg: _grid_noise_weights_closed(sg, m, s, nsc))
+        W1 = np.asarray(f(sigma))
+        W3 = np.asarray(f(3.0 * sigma))
+        np.testing.assert_allclose(W3, 3.0 * W1, rtol=1e-5)
+
+    def test_nan_noise_contributes_zero(self):
+        import jax
+        import numpy as np
+
+        from lightcurver_tpu.core.psf.build import \
+            _grid_noise_weights_closed
+
+        m, s, nsc = 32, 2, 5
+        sigma = np.full((m // s, m // s), 1.0, np.float32)
+        sigma[4, 4] = np.nan
+        W = np.asarray(jax.jit(
+            lambda sg: _grid_noise_weights_closed(sg, m, s, nsc))(sigma))
+        assert np.isfinite(W).all()
+        assert (W > 0).all()
