@@ -207,7 +207,7 @@ def point_source_ramp_stacks(m, s, a, px, py, dtype=jnp.float32, ry=None,
     GEMM formulation).  ``ry``/``rx`` fold the separable target-Gaussian
     transform in (see :func:`point_source_ramps`).  Feeds
     :func:`point_source_spectrum_parts` and the fused Pallas renderer
-    (ops/fused_render.py).
+    (ops/experimental/fused_render.py).
     """
     L = pad_len(m)
     fy = jnp.fft.fftfreq(L).astype(dtype)

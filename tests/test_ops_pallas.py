@@ -66,12 +66,12 @@ def test_backend_flag_roundtrip():
 def test_fused_render_interpret_matches_xla():
     """The (parked) fused Pallas renderer is exact vs the XLA render.
 
-    See ops/fused_render.py: measured slower on hardware, kept as a
+    See ops/experimental/fused_render.py: measured slower on hardware, kept as a
     tested experiment.  Runs in interpret mode (CPU backend).
     """
     from lightcurver_tpu.core import convolution as conv
     from lightcurver_tpu.ops.dft import make_dft_mats, irfft2_pool_matmul
-    from lightcurver_tpu.ops.fused_render import _fused_render_fwd_impl
+    from lightcurver_tpu.ops.experimental.fused_render import _fused_render_fwd_impl
 
     rng = np.random.default_rng(7)
     N, n, s, M = 8, 16, 2, 3
