@@ -57,9 +57,52 @@ def test_photometry_plot(tmp_path):
     assert find_sources(df) == ["A", "B"]
     offsets = compute_offsets(df, ["A", "B"])
     assert set(offsets) == {"A", "B"}
+    # brightest source anchors at 0; the fainter is pulled up past it
+    # by the scatter-weighted separation (reference compute_offsets)
+    assert offsets["A"] == 0.0
+    assert offsets["B"] < 0.0
     out = tmp_path / "curves.jpg"
     plot_photometry(df, save_path=out)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_photometry_plot_seasons_and_scatter_columns(tmp_path):
+    """Publication-plot parity features: proportional season panels,
+    break indicators, asymmetric+scatter error averaging, CSV input
+    (reference plotting/photometry_plotting.py:31-292)."""
+    from lightcurver_tpu.plotting.photometry_plotting import (
+        find_segments, plot_photometry)
+
+    rng = np.random.default_rng(2)
+    # three seasons of very different lengths
+    mjd = np.concatenate([60000 + np.arange(10),
+                          60300 + np.arange(60),
+                          60800 + np.arange(25)])
+    n = len(mjd)
+    df = pd.DataFrame({
+        "mjd": mjd,
+        "A_mag": 18.0 + 0.1 * rng.normal(size=n),
+        "A_d_mag_down": np.full(n, 0.04),
+        "A_d_mag_up": np.full(n, 0.06),
+        "A_scatter_mag_down": np.full(n, 0.02),
+        "A_scatter_mag_up": np.full(n, 0.02),
+        "B_mag": 19.5 + 0.3 * rng.normal(size=n),
+        "B_d_mag_down": np.full(n, 0.08),
+        "B_d_mag_up": np.full(n, 0.08),
+    })
+    segments = find_segments(df["mjd"], gap_threshold=70.0)
+    assert len(segments) == 3
+    assert segments[0] == (60000.0, 60009.0)
+
+    csv = tmp_path / "phot.csv"
+    df.to_csv(csv, index=False)
+    out = tmp_path / "seasons.jpg"
+    fig = plot_photometry(csv, save_path=out, plot_title="demo")
+    assert out.exists() and out.stat().st_size > 0
+    # one panel per season, widths proportional to season durations
+    widths = [ax.get_position().width for ax in fig.axes]
+    assert len(widths) == 3
+    assert widths[1] > widths[2] > widths[0]
 
 
 def test_html_visualisation(tmp_path):
