@@ -9,6 +9,10 @@ Run:  python docs/examples/synthetic_demo.py /tmp/lc_demo
 """
 
 import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 import sys
 from pathlib import Path
 

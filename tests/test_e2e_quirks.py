@@ -1,0 +1,254 @@
+"""Real-sky-quirk end-to-end robustness (hermetic, CPU).
+
+Real frames are not the clean synthetic fields of the standard e2e:
+cameras rotate between runs, bright stars saturate and bleed, cosmic
+rays hit.  The reference exercises this on 2 bundled OmegaCAM frames
+(stripped in this mirror); this module fabricates the quirks instead:
+
+- frame 1 is ROTATED 25 degrees (CD matrix with rotation + the usual
+  RA flip) — the whole chain must follow the WCS: star assignment,
+  cutout extraction, the per-epoch rotation angles of the joint ROI
+  model (processes/roi_modelling.py de-rotates relative to frame 0).
+- frame 2 carries a SATURATION BLEED TRAIL (a hot column through a
+  reference star) plus injected cosmic-ray hits — the bad-column and
+  L.A.Cosmic masking (processes/cutout_making.mask_cutout) must keep
+  them out of the fits.
+
+The pipeline must complete and stay quantitatively correct: PSFs on
+every frame, unaffected star fluxes within 10%, ROI fluxes within the
+standard e2e tolerance on ALL frames including the rotated one.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+ROI_RA, ROI_DEC = 42.2031, 19.22528
+PIXEL_SCALE = 0.2 / 3600.0
+FRAME_SIZE = 160
+EXPTIME = 30.0
+GAIN = 1.2
+SKY_E_PER_S = 10.0
+N_FRAMES = 3
+ROT_DEG = 25.0          # frame 1 camera rotation
+TRAIL_STAR = 2          # index of the star the bleed trail crosses
+
+STAR_OFFSETS = [(-6, -6), (6, -6), (-6, 6), (6, 6), (8, 0), (0, 8),
+                (-8, 0), (0, -8)]
+STAR_FLUXES_E_S = [800.0, 600.0, 1000.0, 700.0, 500.0, 900.0, 650.0,
+                   750.0]
+PS_OFFSETS = {"A": (-0.8, 0.5), "B": (0.7, -0.6)}
+PS_FLUXES = {"A": [300.0, 360.0, 330.0], "B": [150.0, 120.0, 135.0]}
+FRAME_FWHM_PX = [2.6, 3.1, 2.8]
+FRAME_DITHER_PX = [(0.0, 0.0), (1.4, -0.8), (-1.1, 0.6)]
+
+
+def _make_wcs(frame_idx):
+    from lightcurver_tpu.io.wcs import TanWCS
+
+    c = (FRAME_SIZE + 1) / 2.0
+    dx, dy = FRAME_DITHER_PX[frame_idx]
+    cd = np.array([[-PIXEL_SCALE, 0.0], [0.0, PIXEL_SCALE]])
+    if frame_idx == 1:
+        th = np.radians(ROT_DEG)
+        rot = np.array([[np.cos(th), -np.sin(th)],
+                        [np.sin(th), np.cos(th)]])
+        cd = rot @ cd
+    return TanWCS(ROI_RA, ROI_DEC, c + dx, c + dy, cd)
+
+
+def _render_frame(frame_idx, star_world, wcs):
+    fwhm = FRAME_FWHM_PX[frame_idx]
+    img = np.zeros((FRAME_SIZE, FRAME_SIZE))
+    yy, xx = np.mgrid[0:FRAME_SIZE, 0:FRAME_SIZE]
+
+    def add_source(x, y, flux):
+        beta = 2.8
+        root = np.sqrt(2.0 ** (1.0 / beta) - 1.0)
+        alpha = fwhm / (2 * root)
+        rr2 = (xx - x) ** 2 + (yy - y) ** 2
+        norm = (beta - 1.0) / (np.pi * alpha**2)
+        img[:] += flux * norm * (1.0 + rr2 / alpha**2) ** (-beta)
+
+    star_px = []
+    for (ra, dec), flux in star_world:
+        x, y = wcs.world_to_pixel(ra, dec)
+        star_px.append((float(x), float(y)))
+        add_source(float(x), float(y), flux)
+    for ps, (dra, ddec) in PS_OFFSETS.items():
+        ra = ROI_RA + dra / 3600.0 / np.cos(np.radians(ROI_DEC))
+        dec = ROI_DEC + ddec / 3600.0
+        x, y = wcs.world_to_pixel(ra, dec)
+        add_source(float(x), float(y), PS_FLUXES[ps][frame_idx])
+    return img, star_px
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e_quirks")
+    raw_dir = tmp / "raw"
+    raw_dir.mkdir()
+    rng = np.random.default_rng(13)
+
+    stars = []
+    for i, ((dx, dy), flux) in enumerate(zip(STAR_OFFSETS,
+                                             STAR_FLUXES_E_S)):
+        ra = ROI_RA + dx / 3600.0 / np.cos(np.radians(ROI_DEC))
+        dec = ROI_DEC + dy / 3600.0
+        gmag = 20.0 - 2.5 * np.log10(flux)
+        stars.append({
+            "ra": ra, "dec": dec, "source_id": 3000 + i,
+            "phot_g_mean_mag": gmag, "phot_bp_mean_mag": gmag + 0.5,
+            "phot_rp_mean_mag": gmag - 0.5, "pmra": 0.0, "pmdec": 0.0,
+            "ref_epoch": 2016.0,
+        })
+    fixture_csv = tmp / "gaia_fixture.csv"
+    pd.DataFrame(stars).to_csv(fixture_csv, index=False)
+    star_world = [((s["ra"], s["dec"]), f)
+                  for s, f in zip(stars, STAR_FLUXES_E_S)]
+
+    from lightcurver_tpu.io.fits import write_fits, Header
+
+    for k in range(N_FRAMES):
+        wcs = _make_wcs(k)
+        clean_e_s, star_px = _render_frame(k, star_world, wcs)
+        total_e = (clean_e_s + SKY_E_PER_S) * EXPTIME
+        noisy_e = total_e + rng.normal(0, np.sqrt(total_e))
+        if k == 2:
+            # saturation bleed trail: a hot COLUMN through one star,
+            # the classic CCD full-well artifact
+            x_trail = int(round(star_px[TRAIL_STAR][0]))
+            noisy_e[:, x_trail] = 65000.0 * GAIN
+            # a handful of cosmic-ray hits (single hot pixels)
+            for _ in range(25):
+                cy, cx = rng.integers(0, FRAME_SIZE, 2)
+                noisy_e[cy, cx] = 50000.0 * GAIN
+        adu = noisy_e / GAIN
+        header = Header()
+        header["MJD-OBS"] = 60200.0 + 2.0 * k
+        header["EXPTIME"] = EXPTIME
+        header["GAIN"] = GAIN
+        header.update(wcs.to_header_cards())
+        write_fits(raw_dir / f"frame_{k:02d}.fits",
+                   adu.astype(np.float32), header)
+
+    parser_dir = tmp / "header_parser"
+    parser_dir.mkdir()
+    (parser_dir / "parse_header.py").write_text(
+        "def parse_header(header):\n"
+        "    return {'mjd': header['MJD-OBS'], 'gain': header['GAIN'],\n"
+        "            'exptime': header['EXPTIME']}\n")
+
+    template = (os.path.dirname(os.path.dirname(__file__))
+                + "/lightcurver_tpu/pipeline/example_config_file/"
+                  "config.yaml")
+    with open(template) as f:
+        config = yaml.safe_load(f)
+    config.update({
+        "workdir": str(tmp),
+        "raw_dirs": [str(raw_dir)],
+        "already_plate_solved": 1,
+        "multiprocessing_cpu_count": 1,
+        "background_estimation_n_boxes": 3,
+        "source_extraction_threshold": 3.0,
+        "source_extraction_min_area": 5,
+        "source_extraction_do_plots": 0,
+        "star_selection_strategy": "ROI_disk",
+        "ROI_disk_radius_arcseconds": 30,
+        "min_number_stars": 5,
+        "stamp_size_stars": 16,
+        "stamp_size_ROI": 24,
+        "cosmics_masking_params": {"sigclip": 6.0, "sigfrac": 0.3,
+                                   "objlim": 5.0},
+        "subsampling_factor": 2,
+        "psf_n_iter_analytic": 40,
+        "psf_n_iter_pixels": 150,
+        "star_deconv_n_iter": 250,
+        "roi_deconv_translations_iters": 40,
+        "roi_deconv_all_iters": 400,
+        "deconv_checkpoint_every": 0,
+        "point_sources": {
+            ps: [float(ROI_RA + dx / 3600.0 / np.cos(np.radians(ROI_DEC))),
+                 float(ROI_DEC + dy / 3600.0)]
+            for ps, (dx, dy) in PS_OFFSETS.items()},
+        "fix_point_source_astrometry": 0.5,
+        "constraints_on_frame_columns_for_roi": {},
+        "constraints_on_normalization_coeff": {},
+    })
+    config_path = tmp / "config.yaml"
+    config_path.write_text(yaml.dump(config))
+
+    prev_cfg = os.environ.get("LIGHTCURVER_CONFIG")
+    os.environ["LIGHTCURVER_CONFIG"] = str(config_path)
+    os.environ["LIGHTCURVER_GAIA_FIXTURE"] = str(fixture_csv)
+    yield tmp
+    os.environ.pop("LIGHTCURVER_GAIA_FIXTURE", None)
+    if prev_cfg is not None:
+        os.environ["LIGHTCURVER_CONFIG"] = prev_cfg
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(workdir):
+    from lightcurver_tpu.pipeline.workflow_manager import WorkflowManager
+
+    WorkflowManager().run()
+    return workdir
+
+
+def _query(sql, params=()):
+    from lightcurver_tpu.structure.database import execute_sqlite_query
+
+    return execute_sqlite_query(sql, params, use_pandas=True)
+
+
+def test_rotated_frame_is_followed(pipeline_run):
+    frames = _query("SELECT * FROM frames ORDER BY mjd")
+    assert len(frames) == N_FRAMES
+    assert (frames["plate_solved"] == 1).all()
+    assert (frames["eliminated"] == 0).all()
+    # the rotated frame's sky orientation is recorded from its WCS
+    angles = np.asarray(frames["angle_to_north"], dtype=float)
+    assert abs(abs(angles[1] - angles[0]) - ROT_DEG) < 1.0
+    # rotation preserves pixel isotropy: nothing eliminated for it
+    assert frames["roi_in_footprint"].all()
+
+
+def test_psfs_on_all_frames(pipeline_run):
+    psfs = _query("SELECT * FROM PSFs")
+    assert len(psfs) == N_FRAMES
+    assert (psfs["chi2"] < 2.5).all()
+
+
+def test_unaffected_star_fluxes(pipeline_run):
+    fluxes = _query("SELECT * FROM star_flux_in_frame")
+    stars = _query("SELECT * FROM stars")
+    merged = fluxes.merge(stars, left_on="star_gaia_id",
+                          right_on="gaia_id")
+    injected = {str(3000 + i): f
+                for i, f in enumerate(STAR_FLUXES_E_S)}
+    trail_id = str(3000 + TRAIL_STAR)
+    for gaia_id, group in merged.groupby("star_gaia_id"):
+        if str(gaia_id) == trail_id:
+            continue  # the bleed-trail star may be masked/degraded
+        measured = group["flux"].median()
+        assert measured == pytest.approx(injected[str(gaia_id)],
+                                         rel=0.1)
+
+
+def test_roi_fluxes_including_rotated_frame(pipeline_run, workdir):
+    out_dir = workdir / "prepared_roi_cutouts"
+    csvs = list(out_dir.glob("*_photometry_per_epoch.csv"))
+    assert len(csvs) == 1
+    photometry = pd.read_csv(csvs[0]).sort_values("mjd")
+    assert len(photometry) == N_FRAMES
+    assert (photometry["reduced_chi2"] < 2.0).all()
+    for ps, fluxes in PS_FLUXES.items():
+        measured = np.asarray(photometry[f"{ps}_flux"])
+        np.testing.assert_allclose(measured, fluxes, rtol=0.15)
+    # the rotated epoch specifically must not be an outlier
+    for ps, fluxes in PS_FLUXES.items():
+        rel = abs(float(photometry[f"{ps}_flux"].iloc[1]) / fluxes[1] - 1)
+        assert rel < 0.15
