@@ -32,3 +32,13 @@ else:
     import jax  # noqa: E402
 
     jax.config.update("jax_platforms", "cpu")
+
+    # persistent compilation cache: the suite's wall time is dominated
+    # by XLA compiles of the big jitted fit programs; caching them
+    # makes re-runs (and parallel test shards) several times faster
+    import pathlib
+
+    _cache = pathlib.Path(__file__).parents[1] / ".jax_cache_cpu"
+    _cache.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
