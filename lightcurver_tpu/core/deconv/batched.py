@@ -414,12 +414,20 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
             ``checkpoint_every``-iteration segments with the optimizer
             carry checkpointed to this path (resume on re-call); when
             None (default) the whole fit is one compiled program.
-        mesh: "auto" (default) shards the star axis across all visible
-            devices when there is more than one (parallel/batch.py —
-            per-star fits are independent: collective-free pure data
-            parallelism); None forces single-device; or an explicit 1-D
-            ``batch`` mesh.  Star counts that do not divide the mesh
-            are padded with duplicate stars, stripped from the result.
+        mesh: "auto" (default) picks the production mesh for the star
+            count (parallel/batch.auto_fit_mesh): a 1-D ``batch`` mesh
+            when there are at least as many stars as devices (per-star
+            fits are independent: collective-free pure data
+            parallelism), a 2-D (``batch``, ``epoch``) mesh when stars
+            are fewer than devices — the monitoring configuration of a
+            handful of stars x hundreds of epochs — so spare chips
+            shard each star's epoch axis instead of idling (XLA
+            inserts the per-star cross-shard reductions).  None forces
+            single-device; explicit meshes of either shape are
+            accepted.  Star counts that do not divide the batch extent
+            are padded with duplicate stars, epoch counts that do not
+            divide the epoch extent with standard dummy epochs; both
+            pads are stripped from the result.
 
     Returns:
         dict of stacked per-star results (numpy), matching the
@@ -429,31 +437,43 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     noisemap = np.nan_to_num(np.asarray(noisemap, dtype=np.float32),
                              nan=1e7)
     psf = np.asarray(psf, dtype=np.float32)
-    n_stars, n_epochs, image_size = data.shape[:3]
+    n_stars, n_epochs_real, image_size = data.shape[:3]
     from ...ops import get_dft_precision, get_irfft_backend
-    from ...parallel.batch import (auto_batch_mesh, pad_batch_arrays,
-                                   strip_batch)
+    from ...parallel.batch import (EPOCH_AXIS, auto_fit_mesh,
+                                   pad_epoch_axis,
+                                   shard_star_fit_arrays, strip_batch,
+                                   strip_epoch_axis)
 
     if mesh == "auto":
-        mesh = auto_batch_mesh()
+        mesh = auto_fit_mesh(n_stars)
     # keys are split for the REAL star count and padded like the data
     # (splitting for the padded count would change the real stars' keys)
     keys = np.asarray(jax.random.split(jax.random.PRNGKey(seed),
                                        n_stars))
+    n_epoch_pad = 0
     if mesh is not None and mesh.size > 1:
-        (data_d, noise_d, psf_d, keys), n_pad = pad_batch_arrays(
+        if EPOCH_AXIS in mesh.axis_names:
+            data, noisemap, psf, n_epoch_pad = pad_epoch_axis(
+                data, noisemap, psf, mesh.shape[EPOCH_AXIS])
+        (data_d, noise_d, psf_d, keys), n_pad = shard_star_fit_arrays(
             mesh, data, noisemap, psf, keys)
     else:
         data_d, noise_d, psf_d = (jnp.asarray(data),
                                   jnp.asarray(noisemap),
                                   jnp.asarray(psf))
         n_pad = 0
+    n_epochs = n_epochs_real + n_epoch_pad
 
+    # a sharded mesh forces the matmul-DFT backend: the FFT op cannot
+    # be partitioned (XLA all-gathers around it, and the XLA:CPU fft
+    # thunk rejects partitioner-produced layouts outright)
+    irfft_backend = "mxu" if (mesh is not None and mesh.size > 1) \
+        else get_irfft_backend()
     args = (data_d, noise_d, psf_d, keys,
             int(n_epochs), int(image_size), int(subsampling_factor),
             int(n_iter), bool(uniform_background_per_epoch),
             bool(starlet_global_background), float(lr),
-            get_irfft_backend(), get_dft_precision())
+            irfft_backend, get_dft_precision())
     if checkpoint_path is None:
         out = _fit_stars(*args)
     else:
@@ -463,4 +483,5 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
             *args, checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every,
             inputs_digest=arrays_digest(data, noisemap, psf))
-    return jax.tree_util.tree_map(np.asarray, strip_batch(out, n_pad))
+    out = strip_epoch_axis(strip_batch(out, n_pad), n_epoch_pad)
+    return jax.tree_util.tree_map(np.asarray, out)

@@ -274,11 +274,15 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         arrays, n_pad = tuple(jnp.asarray(a) for a in arrays), 0
     *arrays, keys = arrays
 
+    # a sharded mesh forces the matmul-DFT backend (the FFT op cannot
+    # be partitioned; see core/deconv/batched.fit_stars_batched)
+    irfft_backend = "mxu" if (mesh is not None and mesh.size > 1) \
+        else get_irfft_backend()
     out = _fit_frames(
         *arrays, keys, n_stars, int(n_pix), int(subsampling_factor),
         bool(field_distortion), int(n_iter_analytic),
         int(n_iter_adabelief), float(regularization_strength),
-        float(adabelief_lr), get_irfft_backend(), get_dft_precision())
+        float(adabelief_lr), irfft_backend, get_dft_precision())
     out = strip_batch(out, n_pad)
     if fetch == "device":
         return out

@@ -53,6 +53,119 @@ def auto_batch_mesh():
     return batch_mesh()
 
 
+EPOCH_AXIS = "epoch"
+
+
+def batch_epoch_mesh(n_batch, n_epoch=None, devices=None):
+    """2-D mesh over (``batch``, ``epoch``) — stars x epochs.
+
+    For the monitoring configuration (a handful of stars x hundreds of
+    epochs) a pure batch mesh idles ``n_devices - n_stars`` chips; the
+    2-D mesh additionally shards each star's epoch axis.  XLA's
+    propagation inserts the per-star reductions (loss sum, shared-
+    parameter gradients) across the epoch shards — verified equivalent
+    to the single-device fit at float precision
+    (tests/test_parallel_batch.py).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n_batch = int(n_batch)
+    if n_epoch is None:
+        n_epoch = len(devices) // n_batch
+    devices = devices[: n_batch * int(n_epoch)]
+    return Mesh(np.asarray(devices).reshape(n_batch, int(n_epoch)),
+                (BATCH_AXIS, EPOCH_AXIS))
+
+
+def auto_fit_mesh(n_items):
+    """Production mesh for a batched fit of ``n_items`` independent
+    problems with an inner epoch axis.
+
+    - one device: None (plain vmap);
+    - ``n_items >= n_devices``: 1-D batch mesh (collective-free);
+    - ``n_items < n_devices``: 2-D (batch, epoch) mesh with the batch
+      extent the largest divisor of the device count that ``n_items``
+      can fill — the spare chips shard the epoch axis instead of
+      idling.
+    """
+    n_dev = jax.device_count()
+    if n_dev <= 1:
+        return None
+    if int(n_items) >= n_dev:
+        return batch_mesh()
+    n_batch = max(d for d in range(1, n_dev + 1)
+                  if n_dev % d == 0 and d <= int(n_items))
+    if n_batch == n_dev:
+        return batch_mesh()
+    return batch_epoch_mesh(n_batch)
+
+
+def pad_epoch_axis(data, noisemap, psf, n_shards):
+    """Pad axis 1 (epochs) to a multiple of ``n_shards``.
+
+    Uses the documented dummy-epoch convention of fit_stars_batched:
+    data 0, noise 1e7 (detected and zero-weighted by the loss), PSF a
+    repeat of the last real epoch (well-conditioned spectra).
+    Returns ``(data, noisemap, psf, n_pad)``.
+    """
+    n = data.shape[1]
+    n_pad = (-n) % int(n_shards)
+    if n_pad == 0:
+        return data, noisemap, psf, 0
+    widths = ((0, 0), (0, n_pad)) + ((0, 0),) * (data.ndim - 2)
+    data = np.pad(np.asarray(data), widths)
+    noisemap = np.pad(np.asarray(noisemap), widths,
+                      constant_values=1e7)
+    psf = np.concatenate(
+        [np.asarray(psf),
+         np.repeat(np.asarray(psf)[:, -1:], n_pad, axis=1)], axis=1)
+    return data, noisemap, psf, n_pad
+
+
+def shard_star_fit_arrays(mesh, data, noisemap, psf, keys):
+    """Pad + shard the star-fit inputs onto a 1-D or 2-D mesh.
+
+    Stars (axis 0) are padded to a multiple of the ``batch`` extent by
+    repeating the last star; on a (``batch``, ``epoch``) mesh the
+    epoch axis (axis 1) of data/noise/psf is additionally sharded
+    (keys have no epoch axis and shard along ``batch`` only).
+
+    Returns ``((data, noisemap, psf, keys), n_star_pad)``.
+    """
+    n = int(np.shape(data)[0])
+    n_star_pad = (-n) % int(mesh.shape[BATCH_AXIS])
+
+    def pad(a):
+        a = np.asarray(a)
+        if n_star_pad:
+            a = np.concatenate([a, np.repeat(a[-1:], n_star_pad,
+                                             axis=0)])
+        return a
+
+    two_d = EPOCH_AXIS in mesh.axis_names
+    spec2 = P(BATCH_AXIS, EPOCH_AXIS) if two_d else P(BATCH_AXIS)
+    spec1 = P(BATCH_AXIS)
+    out = tuple(jax.device_put(pad(a), NamedSharding(mesh, spec))
+                for a, spec in ((data, spec2), (noisemap, spec2),
+                                (psf, spec2), (keys, spec1)))
+    return out, n_star_pad
+
+
+# result keys of fit_stars_batched whose axis 1 is the epoch axis
+# (extent-based detection would misfire when n_iter == n_epochs)
+_EPOCH_AXIS_KEYS = frozenset({"fluxes", "fluxes_uncertainties",
+                              "chi2_per_frame", "residuals"})
+
+
+def strip_epoch_axis(out, n_pad):
+    """Drop padded epochs from the epoch-axis leaves of a star-fit
+    result dict (see ``_EPOCH_AXIS_KEYS``)."""
+    if n_pad == 0:
+        return out
+    return {k: (v[:, :-n_pad] if k in _EPOCH_AXIS_KEYS else v)
+            for k, v in out.items()}
+
+
 def pad_batch_arrays(mesh, *arrays):
     """Pad leading axes to a multiple of the mesh size and shard them.
 

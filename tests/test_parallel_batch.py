@@ -222,3 +222,58 @@ def test_star_photometry_sharded_checkpoint_roundtrip(star_set, tmp_path):
     ref = fit_stars_batched(data, noise, psf, 2, n_iter=80, mesh=None)
     np.testing.assert_allclose(out["fluxes"], ref["fluxes"], rtol=2e-3)
     assert out["loss_history"].shape == (5, 80)
+
+
+def test_star_photometry_2d_mesh_matches_unsharded(star_set):
+    """(batch, epoch) mesh: 5 stars on 8 devices -> a (2, 4) mesh
+    shards each star's epoch axis too.  Stars pad 5->6, epochs pad
+    6->8 with standard dummy epochs; both pads strip from the result
+    and XLA's per-star cross-shard reductions reproduce the
+    single-device fit."""
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+    from lightcurver_tpu.parallel.batch import batch_epoch_mesh
+
+    data, noise, psf = star_set
+    ref = fit_stars_batched(data, noise, psf, 2, n_iter=150, mesh=None)
+    mesh = batch_epoch_mesh(2, 4)
+    shd = fit_stars_batched(data, noise, psf, 2, n_iter=150, mesh=mesh)
+
+    assert shd["fluxes"].shape == ref["fluxes"].shape
+    np.testing.assert_allclose(shd["fluxes"], ref["fluxes"], rtol=2e-3)
+    np.testing.assert_allclose(shd["chi2_per_frame"],
+                               ref["chi2_per_frame"], rtol=1e-2)
+    np.testing.assert_allclose(shd["loss_history"], ref["loss_history"],
+                               rtol=2e-2)
+    assert shd["residuals"].shape == ref["residuals"].shape
+
+
+def test_auto_fit_mesh_selection():
+    """Few stars -> 2-D (batch, epoch) mesh; many -> 1-D batch mesh."""
+    from lightcurver_tpu.parallel.batch import (BATCH_AXIS, EPOCH_AXIS,
+                                                auto_fit_mesh)
+
+    n_dev = jax.device_count()
+    many = auto_fit_mesh(4 * n_dev)
+    assert many.axis_names == (BATCH_AXIS,) and many.size == n_dev
+    few = auto_fit_mesh(2)
+    assert few.axis_names == (BATCH_AXIS, EPOCH_AXIS)
+    assert few.shape[BATCH_AXIS] == 2
+    assert few.size == n_dev
+    one = auto_fit_mesh(1)
+    assert one.shape[BATCH_AXIS] == 1 and one.size == n_dev
+
+
+def test_star_photometry_2d_mesh_with_global_background(star_set):
+    """The starlet-global-background path (MC weights, shared h) also
+    survives 2-D sharding — its per-star reductions include the
+    background gradient."""
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+    from lightcurver_tpu.parallel.batch import batch_epoch_mesh
+
+    data, noise, psf = star_set
+    kw = dict(n_iter=80, starlet_global_background=True)
+    ref = fit_stars_batched(data, noise, psf, 2, mesh=None, **kw)
+    shd = fit_stars_batched(data, noise, psf, 2,
+                            mesh=batch_epoch_mesh(2, 4), **kw)
+    np.testing.assert_allclose(shd["fluxes"], ref["fluxes"], rtol=5e-3)
+    assert np.isfinite(shd["starlet_background"]).all()
