@@ -172,10 +172,7 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
     from ..fisher import linear_flux_solve
 
     kwargs = linear_flux_solve(kwargs, d, sigma_2, model, spectra)
-    model_consts = dict(spectra)
-    if "dft_mats" in consts:
-        model_consts["dft_mats"] = consts["dft_mats"]
-    modelled = model.model(kwargs, model_consts)
+    modelled = model.model(kwargs, spectra)
     residuals = d - modelled
     chi2_per_frame = jnp.nansum(residuals**2 / sigma_2,
                                 axis=(1, 2)) / image_size**2
@@ -195,6 +192,15 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
         "residuals": scale * residuals,
         "starlet_background": scale * h,
     }
+
+
+# result keys above whose LEADING axis is the epoch axis (batched: axis
+# 1).  parallel/batch.strip_epoch_axis strips epoch padding by this set
+# (extent-based detection would misfire when n_iter == n_epochs), so a
+# new per-epoch key MUST be added here or padded dummy epochs leak into
+# multi-device results; tests/test_parallel_batch.py pins the contract.
+EPOCH_AXIS_RESULT_KEYS = frozenset({"fluxes", "fluxes_uncertainties",
+                                    "chi2_per_frame", "residuals"})
 
 
 def _shared_consts(image_size, s, irfft_backend):

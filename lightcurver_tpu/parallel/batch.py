@@ -93,10 +93,10 @@ def auto_fit_mesh(n_items):
         return None
     if int(n_items) >= n_dev:
         return batch_mesh()
+    # n_items < n_dev here, so n_batch < n_dev: the epoch axis always
+    # gets a >1 extent on this path
     n_batch = max(d for d in range(1, n_dev + 1)
                   if n_dev % d == 0 and d <= int(n_items))
-    if n_batch == n_dev:
-        return batch_mesh()
     return batch_epoch_mesh(n_batch)
 
 
@@ -151,18 +151,15 @@ def shard_star_fit_arrays(mesh, data, noisemap, psf, keys):
     return out, n_star_pad
 
 
-# result keys of fit_stars_batched whose axis 1 is the epoch axis
-# (extent-based detection would misfire when n_iter == n_epochs)
-_EPOCH_AXIS_KEYS = frozenset({"fluxes", "fluxes_uncertainties",
-                              "chi2_per_frame", "residuals"})
-
-
 def strip_epoch_axis(out, n_pad):
     """Drop padded epochs from the epoch-axis leaves of a star-fit
-    result dict (see ``_EPOCH_AXIS_KEYS``)."""
+    result dict (key set owned by core/deconv/batched next to the
+    result-dict constructor: ``EPOCH_AXIS_RESULT_KEYS``)."""
     if n_pad == 0:
         return out
-    return {k: (v[:, :-n_pad] if k in _EPOCH_AXIS_KEYS else v)
+    from ..core.deconv.batched import EPOCH_AXIS_RESULT_KEYS
+
+    return {k: (v[:, :-n_pad] if k in EPOCH_AXIS_RESULT_KEYS else v)
             for k, v in out.items()}
 
 

@@ -20,20 +20,17 @@ COLOR_CYCLE = ["royalblue", "crimson", "darkorange", "forestgreen",
 def find_sources(df):
     """Source labels with magnitude (and error) columns in ``df``.
 
-    A source qualifies with ``{ps}_mag`` plus either the asymmetric
-    ``{ps}_d_mag_down``/``{ps}_d_mag_up`` pair (the pipeline CSV,
-    utilities/lightcurves_postprocessing.convert_flux_to_magnitude) or
-    a symmetric ``{ps}_d_mag`` column.
+    A source qualifies with a ``{ps}_mag`` column.  Error columns (the
+    asymmetric ``{ps}_d_mag_down``/``{ps}_d_mag_up`` pair of the
+    pipeline CSV, utilities/lightcurves_postprocessing, or a symmetric
+    ``{ps}_d_mag``) are optional — ``_errors`` falls back to zero-width
+    bars, so error-less dataframes still plot.
     """
     sources = []
     for col in df.columns:
         if not col.endswith("_mag") or col.count("_") != 1:
             continue
-        ps = col[: -len("_mag")]
-        if (f"{ps}_d_mag_down" in df.columns
-                and f"{ps}_d_mag_up" in df.columns) \
-                or f"{ps}_d_mag" in df.columns:
-            sources.append(ps)
+        sources.append(col[: -len("_mag")])
     return sorted(sources)
 
 
@@ -59,10 +56,13 @@ def compute_offsets(df, sources, separation=0.3):
     medians = {}
     for ps in sources:
         mags = np.asarray(df[f"{ps}_mag"], dtype=float)
-        med = np.nanmedian(mags) if np.isfinite(mags).any() else np.inf
-        medians[ps] = med
-    ordered = sorted(sources, key=lambda ps: medians[ps])
-    offsets = {ordered[0]: 0.0} if ordered else {}
+        if np.isfinite(mags).any():
+            medians[ps] = float(np.nanmedian(mags))
+    # sources with no finite magnitude at all have nothing to separate
+    # from: keep them at offset 0 and leave them out of the chain (they
+    # draw no points anyway)
+    offsets = {ps: 0.0 for ps in sources}
+    ordered = sorted(medians, key=medians.get)
     for prev, curr in zip(ordered[:-1], ordered[1:]):
         sep = separation * (measure_scatter(df[f"{prev}_mag"])
                             + measure_scatter(df[f"{curr}_mag"]))
@@ -72,8 +72,15 @@ def compute_offsets(df, sources, separation=0.3):
 
 
 def find_segments(mjd, gap_threshold):
-    """(start, end) MJD of each observing season, split at gaps."""
-    mjd = np.sort(np.unique(np.asarray(mjd, dtype=float)))
+    """(start, end) MJD of each observing season, split at gaps.
+
+    Non-finite epochs (a frame whose header lacked MJD) are ignored —
+    they cannot be placed on the time axis.
+    """
+    mjd = np.asarray(mjd, dtype=float)
+    mjd = np.sort(np.unique(mjd[np.isfinite(mjd)]))
+    if mjd.size == 0:
+        return []
     gaps = np.flatnonzero(np.diff(mjd) > gap_threshold)
     bounds = np.concatenate([[-1], gaps, [len(mjd) - 1]])
     return [(mjd[lo + 1], mjd[hi])
@@ -145,6 +152,8 @@ def plot_photometry(df, sources=None, offsets=None, season_gap_days=70.0,
         offsets = compute_offsets(df, sources)
 
     segments = find_segments(df["mjd"], season_gap_days)
+    if not segments:
+        raise ValueError("no finite 'mjd' values in the dataframe")
     durations = [max(end - start, 1.0) + 2 * SEASON_PAD
                  for start, end in segments]
     total = float(sum(durations))

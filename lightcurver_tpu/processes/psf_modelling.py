@@ -243,40 +243,61 @@ def model_all_psfs():
                 chunk.append(job)
         return chunk
 
-    # streaming loader: the NEXT bucket's HDF5 reads + segmentation run
-    # on a worker thread while the device fits the current bucket, and
-    # the CURRENT bucket's fit is dispatched asynchronously before the
-    # PREVIOUS bucket's results are fetched/stored — device->host
-    # transfer and host bookkeeping overlap device compute
-    from concurrent.futures import ThreadPoolExecutor
-
     def store_bucket(chunk, out, t0):
         results = _collect_fit_results(out, chunk)
-        logger.info(f"Fitted {len(chunk)} PSFs in {time() - t0:.1f}s "
-                    "(batched).")
+        # elapsed since THIS bucket's dispatch; in steady state that
+        # window also hosts the next bucket's overlapped HDF5 prepare,
+        # so it is pipelined wall-clock, not pure device-fit time
+        logger.info(f"Collected {len(chunk)} PSF fits {time() - t0:.1f}s "
+                    "after dispatch (pipelined).")
         for job, result in zip(chunk, results):
             _store_psf_result(user_config, regions_file, job, result,
                               combined_footprint_hash, logger)
 
     buckets = [frame_rows[lo:lo + batch_size]
                for lo in range(0, len(frame_rows), batch_size)]
+    run_pipelined_buckets(
+        buckets, prepare_chunk,
+        lambda chunk: _dispatch_fit_jobs(user_config, chunk),
+        store_bucket)
+
+
+def run_pipelined_buckets(buckets, prepare, dispatch, store):
+    """Three-deep software pipeline over work buckets.
+
+    While the device fits bucket i (``dispatch`` returns without
+    blocking), bucket i+1's host-side ``prepare`` runs on a worker
+    thread and bucket i-1's results are fetched/stored (``store``) —
+    device compute, host IO and device->host transfer all overlap.
+
+    A finished bucket is NEVER lost to its successor's failure: if
+    prepare/dispatch of bucket i+1 raises, bucket i's in-flight results
+    are stored before the exception propagates, so a rerun resumes
+    after them (tests/test_processes.py pins this).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     with ThreadPoolExecutor(max_workers=1) as pool:
-        pending = pool.submit(prepare_chunk, buckets[0]) if buckets \
-            else None
+        pending = pool.submit(prepare, buckets[0]) if buckets else None
         in_flight = None  # (chunk, dispatched device output, t0)
         for i in range(len(buckets)):
-            chunk = pending.result()
-            pending = pool.submit(prepare_chunk, buckets[i + 1]) \
-                if i + 1 < len(buckets) else None
-            if not chunk:
-                continue
-            dispatched = (chunk, _dispatch_fit_jobs(user_config, chunk),
-                          time())
+            try:
+                chunk = pending.result()
+                pending = pool.submit(prepare, buckets[i + 1]) \
+                    if i + 1 < len(buckets) else None
+                if not chunk:
+                    continue
+                dispatched = (chunk, dispatch(chunk), time())
+            except BaseException:
+                if in_flight is not None:
+                    store(*in_flight)
+                    in_flight = None
+                raise
             if in_flight is not None:
-                store_bucket(*in_flight)
+                store(*in_flight)
             in_flight = dispatched
         if in_flight is not None:
-            store_bucket(*in_flight)
+            store(*in_flight)
 
 
 def _store_psf_result(user_config, regions_file, job, result,

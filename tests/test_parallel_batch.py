@@ -277,3 +277,24 @@ def test_star_photometry_2d_mesh_with_global_background(star_set):
                             mesh=batch_epoch_mesh(2, 4), **kw)
     np.testing.assert_allclose(shd["fluxes"], ref["fluxes"], rtol=5e-3)
     assert np.isfinite(shd["starlet_background"]).all()
+
+
+def test_epoch_axis_key_set_matches_result_shapes(star_set):
+    """Contract pin: EPOCH_AXIS_RESULT_KEYS (core/deconv/batched) names
+    EXACTLY the fit_stars_batched result arrays whose axis 1 is the
+    epoch axis — strip_epoch_axis trusts it to remove epoch padding, so
+    a new per-epoch result key that is not added to the set would leak
+    dummy epochs into multi-device results."""
+    from lightcurver_tpu.core.deconv.batched import (
+        EPOCH_AXIS_RESULT_KEYS, fit_stars_batched)
+
+    data, noise, psf = star_set
+    n_epochs = data.shape[1]
+    # n_iter != n_epochs so a (star, iter) leaf cannot alias the test
+    out = fit_stars_batched(data, noise, psf, 2, n_iter=n_epochs + 3,
+                            mesh=None)
+
+    epoch_axis_keys = {k for k, v in out.items()
+                       if getattr(v, "ndim", 0) >= 2
+                       and v.shape[1] == n_epochs}
+    assert epoch_axis_keys == set(EPOCH_AXIS_RESULT_KEYS)

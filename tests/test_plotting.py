@@ -148,3 +148,36 @@ def test_footprint_and_sources_plots(tmp_path):
     out3 = tmp_path / "fps.jpg"
     plot_footprints_with_stars(polys, stars, save_path=out3)
     assert out3.exists()
+
+
+def test_photometry_plot_degenerate_inputs(tmp_path):
+    """Round-3 review regressions: NaN mjd rows, error-less sources and
+    an all-NaN source must not crash the plot or poison the offsets."""
+    from lightcurver_tpu.plotting.photometry_plotting import (
+        compute_offsets, find_sources, plot_photometry)
+
+    mjd = np.concatenate([np.linspace(60000, 60030, 10), [np.nan]])
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({
+        "mjd": mjd,
+        # error-less source: qualifies (zero-width bars)
+        "A_mag": 18.0 + 0.01 * rng.normal(size=11),
+        # all-NaN source: offset must stay finite (0.0)
+        "B_mag": np.full(11, np.nan),
+        "C_mag": 19.0 + 0.01 * rng.normal(size=11),
+        "C_d_mag": np.full(11, 0.02),
+    })
+    assert find_sources(df) == ["A", "B", "C"]
+    offsets = compute_offsets(df, ["A", "B", "C"])
+    assert np.isfinite(list(offsets.values())).all()
+    assert offsets["B"] == 0.0
+
+    out = tmp_path / "degenerate.jpg"
+    plot_photometry(df, save_path=out)
+    assert out.exists()
+
+    # a frame with no finite mjd at all gets a CLEAR error
+    df_bad = df.copy()
+    df_bad["mjd"] = np.nan
+    with pytest.raises(ValueError, match="mjd"):
+        plot_photometry(df_bad)

@@ -229,3 +229,84 @@ def test_seeing_estimator_peak():
                             rng.uniform(5, 25, 15)])
     seeing = estimate_seeing({"FWHM": fwhms})
     assert seeing == pytest.approx(3.2, abs=0.3)
+
+
+class TestPipelinedBuckets:
+    """Control-flow contract of the PSF task's software pipeline."""
+
+    def _run(self, buckets, fail_prepare_at=None, fail_dispatch_at=None):
+        from lightcurver_tpu.processes.psf_modelling import (
+            run_pipelined_buckets)
+
+        events = []
+
+        def prepare(bucket):
+            if bucket == fail_prepare_at:
+                raise OSError(f"corrupt HDF5 in {bucket}")
+            events.append(("prepare", bucket))
+            return bucket
+
+        def dispatch(chunk):
+            if chunk == fail_dispatch_at:
+                raise RuntimeError(f"dispatch failed for {chunk}")
+            events.append(("dispatch", chunk))
+            return f"out-{chunk}"
+
+        def store(chunk, out, t0):
+            assert out == f"out-{chunk}"
+            events.append(("store", chunk))
+
+        run_pipelined_buckets(buckets, prepare, dispatch, store)
+        return events
+
+    def test_all_buckets_stored_in_order(self):
+        events = self._run(["a", "b", "c"])
+        assert [e for e in events if e[0] == "store"] == \
+            [("store", "a"), ("store", "b"), ("store", "c")]
+        # pipelining: bucket b is dispatched BEFORE bucket a is stored
+        assert events.index(("dispatch", "b")) < \
+            events.index(("store", "a"))
+
+    def test_empty_chunks_skipped(self):
+        from lightcurver_tpu.processes.psf_modelling import (
+            run_pipelined_buckets)
+
+        stored = []
+        run_pipelined_buckets(
+            ["a", "", "c"], prepare=lambda b: b,
+            dispatch=lambda c: c, store=lambda c, o, t: stored.append(c))
+        assert stored == ["a", "c"]
+        run_pipelined_buckets([], lambda b: b, lambda c: c,
+                              lambda c, o, t: stored.append(c))
+        assert stored == ["a", "c"]
+
+    def test_finished_bucket_survives_next_prepare_failure(self):
+        """A corrupt bucket b must not discard bucket a's finished
+        fits: they are stored before the exception propagates."""
+        from lightcurver_tpu.processes.psf_modelling import (
+            run_pipelined_buckets)
+
+        def prepare(bucket):
+            if bucket == "b":
+                raise OSError("corrupt HDF5")
+            return bucket
+
+        stored = []
+        with pytest.raises(OSError, match="corrupt"):
+            run_pipelined_buckets(
+                ["a", "b", "c"], prepare, dispatch=lambda c: f"out-{c}",
+                store=lambda c, o, t: stored.append(c))
+        assert stored == ["a"]
+
+    def test_finished_bucket_survives_next_dispatch_failure(self):
+        stored = []
+        from lightcurver_tpu.processes.psf_modelling import (
+            run_pipelined_buckets)
+
+        with pytest.raises(RuntimeError, match="boom"):
+            run_pipelined_buckets(
+                ["a", "b"], prepare=lambda b: b,
+                dispatch=lambda c: (_ for _ in ()).throw(
+                    RuntimeError("boom")) if c == "b" else f"out-{c}",
+                store=lambda c, o, t: stored.append(c))
+        assert stored == ["a"]
