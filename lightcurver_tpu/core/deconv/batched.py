@@ -489,5 +489,9 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
             *args, checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every,
             inputs_digest=arrays_digest(data, noisemap, psf))
+    from ...parallel.batch import gather_to_host
+
+    # "auto" was already resolved to a Mesh or None above
+    out = gather_to_host(mesh, out)
     out = strip_epoch_axis(strip_batch(out, n_pad), n_epoch_pad)
     return jax.tree_util.tree_map(np.asarray, out)

@@ -254,8 +254,8 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
     guess_fwhm_pixels = np.where(
         np.isfinite(guess_fwhm_pixels), guess_fwhm_pixels, 3.0)
     from ...ops import get_dft_precision, get_irfft_backend
-    from ...parallel.batch import (auto_batch_mesh, pad_batch_arrays,
-                                   strip_batch)
+    from ...parallel.batch import (auto_batch_mesh, gather_to_host,
+                                   pad_batch_arrays, strip_batch)
 
     if mesh == "auto":
         mesh = auto_batch_mesh()
@@ -283,7 +283,9 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         bool(field_distortion), int(n_iter_analytic),
         int(n_iter_adabelief), float(regularization_strength),
         float(adabelief_lr), irfft_backend, get_dft_precision())
-    out = strip_batch(out, n_pad)
+    # multi-host: every process must gather before it can materialize
+    # (fetch="device" callers also need addressable leaves)
+    out = strip_batch(gather_to_host(mesh, out), n_pad)
     if fetch == "device":
         return out
     return jax.tree_util.tree_map(np.asarray, out)

@@ -192,3 +192,21 @@ def strip_batch(tree, n_pad):
     if n_pad == 0:
         return tree
     return jax.tree_util.tree_map(lambda x: x[:-n_pad], tree)
+
+
+def gather_to_host(mesh, tree):
+    """All-gather a sharded result tree to REPLICATED sharding.
+
+    On a multi-host mesh the fit outputs are sharded across processes,
+    and ``np.asarray`` on a non-fully-addressable array raises — every
+    host must gather before materializing (the collective rides the
+    same DCN/ICI as the fit itself).  Single-process meshes (including
+    all single-host pods' local views) are already fully addressable:
+    returned unchanged.  Exercised cross-process by
+    tests/test_distributed_batch.py.
+    """
+    if mesh is None or jax.process_count() == 1:
+        return tree
+    gather = jax.jit(lambda t: t,
+                     out_shardings=NamedSharding(mesh, P()))
+    return gather(tree)

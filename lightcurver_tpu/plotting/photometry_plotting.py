@@ -170,9 +170,13 @@ def plot_photometry(df, sources=None, offsets=None, season_gap_days=70.0,
     axes = [ax0] + [fig.add_subplot(gs[i], sharey=ax0)
                     for i in range(1, n_seg)]
 
-    ordered = sorted(sources,
-                     key=lambda ps: np.nanmedian(
-                         np.asarray(df[f"{ps}_mag"], dtype=float)))
+    def _brightness(ps):
+        mags = np.asarray(df[f"{ps}_mag"], dtype=float)
+        if not np.isfinite(mags).any():
+            return np.inf   # nothing to draw; order last
+        return float(np.nanmedian(mags))
+
+    ordered = sorted(sources, key=_brightness)
     for i, ((start, end), ax) in enumerate(zip(segments, axes)):
         mask = (df["mjd"] >= start) & (df["mjd"] <= end)
         segment = df[mask]
