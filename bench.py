@@ -176,7 +176,7 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
     fit(data)                    # compile + first run
     # best-of-N (see run_roi_deconv: transient backend contention)
     wall = float("inf")
-    for rep in range(1, 3):
+    for rep in range(1, 4):
         t0 = time.perf_counter()
         out = fit(data * np.float32(1 + 1e-6 * rep))
         wall = min(wall, time.perf_counter() - t0)
@@ -211,7 +211,7 @@ def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
     # fit_stars_batched fetches every output to numpy (honest timing)
     fit_stars_batched(data, noise, psf, s, n_iter=n_iter)  # compile
     wall = float("inf")
-    for rep in range(1, 3):   # best-of-N (transient backend contention)
+    for rep in range(1, 4):   # best-of-N (transient backend contention)
         t0 = time.perf_counter()
         out = fit_stars_batched(data * np.float32(1 + 1e-6 * rep),
                                 noise, psf, s, n_iter=n_iter)
@@ -251,7 +251,7 @@ def run_psf_bench_pipelined(n_buckets=3, n_frames=16, n_stars=8,
 
     # best-of-N (see run_roi_deconv: transient backend contention)
     wall = float("inf")
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.perf_counter()
         in_flight = None
         for b in range(n_buckets):
