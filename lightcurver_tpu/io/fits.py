@@ -122,9 +122,13 @@ def _parse_value(raw):
 
 def _parse_card(card):
     key = card[:8].strip()
-    if key in ("COMMENT", "HISTORY") or not card[8:10] == "= ":
+    if key == "CONTINUE":
+        # long-string continuation (no '= '); value starts at the quote
+        rest = card[8:]
+    elif key in ("COMMENT", "HISTORY") or not card[8:10] == "= ":
         return key, card[8:].strip(), ""
-    rest = card[10:]
+    else:
+        rest = card[10:]
     # split off comment at the first '/' outside a string
     in_str = False
     comment = ""
@@ -136,6 +140,49 @@ def _parse_card(card):
             rest = rest[:i]
             break
     return key, _parse_value(rest), comment
+
+
+def _merge_continue(cards):
+    """Concatenate FITS long-string values (the CONTINUE convention).
+
+    A string value ending in ``&`` continues on the next card when that
+    card's keyword is CONTINUE; the ``&`` is dropped on concatenation.
+    CONTINUE cards without a preceding ``&``-terminated string are left
+    as-is (malformed input; harmless).
+    """
+    merged = []
+    for key, value, comment in cards:
+        if (key == "CONTINUE" and merged
+                and isinstance(merged[-1][1], str)
+                and merged[-1][1].endswith("&")
+                and isinstance(value, str)):
+            pkey, pval, pcom = merged[-1]
+            merged[-1] = (pkey, pval[:-1] + value, comment or pcom)
+            continue
+        merged.append((key, value, comment))
+    return merged
+
+
+def _format_long_string(key_padded, value, comment):
+    """Emit a long string as a value card + CONTINUE cards (the FITS
+    long-string convention); returns the concatenated 80-char cards."""
+    chunks, cur, cur_len = [], [], 0
+    for ch in value:
+        esc = "''" if ch == "'" else ch
+        if cur_len + len(esc) > CARD - 14:   # room for quotes + '&'
+            chunks.append("".join(cur))
+            cur, cur_len = [], 0
+        cur.append(esc)
+        cur_len += len(esc)
+    chunks.append("".join(cur))
+    cards = [f"{key_padded}= '{chunks[0]}&'"[:CARD].ljust(CARD)]
+    for i, chunk in enumerate(chunks[1:], start=1):
+        amp = "&" if i < len(chunks) - 1 else ""
+        body = f"CONTINUE  '{chunk}{amp}'"
+        if not amp and comment:
+            body += f" / {comment}"
+        cards.append(body[:CARD].ljust(CARD))
+    return "".join(cards)
 
 
 def _format_card(key, value, comment=""):
@@ -157,14 +204,10 @@ def _format_card(key, value, comment=""):
     else:
         s = str(value).replace("'", "''")
         # 80-char card minus "KEY     = " and the two quotes leaves 68
-        # chars; longer strings would lose their closing quote when the
-        # card is sliced, producing an unparseable card.  No CONTINUE
-        # support — raise rather than mis-write (module contract).
+        # chars; longer strings go out as CONTINUE cards (the FITS
+        # long-string convention, round-tripped by _merge_continue)
         if len(s) > CARD - 12:
-            raise ValueError(
-                f"string value for {key.strip()!r} is {len(s)} chars; "
-                f"max {CARD - 12} fits in one card (CONTINUE cards are "
-                "not supported)")
+            return _format_long_string(key, str(value), comment)
         body = f"'{s:<8s}'"
     card = f"{key}= {body}"
     if comment:
@@ -187,13 +230,17 @@ def _read_header(fh):
         done = False
         for i in range(0, BLOCK, CARD):
             card = text[i:i + CARD]
-            if card.startswith("END"):
+            # the END card's KEYWORD is exactly 'END' — a prefix test
+            # would also match keywords like ENDTIME/ENDEXP and
+            # truncate the header there (with a wrong data offset when
+            # the real END sits in a later block)
+            if card[:8].strip() == "END":
                 done = True
                 break
             if card.strip():
                 cards.append(_parse_card(card))
         if done:
-            return Header(cards), nbytes
+            return Header(_merge_continue(cards)), nbytes
 
 
 def _data_size_bytes(header):
@@ -248,8 +295,13 @@ def read_fits(path, hdu_index=0, header_only=False, memmap=False):
                 bscale = header.get("BSCALE", 1)
                 bzero = header.get("BZERO", 0)
                 if dtype.kind in "iu" or bscale != 1 or bzero != 0:
-                    data = data.astype(np.float32) * np.float32(bscale) \
-                        + np.float32(bzero)
+                    # scale in the precision of the source: a float64
+                    # (or 64-bit int) image with BSCALE/BZERO must not
+                    # be squeezed through float32 (a large BZERO offset
+                    # would eat half its significant digits)
+                    out = (np.float64 if dtype.itemsize == 8
+                           else np.float32)
+                    data = data.astype(out) * out(bscale) + out(bzero)
                 else:
                     data = data.astype(data.dtype.newbyteorder("="))
                 return data, header

@@ -113,10 +113,14 @@ class TanWCS:
         crval2 = float(header["CRVAL2"])
         crpix1 = float(header["CRPIX1"])
         crpix2 = float(header["CRPIX2"])
-        if "CD1_1" in header:
+        # FITS: when ANY CDj_i is present, missing ones default to 0 —
+        # a ~90deg-rotated solution may legitimately omit a zero CD1_1,
+        # so detection must look at all four cards (same for PCj_i,
+        # whose defaults are the identity)
+        if any(k in header for k in ("CD1_1", "CD1_2", "CD2_1", "CD2_2")):
             cd = [[header.get("CD1_1", 0.0), header.get("CD1_2", 0.0)],
                   [header.get("CD2_1", 0.0), header.get("CD2_2", 0.0)]]
-        elif "PC1_1" in header:
+        elif any(k in header for k in ("PC1_1", "PC1_2", "PC2_1", "PC2_2")):
             cdelt1 = float(header.get("CDELT1", 1.0))
             cdelt2 = float(header.get("CDELT2", 1.0))
             pc = np.array([[header.get("PC1_1", 1.0), header.get("PC1_2", 0.0)],

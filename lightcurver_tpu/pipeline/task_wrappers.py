@@ -121,7 +121,7 @@ def process_new_frame_wrapper(*args):
 
 
 def read_convert_skysub_character_catalog():
-    """Import every raw frame not yet in the DB (anti-join on file name)."""
+    """Import every raw frame not yet in the DB (anti-join on file stem)."""
     logger = logging.getLogger("lightcurver.importation")
     user_config = get_user_config()
     pattern = user_config.get("files_match_pattern", "*")
@@ -130,26 +130,26 @@ def read_convert_skysub_character_catalog():
         start=[]))
     imported = get_pandas(columns=["original_image_path", "id"])
     if not imported.empty:
-        imported_names = {Path(p).name
+        imported_stems = {Path(p).stem
                           for p in imported["original_image_path"]}
     else:
-        imported_names = set()
-    new_frames = [f for f in available if f.name not in imported_names]
-    # the calibrated frame path and the anti-join both key on the bare
-    # file NAME (reference semantics, tolerant to moved raw_dirs) — two
-    # distinct raws with equal names would race writing the same
+        imported_stems = set()
+    new_frames = [f for f in available if f.stem not in imported_stems]
+    # the calibrated frame path is frames/<STEM>.fits, so the anti-join
+    # and the dedup both key on the file STEM (not the name): 'a.fit'
+    # and 'a.fits' are distinct names but would race writing the same
     # calibrated file and silently corrupt an epoch; keep the first,
     # refuse the rest LOUDLY
-    seen_names = {}
+    seen_stems = {}
     deduped = []
     for f in new_frames:
-        if f.name in seen_names:
+        if f.stem in seen_stems:
             logger.error(
-                f"Duplicate raw file name {f.name!r}: keeping "
-                f"{seen_names[f.name]}, SKIPPING {f}. Rename one of "
+                f"Duplicate raw file stem {f.stem!r}: keeping "
+                f"{seen_stems[f.stem]}, SKIPPING {f}. Rename one of "
                 "them to import both.")
         else:
-            seen_names[f.name] = f
+            seen_stems[f.stem] = f
             deduped.append(f)
     new_frames = deduped
     logger.info(f"Importing {len(new_frames)} new frames from "

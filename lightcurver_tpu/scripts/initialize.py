@@ -6,9 +6,32 @@ ROI interactively or from arguments.
 """
 
 import argparse
+import re
 from pathlib import Path
 
 import yaml
+
+
+def _fill_template(text, workdir, roi_name, roi_ra, roi_dec, band):
+    """Substitute the scaffold values into the template TEXT, keeping
+    every comment intact (the reference uses a ruamel round-trip for
+    the same reason, reference scripts/initialize.py:70-88; ruamel is
+    not available here, so the few keys are edited in place)."""
+    # replacements go through lambdas so user values are literal text,
+    # never backreference patterns
+    text, n = re.subn(r"(?m)^workdir:.*$", lambda m: f"workdir: {workdir}",
+                      text, count=1)
+    assert n == 1, "template lost its workdir key"
+    roi_block = (f"ROI:\n  {roi_name}:\n"
+                 f"    coordinates: [{roi_ra}, {roi_dec}]"
+                 "   # [ra, dec] degrees\n")
+    text, n = re.subn(r"(?m)^ROI:\n(?:[ \t]+\S.*\n)+",
+                      lambda m: roi_block, text, count=1)
+    assert n == 1, "template lost its ROI block"
+    text, n = re.subn(r"(?m)^photometric_band:.*$",
+                      lambda m: f"photometric_band: {band}", text, count=1)
+    assert n == 1, "template lost its photometric_band key"
+    return text
 
 _TEMPLATE = (Path(__file__).parent.parent / "pipeline"
              / "example_config_file" / "config.yaml")
@@ -57,14 +80,17 @@ def initialize():
         args.photom_band = input(
             "Photometric band of the observations? ").strip()
 
-    with open(config_path) as f:
-        config = yaml.safe_load(f)
-    config["workdir"] = str(workdir)
-    config["ROI"] = {args.roi_name:
-                     {"coordinates": [args.roi_ra, args.roi_dec]}}
-    config["photometric_band"] = args.photom_band
-    with open(config_path, "w") as f:
-        yaml.dump(config, f, sort_keys=False)
+    filled = _fill_template(_TEMPLATE.read_text(), workdir,
+                            args.roi_name, args.roi_ra, args.roi_dec,
+                            args.photom_band)
+    # sanity: the comment-preserving substitution must still parse and
+    # carry exactly the values the user gave
+    parsed = yaml.safe_load(filled)
+    assert parsed["workdir"] == str(workdir)
+    assert parsed["ROI"] == {args.roi_name:
+                             {"coordinates": [args.roi_ra, args.roi_dec]}}
+    assert parsed["photometric_band"] == args.photom_band
+    config_path.write_text(filled)
     print(f"Adapt the header parser at {parser_file}.")
     print(f"Prepared rough configuration at {config_path} -- refine it.")
 

@@ -42,25 +42,62 @@ class TestFits:
             np.asarray(mm[10:20, 5:15], dtype=np.float32),
             data[10:20, 5:15])
 
-    def test_long_string_value_raises(self, tmp_path):
-        """Strings too long for one card raise instead of silently
-        writing a corrupt card (no CONTINUE support; advisor finding)."""
-        from lightcurver_tpu.io.fits import write_fits, Header
+    def test_long_string_continue_roundtrip(self, tmp_path):
+        """Strings too long for one card go out as CONTINUE cards (the
+        FITS long-string convention) and read back intact — including
+        embedded quotes and the trailing comment."""
+        from lightcurver_tpu.io.fits import read_fits, write_fits, Header
 
+        long_plain = "x" * 100
+        long_quotes = ("path='/data/a b'/" * 12)[:180]
         header = Header()
-        header["LONGVAL"] = "x" * 100
-        with pytest.raises(ValueError, match="LONGVAL"):
-            write_fits(tmp_path / "bad.fits",
-                       np.zeros((4, 4), np.float32), header)
-        # at the boundary (68 chars) it still round-trips
-        from lightcurver_tpu.io.fits import read_fits
-
+        header["LONGVAL"] = (long_plain, "spills to one CONTINUE")
+        header["LONGQ"] = long_quotes
+        header["AFTER"] = 7  # cards after the CONTINUE run still parse
+        write_fits(tmp_path / "long.fits",
+                   np.zeros((4, 4), np.float32), header)
+        _, h = read_fits(tmp_path / "long.fits")
+        assert h["LONGVAL"] == long_plain
+        assert h["LONGQ"] == long_quotes
+        assert h["AFTER"] == 7
+        assert "CONTINUE" not in h.keys()
+        # at the single-card boundary (68 chars) no CONTINUE is emitted
         header2 = Header()
         header2["OKVAL"] = "y" * 68
         write_fits(tmp_path / "ok.fits", np.zeros((4, 4), np.float32),
                    header2)
-        _, h = read_fits(tmp_path / "ok.fits")
-        assert h["OKVAL"] == "y" * 68
+        raw = (tmp_path / "ok.fits").read_bytes()[:2880]
+        assert b"CONTINUE" not in raw
+        _, h2 = read_fits(tmp_path / "ok.fits")
+        assert h2["OKVAL"] == "y" * 68
+
+    def test_end_keyword_is_exact_match(self, tmp_path):
+        """Keywords that merely start with END (ENDTIME) must not be
+        mistaken for the END card — that would truncate the header and
+        misplace the data offset."""
+        from lightcurver_tpu.io.fits import read_fits
+
+        cards = [
+            "SIMPLE  =                    T",
+            "BITPIX  =                  -32",
+            "NAXIS   =                    2",
+            "NAXIS1  =                    2",
+            "NAXIS2  =                    2",
+            "ENDTIME = '2026-08-17T00:00:00'",
+            "GAIN    =                  1.5",
+            "END",
+        ]
+        head = "".join(c.ljust(80) for c in cards).encode()
+        head += b" " * (-len(head) % 2880)
+        data = np.arange(4, dtype=">f4").reshape(2, 2)
+        body = data.tobytes()
+        body += b"\x00" * (-len(body) % 2880)
+        path = tmp_path / "endtime.fits"
+        path.write_bytes(head + body)
+        out, h = read_fits(path)
+        assert h["ENDTIME"] == "2026-08-17T00:00:00"
+        assert h["GAIN"] == pytest.approx(1.5)
+        np.testing.assert_array_equal(out, data.astype(np.float32))
 
     def test_int16_bscale(self, tmp_path):
         """Synthesize a BITPIX=16 file with BSCALE/BZERO by hand."""
@@ -236,3 +273,69 @@ def test_upsampled_wcs_exact_fine_grid_alignment():
                                           s * ys + (s - 1) / 2.0)
         np.testing.assert_allclose(ra_f, ra_d, atol=1e-9)
         np.testing.assert_allclose(dec_f, dec_d, atol=1e-9)
+
+
+class TestHeaderEdgeCases:
+    def test_float64_bscale_keeps_precision(self, tmp_path):
+        """BITPIX=-64 data with BSCALE/BZERO scales in float64 — a large
+        BZERO offset must not eat half the significant digits."""
+        from lightcurver_tpu.io.fits import read_fits
+
+        cards = [
+            "SIMPLE  =                    T",
+            "BITPIX  =                  -64",
+            "NAXIS   =                    2",
+            "NAXIS1  =                    2",
+            "NAXIS2  =                    1",
+            "BSCALE  =                  1.0",
+            "BZERO   =                1.0E8",
+            "END",
+        ]
+        head = "".join(c.ljust(80) for c in cards).encode()
+        head += b" " * (-len(head) % 2880)
+        raw = np.array([[1.25, 2.0 + 1e-7]], dtype=">f8")
+        body = raw.tobytes()
+        body += b"\x00" * (-len(body) % 2880)
+        path = tmp_path / "f64.fits"
+        path.write_bytes(head + body)
+        out, _ = read_fits(path)
+        assert out.dtype == np.float64
+        np.testing.assert_allclose(
+            out, np.array([[1e8 + 1.25, 1e8 + 2.0 + 1e-7]]), rtol=0,
+            atol=1e-7)
+
+    def test_cd_matrix_without_cd1_1(self):
+        """A ~90deg-rotated solution whose writer omitted the zero CD1_1
+        (FITS: missing CDj_i default to 0 when any is present) must still
+        be read as a CD matrix, not fall back to 1 deg/px CDELT."""
+        from lightcurver_tpu.io.fits import Header
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        header = Header()
+        for k, v in [("CTYPE1", "RA---TAN"), ("CTYPE2", "DEC--TAN"),
+                     ("CRVAL1", 42.2), ("CRVAL2", 19.2),
+                     ("CRPIX1", 50.5), ("CRPIX2", 60.5),
+                     ("CD1_2", 5.8e-5), ("CD2_1", -5.8e-5)]:
+            header[k] = v
+        wcs = TanWCS.from_header(header)
+        assert wcs.pixel_scale_arcsec() == pytest.approx(5.8e-5 * 3600,
+                                                         rel=1e-6)
+
+    def test_pc_matrix_without_pc1_1(self):
+        """PC detection must fire on any PCj_i card.  PC defaults are
+        the IDENTITY, so PC1_2=1/PC2_1=-1 alone means [[1,1],[-1,1]]
+        (scale x sqrt2) — the CDELT/CROTA2 fallback would give the bare
+        CDELT scale instead, which is how we detect the branch."""
+        from lightcurver_tpu.io.fits import Header
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        header = Header()
+        for k, v in [("CTYPE1", "RA---TAN"), ("CTYPE2", "DEC--TAN"),
+                     ("CRVAL1", 42.2), ("CRVAL2", 19.2),
+                     ("CRPIX1", 50.5), ("CRPIX2", 60.5),
+                     ("CDELT1", 5.8e-5), ("CDELT2", 5.8e-5),
+                     ("PC1_2", 1.0), ("PC2_1", -1.0)]:
+            header[k] = v
+        wcs = TanWCS.from_header(header)
+        assert wcs.pixel_scale_arcsec() == pytest.approx(
+            5.8e-5 * 3600 * np.sqrt(2.0), rel=1e-6)

@@ -32,6 +32,18 @@ def test_lc_init_scaffold(tmp_path, monkeypatch):
     stub = (tmp_path / "header_parser" / "parse_header.py").read_text()
     assert "def parse_header(header):" in stub
     assert "RuntimeError" in stub
+    # the template's inline documentation survives the scaffold (the
+    # reference preserves comments via a ruamel round-trip; a plain
+    # safe_load->dump would strip every one of them)
+    text = (tmp_path / "config.yaml").read_text()
+    template_text = (Path(lightcurver_tpu.__file__).parent / "pipeline"
+                     / "example_config_file" / "config.yaml").read_text()
+    template_comments = [ln for ln in template_text.splitlines()
+                         if ln.lstrip().startswith("#")]
+    assert len(template_comments) > 10  # template is richly commented
+    for comment in template_comments:
+        assert comment in text
+    assert "# [ra, dec] degrees" in text  # kept on the rewritten ROI line
 
 
 def test_lc_run_sets_env_and_forwards_steps(tmp_path, monkeypatch):
@@ -93,3 +105,38 @@ def test_pool_run_escalates_when_all_jobs_fail(monkeypatch):
                         lambda: {"multiprocessing_cpu_count": 1})
     with _pytest.raises(TaskWasNotSuccessful):
         tw._pool_run(worker, [("a", 1), ("b", 2)])
+
+
+def test_import_anti_join_and_dedup_key_on_stem(tmp_path, monkeypatch,
+                                                caplog):
+    """The calibrated frame path is frames/<stem>.fits, so both the
+    DB anti-join and the duplicate guard must key on the file STEM:
+    'a.fit' next to 'a.fits' would silently overwrite the same
+    calibrated file (pixels from one raw, DB metadata from the other)."""
+    import logging
+
+    import pandas as pd
+
+    import lightcurver_tpu.pipeline.task_wrappers as tw
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for name in ("a.fit", "a.fits", "b.fits", "c.fits"):
+        (raw / name).write_bytes(b"")
+
+    monkeypatch.setattr(tw, "get_user_config", lambda: {
+        "raw_dirs": [raw], "files_match_pattern": "*",
+        "multiprocessing_cpu_count": 1})
+    # 'c' already imported under a different extension: anti-join on the
+    # stem must skip c.fits too
+    monkeypatch.setattr(tw, "get_pandas", lambda **kw: pd.DataFrame(
+        {"original_image_path": ["/old/place/c.fit"], "id": [1]}))
+    ran = []
+    monkeypatch.setattr(tw, "_pool_run",
+                        lambda worker, jobs: ran.extend(jobs))
+    with caplog.at_level(logging.ERROR, logger="lightcurver.importation"):
+        tw.read_convert_skysub_character_catalog()
+    imported_names = sorted(j[0].name for j in ran)
+    assert imported_names == ["a.fit", "b.fits"]  # first 'a' wins, c skipped
+    assert any("Duplicate raw file stem 'a'" in r.message
+               for r in caplog.records)
