@@ -65,6 +65,13 @@ def alternate_plate_solve_adapt_ref():
         rows = execute_sqlite_query(
             "SELECT image_relpath, sources_relpath, id FROM frames "
             "WHERE plate_solved = 1 LIMIT 1")
+    if not rows:
+        raise RuntimeError(
+            "No reference frame with a WCS available to adapt from: "
+            + (f"reference_frame_for_wcs={ref_id_cfg} does not match any "
+               "imported frame." if ref_id_cfg is not None else
+               "no frame is plate-solved yet. Solve one frame first or "
+               "set reference_frame_for_wcs."))
     frame_relpath, sources_relpath, ref_id = rows[0]
 
     _, header = read_fits(workdir / frame_relpath, header_only=True)

@@ -1,10 +1,13 @@
 """Star <-> frame assignment: which stars land in which frame footprint.
 
 Mirrors the reference (lightcurver/processes/frame_star_assignment.py:10-67):
-each frame footprint polygon is shrunk by a 15-arcsec margin — implemented
-as the intersection of four margin-translated copies, with the RA margin
-de-projected by cos(dec) — and every star inside the shrunk polygon gets
-a stars_in_frames row.
+each frame footprint polygon is shrunk by a 4-arcsec margin (the
+reference's value; its own comment claims 15 arcsec but its code uses
+4/3600 deg) — implemented as the intersection of four margin-translated
+copies, with the RA margin de-projected by cos(dec) — and every star
+inside the shrunk polygon gets a stars_in_frames row.  Stars closer to
+the edge than half a stamp still yield partial cutouts; those are
+NaN-padded and handled by the downstream dead-pixel masking.
 """
 
 import json
@@ -28,7 +31,7 @@ def populate_stars_in_frames():
             "SELECT gaia_id, ra, dec, combined_footprint_hash FROM stars"
         ).fetchall()
 
-        margin_deg = 4.0 / 3600.0  # ~15 arcsec safety margin
+        margin_deg = 4.0 / 3600.0  # 4-arcsec margin (reference's value)
         for frame_id, footprint_str in footprints:
             polygon = SimplePolygon(json.loads(footprint_str))
             mean_dec = float(np.nanmean(polygon.vertices[:, 1]))

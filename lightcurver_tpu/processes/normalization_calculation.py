@@ -30,8 +30,8 @@ def get_fluxes(combined_footprint_hash, photometry_chi2_min,
            f.mjd,
            sff.star_gaia_id,
            sff.combined_footprint_hash,
-           IFNULL(sff.flux, 'NaN') AS flux,
-           IFNULL(sff.flux_uncertainty, 'NaN') AS d_flux
+           sff.flux AS flux,
+           sff.flux_uncertainty AS d_flux
     FROM frames f
     JOIN star_flux_in_frame sff ON f.id = sff.frame_id
     JOIN stars s ON sff.star_gaia_id = s.gaia_id
@@ -42,9 +42,17 @@ def get_fluxes(combined_footprint_hash, photometry_chi2_min,
     WHERE sff.combined_footprint_hash = ?
       AND sff.chi2 BETWEEN ? AND ?
     ORDER BY s.name, f.id"""
-    return execute_sqlite_query(
+    df = execute_sqlite_query(
         query, (combined_footprint_hash, photometry_chi2_min,
                 photometry_chi2_max), use_pandas=True)
+    # NULL fluxes (NaN binds as NULL in sqlite) must come back as float
+    # NaN, never as strings/objects: the reference's IFNULL(...,'NaN')
+    # makes the column object-dtype, which modern pandas refuses to
+    # aggregate (reference utilities has the same latent crash,
+    # reference processes/normalization_calculation.py:33-34)
+    for col in ("flux", "d_flux"):
+        df[col] = pd.to_numeric(df[col], errors="coerce")
+    return df
 
 
 def update_normalization_coefficients(norm_data):

@@ -310,7 +310,11 @@ def _store_psf_result(user_config, regions_file, job, result,
     n_before = job["n_before"]
 
     kwargs_moffat = result["kwargs_psf"]["kwargs_moffat"]
-    pixel_scale = frame["pixel_scale"] or 1.0
+    # NaN is truthy, so 'or' alone would store a NaN Moffat FWHM in the
+    # DB for frames whose WCS yielded no scale
+    pixel_scale = frame["pixel_scale"]
+    if pixel_scale is None or not np.isfinite(pixel_scale):
+        pixel_scale = 1.0
     fwhm_arcsec = float(0.5 * (kwargs_moffat["fwhm_x"]
                                + kwargs_moffat["fwhm_y"]) * pixel_scale)
     loss_history = result["adabelief_extra_fields"]["loss_history"]

@@ -164,6 +164,11 @@ def do_modelling_of_roi():
         sky_levels = np.array(f["sky_level_electron_per_second"])
 
     scale = float(np.nanmax(data))
+    if not np.isfinite(scale) or scale <= 0:
+        # degenerate cutouts (all-NaN or non-positive stack): dividing
+        # would NaN/sign-flip everything and the fit would silently
+        # return garbage; same guard as star_photometry's normalization
+        scale = 1.0
     data /= scale
     noisemap /= scale
 

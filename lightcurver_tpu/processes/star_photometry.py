@@ -148,8 +148,26 @@ def do_one_star_forward_modelling(data, noisemap, psf, subsampling_factor,
     }
 
 
+def _derived_psf_ref(frame_id, user_config, combined_footprint_hash,
+                     cache=None):
+    """The PSF model name the CURRENT config selects for a frame
+    (mirrors psf_modelling's naming: 'psf_' + sorted star names)."""
+    if cache is not None and frame_id in cache:
+        return cache[frame_id]
+    stars_psf = select_stars_for_a_frame(
+        frame_id=frame_id,
+        stars_to_use=user_config["stars_to_use_psf"],
+        stars_to_exclude=user_config["stars_to_exclude_psf"],
+        combined_footprint_hash=combined_footprint_hash)
+    ref = "psf_" + "".join(sorted(stars_psf["name"]))
+    if cache is not None:
+        cache[frame_id] = ref
+    return ref
+
+
 def get_frames_for_star(combined_footprint_hash, gaia_id, psf_fit_chi2_min,
-                        psf_fit_chi2_max, only_fluxless_frames=False):
+                        psf_fit_chi2_max, only_fluxless_frames=False,
+                        psf_ref_cache=None):
     """Frames containing the star, gated on PSF chi2; optionally only
     frames still missing a flux (the incremental mechanism)."""
     query = """
@@ -182,8 +200,17 @@ def get_frames_for_star(combined_footprint_hash, gaia_id, psf_fit_chi2_min,
               psf_fit_chi2_max)
     frames = execute_sqlite_query(query, params, use_pandas=True)
     if len(frames):
-        # one row per frame even when several PSF models exist for it
-        # (the epochs loader derives the psf_ref from config anyway)
+        # several PSF models can exist per frame (older star sets).
+        # The gate must judge the PSF the fit will actually USE — the
+        # one the current config derives — not an arbitrary surviving
+        # row: a stale passing row must not admit a frame whose current
+        # PSF failed the chi2 bounds (and since the SQL gate already
+        # removed failing rows, keeping only the current ref here
+        # composes to 'admit iff the current PSF passed').
+        user_config = get_user_config()
+        current_ref = frames["id"].map(lambda fid: _derived_psf_ref(
+            fid, user_config, combined_footprint_hash, psf_ref_cache))
+        frames = frames[frames["psf_ref"] == current_ref]
         frames = frames.drop_duplicates(subset=["id"], ignore_index=True)
     return frames
 
@@ -202,7 +229,8 @@ def update_star_fluxes(flux_data):
         flux_data)
 
 
-def _load_star_epochs(user_config, h5f, frames, star, footprint_hash):
+def _load_star_epochs(user_config, h5f, frames, star, footprint_hash,
+                      psf_ref_cache=None):
     """Per-frame stamps + matching narrow PSFs (distortion-evaluated)."""
     data, noisemap, mask, psf = [], [], [], []
     for _, frame in frames.iterrows():
@@ -211,12 +239,8 @@ def _load_star_epochs(user_config, h5f, frames, star, footprint_hash):
         data.append(h5f[f"{rel}/data/{gaia_id}"][...])
         noisemap.append(h5f[f"{rel}/noisemap/{gaia_id}"][...])
         mask.append(h5f[f"{rel}/cosmicsmask/{gaia_id}"][...])
-        stars_psf = select_stars_for_a_frame(
-            frame_id=frame["id"],
-            stars_to_use=user_config["stars_to_use_psf"],
-            stars_to_exclude=user_config["stars_to_exclude_psf"],
-            combined_footprint_hash=footprint_hash)
-        psf_ref = "psf_" + "".join(sorted(stars_psf["name"]))
+        psf_ref = _derived_psf_ref(frame["id"], user_config,
+                                   footprint_hash, psf_ref_cache)
         narrow_psf = h5f[f"{rel}/{psf_ref}/narrow_psf"][...]
         if user_config["field_distortion"]:
             dist_group = h5f[f"{rel}/{psf_ref}/distortion"]
@@ -263,17 +287,20 @@ def do_star_photometry():
     # gather per-star jobs (host IO); ONE read-only open for the loop
     jobs = []
     chi2_min, chi2_max = get_chi2_bounds(psf_or_fluxes="psf")
+    psf_ref_cache = {}  # frame_id -> config-derived psf_ref, per task
     with h5py.File(user_config["regions_path"], "r") as h5f:
       for _, star in stars.iterrows():
         frames = get_frames_for_star(
             gaia_id=star["gaia_id"], psf_fit_chi2_min=chi2_min,
             psf_fit_chi2_max=chi2_max, only_fluxless_frames=only_fluxless,
-            combined_footprint_hash=footprint_hash)
+            combined_footprint_hash=footprint_hash,
+            psf_ref_cache=psf_ref_cache)
         if len(frames) == 0:
             logger.info(f"Star {star['name']}: up to date.")
             continue
         data, noisemap, cosmics, psf = _load_star_epochs(
-            user_config, h5f, frames, star, footprint_hash)
+            user_config, h5f, frames, star, footprint_hash,
+            psf_ref_cache=psf_ref_cache)
         # ANY-NaN pixels are dead: zero the data AND inflate the noise
         # (a NaN datum with finite noise would otherwise enter the fit
         # as a zero-flux measurement at full weight)

@@ -13,9 +13,10 @@ import numpy as np
 import pandas as pd
 
 from ..utilities.footprint import (load_combined_footprint_from_db,
-                                   get_frames_hash)
+                                   get_combined_footprint_hash)
 from ..structure.user_config import get_user_config
-from ..structure.database import get_pandas, execute_sqlite_query
+from ..structure.database import (get_pandas, execute_sqlite_query,
+                                  executemany_sqlite)
 from ..utilities.gaia import find_gaia_stars
 from ..utilities.star_naming import generate_star_names
 from ..utilities.coordinates import angular_separation_deg
@@ -36,10 +37,8 @@ def query_gaia_stars():
                              conditions=["frames.plate_solved = 1",
                                          "frames.eliminated != 1",
                                          "frames.roi_in_footprint = 1"])
-    if user_config["star_selection_strategy"] != "ROI_disk":
-        frames_hash = get_frames_hash(frames_info["id"].to_list())
-    else:
-        frames_hash = hash(user_config["ROI_disk_radius_arcseconds"])
+    frames_hash = get_combined_footprint_hash(
+        user_config, frames_info["id"].to_list())
 
     count = execute_sqlite_query(
         "SELECT COUNT(*) FROM stars WHERE combined_footprint_hash = ?",
@@ -94,7 +93,9 @@ def query_gaia_stars():
                f"Only {len(stars)} stars available.")
     if not enough:
         logger.error(message + " Force stopping.")
-    assert enough, message
+        # a hard error, not an assert: under python -O the run would
+        # continue and register an inadequate star set
+        raise RuntimeError(message)
 
     stars = stars.copy()
     stars["distance_to_roi"] = 3600.0 * angular_separation_deg(
@@ -109,16 +110,16 @@ def query_gaia_stars():
               "gmag, rmag, bmag, pmra, pmdec, ref_epoch, gaia_id, "
               "distance_to_roi_arcsec) VALUES "
               "(?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)")
-    for _, star in stars.iterrows():
-        execute_sqlite_query(insert, params=(
-            frames_hash, star["name"], float(star["ra"]),
-            float(star["dec"]), float(star["phot_g_mean_mag"]),
-            float(star["phot_rp_mean_mag"]),
-            float(star["phot_bp_mean_mag"]),
-            float(np.nan_to_num(star["pmra"])),
-            float(np.nan_to_num(star["pmdec"])),
-            float(star["ref_epoch"]), str(int(star["source_id"])),
-            float(star["distance_to_roi"])), is_select=False)
+    executemany_sqlite(insert, [(
+        frames_hash, star["name"], float(star["ra"]),
+        float(star["dec"]), float(star["phot_g_mean_mag"]),
+        float(star["phot_rp_mean_mag"]),
+        float(star["phot_bp_mean_mag"]),
+        float(np.nan_to_num(star["pmra"])),
+        float(np.nan_to_num(star["pmdec"])),
+        float(star["ref_epoch"]), str(int(star["source_id"])),
+        float(star["distance_to_roi"]))
+        for _, star in stars.iterrows()])
 
     logger.info("Calculating which star is in which frame.")
     populate_stars_in_frames()

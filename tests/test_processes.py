@@ -310,3 +310,111 @@ class TestPipelinedBuckets:
                     RuntimeError("boom")) if c == "b" else f"out-{c}",
                 store=lambda c, o, t: stored.append(c))
         assert stored == ["a"]
+
+
+@pytest.fixture()
+def _mini_workdir(tmp_path, monkeypatch):
+    """Config + initialized DB (mirrors test_structure's fixture)."""
+    import yaml
+
+    config = {
+        "workdir": str(tmp_path),
+        "raw_dirs": [str(tmp_path / "raw")],
+        "ROI": {"testroi": {"coordinates": [42.2031, 19.22528]}},
+        "photometric_band": "r_sdss",
+        "stars_to_use_psf": "abc",
+        "stars_to_use_norm": None,
+        "stars_to_exclude_psf": None,
+        "stars_to_exclude_norm": None,
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump(config))
+    monkeypatch.setenv("LIGHTCURVER_CONFIG", str(cfg_path))
+    from lightcurver_tpu.structure.database import initialize_database
+
+    initialize_database()
+    return tmp_path
+
+
+class TestPsfChi2Gate:
+    def test_stale_psf_row_cannot_admit_frame(self, _mini_workdir):
+        """The chi2 gate must judge the PSF the fit will USE (the
+        config-derived psf_ref), not an arbitrary row: a stale passing
+        PSF from an old star set must not admit a frame whose current
+        PSF failed the gate."""
+        from lightcurver_tpu.processes.star_photometry import \
+            get_frames_for_star
+        from lightcurver_tpu.structure.database import execute_sqlite_query
+
+        fp = 999
+        execute_sqlite_query("INSERT INTO frames (id, mjd) VALUES "
+                             "(1, 60000.0)", is_select=False)
+        for name, gid in [("a", "g1"), ("b", "g2")]:
+            execute_sqlite_query(
+                "INSERT INTO stars (combined_footprint_hash, name, ra, "
+                "dec, gaia_id, distance_to_roi_arcsec) VALUES "
+                "(?, ?, 42.0, 19.0, ?, 10.0)", params=(fp, name, gid),
+                is_select=False)
+            execute_sqlite_query(
+                "INSERT INTO stars_in_frames (frame_id, star_gaia_id, "
+                "combined_footprint_hash) VALUES (1, ?, ?)",
+                params=(gid, fp), is_select=False)
+        # current config (stars a, b in frame) derives psf_ref 'psf_ab';
+        # a stale 'psf_a' row passes the gate, the current one fails
+        q = ("INSERT INTO PSFs (combined_footprint_hash, frame_id, chi2, "
+             "psf_ref, subsampling_factor) VALUES (?, 1, ?, ?, 2)")
+        execute_sqlite_query(q, params=(fp, 1.0, "psf_a"), is_select=False)
+        execute_sqlite_query(q, params=(fp, 8.0, "psf_ab"),
+                             is_select=False)
+        frames = get_frames_for_star(fp, "g1", 0.0, 2.0)
+        assert len(frames) == 0
+
+        # once the CURRENT psf passes, the frame is admitted exactly once
+        execute_sqlite_query(
+            "UPDATE PSFs SET chi2 = 1.2 WHERE psf_ref = 'psf_ab'",
+            is_select=False)
+        frames = get_frames_for_star(fp, "g1", 0.0, 2.0)
+        assert list(frames["id"]) == [1]
+        assert list(frames["psf_ref"]) == ["psf_ab"]
+
+
+class TestGetFluxesNullHandling:
+    def test_null_fluxes_come_back_as_float_nan(self, _mini_workdir):
+        """NaN fluxes bind as NULL in sqlite; get_fluxes must return a
+        float column (NULL -> NaN) that pandas can aggregate — the
+        reference's IFNULL(...,'NaN') yields object dtype and crashes
+        groupby().median() on modern pandas."""
+        from lightcurver_tpu.processes.normalization_calculation import \
+            get_fluxes
+        from lightcurver_tpu.structure.database import execute_sqlite_query
+
+        fp = 999
+        for fid in (1, 2):
+            execute_sqlite_query(
+                "INSERT INTO frames (id, mjd) VALUES (?, 60000.0)",
+                params=(fid,), is_select=False)
+        execute_sqlite_query(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec, "
+            "gaia_id, distance_to_roi_arcsec) VALUES "
+            "(?, 'a', 42.0, 19.0, 'g1', 10.0)", params=(fp,),
+            is_select=False)
+        for fid in (1, 2):
+            execute_sqlite_query(
+                "INSERT INTO stars_in_frames (frame_id, star_gaia_id, "
+                "combined_footprint_hash) VALUES (?, 'g1', ?)",
+                params=(fid, fp), is_select=False)
+        q = ("INSERT INTO star_flux_in_frame (frame_id, star_gaia_id, "
+             "combined_footprint_hash, flux, flux_uncertainty, chi2) "
+             "VALUES (?, 'g1', ?, ?, ?, 1.0)")
+        execute_sqlite_query(q, params=(1, fp, 100.0, 1.0),
+                             is_select=False)
+        execute_sqlite_query(q, params=(2, fp, float("nan"),
+                                        float("nan")), is_select=False)
+        df = get_fluxes(fp, 0.0, 2.0)
+        assert len(df) == 2
+        assert df["flux"].dtype.kind == "f"
+        assert df["d_flux"].dtype.kind == "f"
+        assert np.isnan(df["flux"]).sum() == 1
+        # the aggregation that crashed on object dtype works
+        med = df.groupby("star_gaia_id")["flux"].median()
+        assert med["g1"] == pytest.approx(100.0)
