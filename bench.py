@@ -374,8 +374,15 @@ def main():
                        (float("nan"), float("nan")))
     psf_vg = _optional(lambda: psf_pixel_phase_cost(16, 8, 64, 2)[0],
                        "psfcost", (float("nan"), float("nan")))
+    from lightcurver_tpu.utilities.benchmarking import star_fit_phase_cost
+
+    star_vg = _optional(lambda: star_fit_phase_cost(8, 50, 16, 2)[0],
+                        "starcost", (float("nan"), float("nan")))
     roi_ms_iter = roi1000_wall * 1e3 / 2000
     psf_ms_iter = (16.0 / fits_per_sec) * 1e3 / 3100
+    # batched 8-star fit wall over its 2000 iterations (prep + GLS
+    # polish folded in — an upper bound, like the PSF figure)
+    star_ms_iter = (8.0 / star_fps) * 1e3 / 2000
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
     baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
@@ -410,6 +417,8 @@ def main():
         else None,
         "psf_ms_per_iter_upper": _num(round(psf_ms_iter, 4)),
         "psf_pixel_vg_bytes_per_iter": _num(psf_vg[0]),
+        "star_ms_per_iter_upper": _num(round(star_ms_iter, 4)),
+        "star_vg_bytes_per_iter": _num(star_vg[0]),
         "starlet_xla_us": _num(round(t_xla * 1e6, 1)),
         "starlet_pallas_us": _num(round(t_pal * 1e6, 1)),
         "starlet_backend_selected": ops.get_backend(),

@@ -113,14 +113,62 @@ def psf_pixel_phase_cost(batch, n_stars, n_pix, s):
     return compiled_cost(vg, free, consts), (vg, free, consts)
 
 
-def time_vg_loop(vg, free, consts, n_rep=200):
-    """Mean per-iteration wall of ``vg`` inside one compiled scan.
+def star_fit_phase_cost(n_stars=8, n_epochs=50, n_pix=16, s=2):
+    """(bytes, flops) of one batched star-photometry value_and_grad.
+
+    The per-iteration program of the batched joint star fit
+    (core/deconv/batched._fit_stars: a vmap over stars of the AdaBelief
+    loss+grad) at bench.py's ``run_star_photometry_bench`` shape, on the
+    CURRENT ops backends — the third hot task's driver-verifiable
+    roofline evidence, mirroring :func:`psf_pixel_phase_cost`.
+
+    Returns ``((bytes, flops), (vg, free, consts_pair))`` where ``vg``
+    has the ``vg(free, consts)`` signature :func:`time_vg_loop` expects
+    (the star-independent shared consts travel inside the pair, as an
+    ARGUMENT of the traced program per the core/optimize.py contract).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .. import ops
+    from ..core.deconv.batched import (_prepare_stars, _shared_consts,
+                                       _star_loss_fn)
+
+    mp = n_pix * s
+    data = jnp.ones((n_stars, n_epochs, n_pix, n_pix), jnp.float32)
+    noise = jnp.ones((n_stars, n_epochs, n_pix, n_pix), jnp.float32)
+    psf = jnp.ones((n_stars, n_epochs, mp, mp), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_stars)
+    backend = ops.get_irfft_backend()
+    free0, _, _, consts, _ = _prepare_stars(
+        data, noise, psf, keys, n_epochs, n_pix, s, False, False, backend)
+    shared = _shared_consts(n_pix, s, backend)
+    loss_fn = _star_loss_fn(n_epochs, n_pix, s, False,
+                            ops.get_dft_precision())
+
+    def vg(free, consts_pair):
+        per_star, shared_c = consts_pair
+
+        def one(f, c):
+            return jax.value_and_grad(loss_fn)(f, {**c, **shared_c})
+
+        return jax.vmap(one)(free, per_star)
+
+    consts_pair = (consts, shared)
+    return compiled_cost(vg, free0, consts_pair), (vg, free0, consts_pair)
+
+
+def time_vg_loop(vg, free, consts, n_rep=200, n_best_of=3):
+    """Best-of-N per-iteration wall of ``vg`` inside one compiled scan.
 
     The carry is a gradient-descent update of the parameters — a real
     loop-carried data dependence, so XLA cannot hoist the body (same
-    rationale as :func:`time_compiled_loop`).  One compile, honest
-    per-iteration time of the optimizer's dominant work (the AdaBelief
-    moment updates it omits are a few % of the loss+grad cost).
+    rationale as :func:`time_compiled_loop`).  One compile; the timed
+    run repeats ``n_best_of`` times with perturbed restarts and keeps
+    the fastest — the shared tunneled backend shows transient multi-x
+    slowdowns from other tenants (measured: the same program 15.5 then
+    0.28 ms/iter minutes apart), so a single sample can overstate the
+    per-iteration time by an order of magnitude.
     """
     import time as _time
 
@@ -139,7 +187,10 @@ def time_vg_loop(vg, free, consts, n_rep=200):
         return ys[-1]
 
     float(many(free, consts))    # compile + first run
-    t0 = _time.perf_counter()
-    float(many(jax.tree_util.tree_map(lambda x: x * (1 + 1e-6), free),
-               consts))
-    return (_time.perf_counter() - t0) / n_rep
+    best = float("inf")
+    for rep in range(1, n_best_of + 1):
+        f = jax.tree_util.tree_map(lambda x: x * (1 + 1e-6 * rep), free)
+        t0 = _time.perf_counter()
+        float(many(f, consts))
+        best = min(best, _time.perf_counter() - t0)
+    return best / n_rep

@@ -49,3 +49,29 @@ def test_deconv_value_and_grad_bytes_budget():
         assert "t_re" in loss.consts and "dft_mats" in loss.consts
     finally:
         ops.set_irfft_backend(prev)
+
+
+def test_star_fit_phase_cost_emits_finite_figures():
+    """The bench.py star-roofline extras must not silently break.
+
+    star_fit_phase_cost builds the per-iteration value_and_grad of the
+    batched star fit (tools/star_roofline.py, bench.py
+    ``star_vg_bytes_per_iter``); a refactor of core/deconv/batched that
+    changes its private surface would otherwise only fail on TPU at
+    driver time.
+    """
+    from lightcurver_tpu import ops
+    from lightcurver_tpu.utilities.benchmarking import star_fit_phase_cost
+
+    prev = ops.get_irfft_backend()
+    ops.set_irfft_backend("mxu")
+    try:
+        (vg_bytes, vg_flops), (vg, free, consts) = star_fit_phase_cost(
+            n_stars=2, n_epochs=4, n_pix=8, s=2)
+        assert np.isfinite(vg_bytes) and vg_bytes > 0
+        assert np.isfinite(vg_flops) and vg_flops > 0
+        value, grad = jax.jit(vg)(free, consts)
+        assert value.shape == (2,)
+        assert np.all(np.isfinite(np.asarray(value)))
+    finally:
+        ops.set_irfft_backend(prev)
