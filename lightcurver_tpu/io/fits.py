@@ -187,9 +187,17 @@ def _format_long_string(key_padded, value, comment):
 
 def _format_card(key, value, comment=""):
     key = key.upper()[:8].ljust(8)
+    if key.strip() in ("COMMENT", "HISTORY"):
+        # commentary keywords carry free text in columns 9-80 and MUST
+        # NOT have a value indicator (the '= ' form is forbidden for
+        # them by the standard and garbles round-trips)
+        return (key + str(value))[:CARD].ljust(CARD)
     if value is None:
         body = ""
-    elif isinstance(value, bool):
+    elif isinstance(value, (bool, np.bool_)):
+        # np.bool_ is NOT a subclass of bool: without the explicit case
+        # a numpy comparison result would be written as the STRING
+        # 'True' (truthy even when 'False' on re-read)
         body = "T".rjust(20) if value else "F".rjust(20)
     elif isinstance(value, (int, np.integer)):
         body = str(int(value)).rjust(20)
@@ -295,11 +303,15 @@ def read_fits(path, hdu_index=0, header_only=False, memmap=False):
                 bscale = header.get("BSCALE", 1)
                 bzero = header.get("BZERO", 0)
                 if dtype.kind in "iu" or bscale != 1 or bzero != 0:
-                    # scale in the precision of the source: a float64
-                    # (or 64-bit int) image with BSCALE/BZERO must not
-                    # be squeezed through float32 (a large BZERO offset
-                    # would eat half its significant digits)
-                    out = (np.float64 if dtype.itemsize == 8
+                    # scale in the precision of the source: float64 for
+                    # any type whose significand exceeds float32's 24
+                    # bits — 64-bit types AND 32-bit integers (the
+                    # standard unsigned-32 encoding BITPIX=32 +
+                    # BZERO=2^31 would otherwise lose up to ~128 counts
+                    # to float32 quantization)
+                    out = (np.float64
+                           if dtype.itemsize == 8
+                           or (dtype.kind in "iu" and dtype.itemsize >= 4)
                            else np.float32)
                     data = data.astype(out) * out(bscale) + out(bzero)
                 else:

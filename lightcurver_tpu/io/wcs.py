@@ -195,6 +195,12 @@ class TanWCS:
         dra = ra - ra0
         den = (np.sin(dec0) * np.sin(dec)
                + np.cos(dec0) * np.cos(dec) * np.cos(dra))
+        # den <= 0: the point is 90+ degrees from the tangent point and
+        # has no gnomonic projection — without this guard the sign flip
+        # would project its ANTIPODE into the image (e.g. contains_world
+        # returning True for a target on the opposite sky).  NaN out,
+        # like astropy; comparisons against NaN are False downstream.
+        den = np.where(den > 1e-12, den, np.nan)
         xi = np.cos(dec) * np.sin(dra) / den / DEG
         eta = (np.cos(dec0) * np.sin(dec)
                - np.sin(dec0) * np.cos(dec) * np.cos(dra)) / den / DEG
@@ -227,11 +233,21 @@ class TanWCS:
         return math.degrees(math.atan2(-(x1 - cx), y1 - cy))
 
     def footprint_polygon(self, shape):
-        """Corner (ra, dec) list for an image of ``shape`` (ny, nx)."""
+        """Corner (ra, dec) list for an image of ``shape`` (ny, nx).
+
+        Corner RAs are unwrapped to be CONTINUOUS around the frame
+        center (CRVAL1): a field straddling RA = 0 would otherwise mix
+        corners near 359.9 with corners near 0.1 and every flat-plane
+        polygon consumer (intersection/union, centroids, containment)
+        would see a ~360-degree-wide footprint.  Values may therefore
+        be slightly negative or above 360; consumers that need [0, 360)
+        (the Gaia ADQL emitter) re-wrap with mod.
+        """
         ny, nx = shape
         xs = np.array([0.0, nx - 1.0, nx - 1.0, 0.0])
         ys = np.array([0.0, 0.0, ny - 1.0, ny - 1.0])
         ra, dec = self.pixel_to_world(xs, ys)
+        ra = self.crval1 + (ra - self.crval1 + 180.0) % 360.0 - 180.0
         return list(zip(ra.tolist(), dec.tolist()))
 
     def contains_world(self, ra, dec, shape, margin_pixels=0.0):

@@ -31,9 +31,18 @@ def populate_stars_in_frames():
             "SELECT gaia_id, ra, dec, combined_footprint_hash FROM stars"
         ).fetchall()
 
+        from ..utilities.footprint import unwrap_ra
+
         margin_deg = 4.0 / 3600.0  # 4-arcsec margin (reference's value)
         for frame_id, footprint_str in footprints:
-            polygon = SimplePolygon(json.loads(footprint_str))
+            vertices = np.asarray(json.loads(footprint_str), dtype=float)
+            # flat-plane containment needs polygon AND stars in one
+            # continuous RA window (fields straddling RA = 0); anchor
+            # on a single vertex — a mean of wrapped RAs is corrupted
+            # by the seam
+            ra_center = float(vertices[0, 0])
+            vertices[:, 0] = unwrap_ra(vertices[:, 0], ra_center)
+            polygon = SimplePolygon(vertices)
             mean_dec = float(np.nanmean(polygon.vertices[:, 1]))
             ra_margin = margin_deg / np.cos(np.radians(mean_dec))
 
@@ -48,7 +57,7 @@ def populate_stars_in_frames():
                 continue
 
             for gaia_id, ra, dec, footprint_hash in stars:
-                if shrunk.contains(ra, dec):
+                if shrunk.contains(float(unwrap_ra(ra, ra_center)), dec):
                     try:
                         conn.execute(
                             "INSERT INTO stars_in_frames (frame_id, "

@@ -242,6 +242,12 @@ def _apply_star_selection(base_query, base_params, stars_to_use,
                  + " LIMIT ?")
         params = (*base_params, stars_to_use)
     elif isinstance(stars_to_use, list):
+        if not stars_to_use:
+            # would generate "IN ()" — a SQLite syntax error surfacing
+            # deep inside a task with no hint the config list is empty
+            raise ValueError(
+                "stars_to_use is an empty list; give star names, an "
+                "integer count, or null (top-10 closest)")
         marks = ",".join("?" * len(stars_to_use))
         query = base_query + f" AND {order_column}.name IN ({marks})"
         params = (*base_params, *stars_to_use)

@@ -30,9 +30,17 @@ def time_compiled_loop(fn, img, n_rep):
         return ys.sum()
 
     float(many(img))             # compile + first run
-    t0 = time.perf_counter()
-    float(many(img * 1.000001))
-    return (time.perf_counter() - t0) / n_rep
+    # perturbed input prepared OUTSIDE the timed window: an eager device
+    # multiply costs whole dispatch round-trips on the tunneled backend
+    # and would be billed to the loop.  Best-of-3 for the same reason as
+    # time_vg_loop (transient tenancy slowdowns).
+    best = float("inf")
+    for rep in range(1, 4):
+        img_p = (img * (1 + 1e-6 * rep)).block_until_ready()
+        t0 = time.perf_counter()
+        float(many(img_p))
+        best = min(best, time.perf_counter() - t0)
+    return best / n_rep
 
 
 def compiled_cost(fn, *args):

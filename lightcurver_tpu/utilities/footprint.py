@@ -38,6 +38,23 @@ def get_combined_footprint_hash(user_config, frames_id_list):
     return hash(user_config["ROI_disk_radius_arcseconds"])
 
 
+def unwrap_ra(ra, center_ra):
+    """Map RA (degrees) into the continuous window centered on center_ra.
+
+    Flat-plane polygon math (intersections, centroids, containment)
+    breaks when a field straddles RA = 0 and coordinates mix ~359.9
+    with ~0.1; unwrapping every RA into (center - 180, center + 180]
+    restores a consistent plane.  Works on scalars and arrays.
+    """
+    return center_ra + (np.asarray(ra) - center_ra + 180.0) % 360.0 - 180.0
+
+
+def _unwrap_footprint(fp, center_ra):
+    fp = np.asarray(fp, dtype=float).copy()
+    fp[:, 0] = unwrap_ra(fp[:, 0], center_ra)
+    return fp
+
+
 def calc_common_and_total_footprint(list_of_footprints):
     """Intersection and union of frame corner polygons.
 
@@ -52,6 +69,13 @@ def calc_common_and_total_footprint(list_of_footprints):
         raise RuntimeError(
             "No frame footprints available — no frame is plate-solved "
             "with the ROI in its footprint yet; cannot combine.")
+    # all frames unwrapped around ONE reference RA so cross-frame
+    # intersections near RA = 0 stay in a single continuous plane.
+    # The reference is a single VERTEX: a mean of wrapped RAs is itself
+    # corrupted by the seam (mean of 359.95 and 0.15 is 180.05)
+    ra0 = float(np.asarray(list_of_footprints[0])[0, 0])
+    list_of_footprints = [_unwrap_footprint(fp, ra0)
+                          for fp in list_of_footprints]
     polygons = [SimplePolygon(fp) for fp in list_of_footprints]
     common = polygons[0]
     for poly in polygons[1:]:
@@ -139,9 +163,15 @@ def identify_and_eliminate_bad_pointings():
     if len(rows) == 0:
         return
     ids = rows["id"].to_numpy()
-    centers = np.array([
-        np.mean(np.array(json.loads(poly)), axis=0)
-        for poly in rows["polygon"]])
+    polys = [np.array(json.loads(poly)) for poly in rows["polygon"]]
+    # one shared unwrap reference: pointings straddling RA = 0 must not
+    # scatter centroids across the [0, 360) seam (a ~180-degree fake
+    # deviation would either eliminate good frames or inflate the std
+    # until real bad pointings pass).  A single vertex, not a mean —
+    # a mean of wrapped RAs is itself corrupted by the seam
+    ra0 = float(polys[0][0, 0])
+    centers = np.array([_unwrap_footprint(p, ra0).mean(axis=0)
+                        for p in polys])
     overall = centers.mean(axis=0)
     deviations = np.linalg.norm(centers - overall, axis=1)
     threshold = deviations.mean() + 5.0 * deviations.std()

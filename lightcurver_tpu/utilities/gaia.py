@@ -147,7 +147,10 @@ def find_gaia_stars_in_polygon(vertices, gaia_provider="gaia",
     where, table = construct_where_conditions(
         gaia_provider, astrometric_excess_noise_max, gmag_range,
         min_phot_g_mean_flux_over_error)
-    poly = ", ".join(f"{ra},{dec}" for ra, dec in vertices)
+    # footprint vertices may be unwrapped outside [0, 360) (continuous
+    # around the field center, utilities/footprint.unwrap_ra); ADQL
+    # POLYGON is spherical, so re-wrap for the service
+    poly = ", ".join(f"{float(ra) % 360.0},{dec}" for ra, dec in vertices)
     ra_col, dec_col = ("ra", "dec") if gaia_provider != "vizier" else (
         gaia_to_vizier_column_mapping["ra"],
         gaia_to_vizier_column_mapping["dec"])

@@ -339,3 +339,102 @@ class TestHeaderEdgeCases:
         wcs = TanWCS.from_header(header)
         assert wcs.pixel_scale_arcsec() == pytest.approx(
             5.8e-5 * 3600 * np.sqrt(2.0), rel=1e-6)
+
+
+class TestReviewRound3Fixes:
+    """Round-3 review findings: commentary cards, numpy bools, int32
+    scaling precision, antipode projection, RA-wrap-safe footprints."""
+
+    def test_comment_history_cards_roundtrip(self, tmp_path):
+        """COMMENT/HISTORY are commentary keywords: free text in columns
+        9-80, NO value indicator — and they survive a write/read."""
+        from lightcurver_tpu.io.fits import (Header, _format_card,
+                                             read_fits, write_fits)
+
+        card = _format_card("COMMENT", "reduced by lightcurver_tpu")
+        assert card[:8] == "COMMENT "
+        assert "=" not in card.split("lightcurver_tpu")[0]
+        header = Header([("COMMENT", "first note", ""),
+                         ("HISTORY", "solved 2026-08-17", ""),
+                         ("GAIN", 1.5, "")])
+        path = tmp_path / "comments.fits"
+        write_fits(path, np.zeros((4, 4), np.float32), header)
+        _, h = read_fits(path)
+        cards = {k: v for k, v, _ in h.cards()}
+        assert cards["COMMENT"] == "first note"
+        assert cards["HISTORY"] == "solved 2026-08-17"
+        assert h["GAIN"] == 1.5
+
+    def test_numpy_bool_header_value(self, tmp_path):
+        """np.bool_ values must be written as logical T/F, not the
+        truthy 8-char string 'True'/'False'."""
+        from lightcurver_tpu.io.fits import Header, read_fits, write_fits
+
+        header = Header()
+        header["SOLVED"] = np.bool_(False)
+        header["OK"] = np.bool_(True)
+        path = tmp_path / "npbool.fits"
+        write_fits(path, np.zeros((2, 2), np.float32), header)
+        _, h = read_fits(path)
+        assert h["SOLVED"] is False
+        assert h["OK"] is True
+
+    def test_int32_bzero_unsigned_precision(self, tmp_path):
+        """BITPIX=32 + BZERO=2^31 (the standard unsigned-32 encoding)
+        must scale through float64: float32 would quantize values near
+        4.29e9 by up to 128 counts."""
+        from lightcurver_tpu.io.fits import BLOCK, read_fits
+
+        values = np.array([[2**31 - 1, 2**31 - 129],
+                           [-2**31, 0]], dtype=">i4")
+        cards = [
+            "SIMPLE  =                    T",
+            "BITPIX  =                   32",
+            "NAXIS   =                    2",
+            "NAXIS1  =                    2",
+            "NAXIS2  =                    2",
+            "BZERO   =           2147483648",
+            "BSCALE  =                    1",
+            "END",
+        ]
+        head = "".join(c.ljust(80) for c in cards).encode()
+        head += b" " * (-len(head) % BLOCK)
+        raw = values.tobytes()
+        raw += b"\0" * (-len(raw) % BLOCK)
+        path = tmp_path / "u32.fits"
+        path.write_bytes(head + raw)
+        data, _ = read_fits(path)
+        assert data.dtype == np.float64
+        # exact unsigned values — float32 would round both to 2**32
+        assert data[0, 0] == 2.0**32 - 1
+        assert data[0, 1] == 2.0**32 - 129
+        assert data[1, 0] == 0.0
+
+    def test_antipode_does_not_project_into_image(self):
+        """Points 90+ degrees from the tangent point have no gnomonic
+        projection: world_to_pixel must NaN them out (previously the
+        sign flip projected the ANTIPODE into the image and
+        contains_world returned a false positive)."""
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        scale = 0.21 / 3600.0
+        wcs = TanWCS(crval1=42.2, crval2=19.2, crpix1=50.5, crpix2=60.5,
+                     cd=[[-scale, 0.0], [0.0, scale]])
+        # the exact antipode previously landed exactly on CRPIX
+        x, y = wcs.world_to_pixel(42.2 + 180.0, -19.2)
+        assert np.isnan(float(x)) and np.isnan(float(y))
+        assert not wcs.contains_world(42.2 + 180.0, -19.2, (120, 100))
+        # in-image points are untouched
+        assert wcs.contains_world(42.2, 19.2, (120, 100))
+
+    def test_footprint_polygon_continuous_across_ra_zero(self):
+        """A field straddling RA = 0 must yield corners continuous
+        around CRVAL1, not a mix of ~359.9 and ~0.1."""
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        scale = 30.0 / 3600.0  # wide field so corners cross the seam
+        wcs = TanWCS(crval1=0.02, crval2=10.0, crpix1=25.0, crpix2=25.0,
+                     cd=[[-scale, 0.0], [0.0, scale]])
+        corners = np.array(wcs.footprint_polygon((50, 50)))
+        assert corners[:, 0].max() - corners[:, 0].min() < 1.0
+        assert np.all(np.abs(corners[:, 0] - 0.02) < 1.0)

@@ -122,3 +122,40 @@ def test_header_parser_plugin(workdir):
     parser = load_custom_header_parser()
     out = parser({"MJD-OBS": 60123.5})
     assert out == {"mjd": 60123.5, "gain": 1.2, "exptime": 30.0}
+
+
+def test_empty_star_list_is_a_clear_error(workdir):
+    """stars_to_use = [] used to generate 'IN ()' — a bare SQLite syntax
+    error deep inside a task; now a ValueError naming the config knob."""
+    from lightcurver_tpu.structure.database import select_stars
+
+    with pytest.raises(ValueError, match="empty list"):
+        select_stars(12345, stars_to_use=[])
+
+
+def test_star_assignment_across_ra_seam(workdir):
+    """A footprint straddling RA = 0 must still collect its stars
+    (round-3 review finding: flat-plane contains() broke at the seam)."""
+    import json
+
+    from lightcurver_tpu.processes.frame_star_assignment import \
+        populate_stars_in_frames
+    from lightcurver_tpu.structure.database import (execute_sqlite_query,
+                                                    get_pandas)
+
+    execute_sqlite_query("INSERT INTO frames (id, mjd) VALUES (1, 60000.0)",
+                         is_select=False)
+    # corner RAs as the (historically wrapped) WCS convention stores them
+    poly = [[359.9, 9.9], [0.1, 9.9], [0.1, 10.1], [359.9, 10.1]]
+    execute_sqlite_query(
+        "INSERT INTO footprints (frame_id, polygon) VALUES (?, ?)",
+        params=(1, json.dumps(poly)), is_select=False)
+    for gaia_id, ra in [("g1", 359.95), ("g2", 0.05), ("g3", 1.5)]:
+        execute_sqlite_query(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec, "
+            "gaia_id, distance_to_roi_arcsec) VALUES (?, ?, ?, ?, ?, ?)",
+            params=(777, gaia_id, ra, 10.0, gaia_id, 10.0),
+            is_select=False)
+    populate_stars_in_frames()
+    rows = get_pandas(table="stars_in_frames")
+    assert set(rows["star_gaia_id"]) == {"g1", "g2"}  # g3 outside

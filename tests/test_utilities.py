@@ -124,3 +124,43 @@ def test_proper_motion():
     ra, dec = apply_proper_motion(10.0, 0.0, 0.0, 1000.0, 2016.0,
                                   51544.5 + 26 * 365.25)  # J2026
     assert (dec - 0.0) * 3600 == pytest.approx(10.0, rel=1e-6)
+
+
+class TestFootprintRAWrap:
+    """Round-3 review finding: flat-plane footprint math must survive
+    fields straddling RA = 0 (corner RAs wrapped into [0, 360) used to
+    produce ~360-degree-wide polygons)."""
+
+    def test_unwrap_ra(self):
+        from lightcurver_tpu.utilities.footprint import unwrap_ra
+
+        assert float(unwrap_ra(359.9, 0.0)) == pytest.approx(-0.1)
+        assert float(unwrap_ra(0.1, 0.0)) == pytest.approx(0.1)
+        assert float(unwrap_ra(0.05, 359.9)) == pytest.approx(360.05)
+        assert float(unwrap_ra(42.2, 42.0)) == pytest.approx(42.2)
+        np.testing.assert_allclose(
+            np.asarray(unwrap_ra(np.array([359.9, 0.1]), 0.0)),
+            [-0.1, 0.1])
+
+    def test_calc_common_footprint_across_seam(self):
+        from lightcurver_tpu.utilities.footprint import (
+            calc_common_and_total_footprint)
+
+        # two overlapping 0.2-deg fields straddling RA = 0, as the
+        # (wrapped) WCS corner convention would historically store them
+        fp1 = [(359.95, 9.9), (0.15 + 360 * 0, 9.9),
+               (0.15, 10.1), (359.95, 10.1)]
+        fp1 = [(ra % 360.0, dec) for ra, dec in fp1]
+        fp2 = [((ra - 0.05) % 360.0, dec) for ra, dec in fp1]
+        common, largest = calc_common_and_total_footprint([fp1, fp2])
+        assert common is not None
+        # intersection spans 0.15 x 0.2 deg; union 0.25 x 0.2 deg
+        assert common.area == pytest.approx(0.15 * 0.2, rel=1e-6)
+        assert largest.area == pytest.approx(0.25 * 0.2, rel=1e-6)
+        # the ROI on the seam is inside (after unwrapping to the
+        # polygons' own window)
+        from lightcurver_tpu.utilities.footprint import unwrap_ra
+
+        ra0 = float(np.mean(np.asarray(fp1)[:, 0] % 360.0))
+        verts = np.asarray(common.mapping()["coordinates"][0])
+        assert verts[:, 0].max() - verts[:, 0].min() < 1.0
