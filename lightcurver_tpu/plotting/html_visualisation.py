@@ -15,8 +15,13 @@ _TEMPLATE_PATH = Path(__file__).parent / "plot_curves_template.html"
 
 def generate_lightcurve_html(df, out_path):
     """Write an interactive HTML plot of per-source magnitudes vs MJD."""
-    sources = sorted({c.split("_")[0] for c in df.columns
-                      if c.endswith("_mag") and c.count("_") == 1})
+    # a single non-finite MJD would make the JS extent() NaN and blank
+    # the whole SVG (the matplotlib path filters these too)
+    df = df[np.isfinite(np.asarray(df["mjd"], dtype=float))]
+    # suffix-strip, not split("_")[0]: labels may contain underscores
+    sources = sorted({c[:-len("_mag")] for c in df.columns
+                      if c.endswith("_mag")
+                      and not c.endswith(("_d_mag", "_scatter_mag"))})
     payload = {"mjd": [float(v) for v in df["mjd"]], "sources": {}}
     for ps in sources:
         mags = [None if not np.isfinite(v) else float(v)

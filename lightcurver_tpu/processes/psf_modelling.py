@@ -327,7 +327,12 @@ def _store_psf_result(user_config, regions_file, job, result,
                      / str(combined_footprint_hash))
         plots_dir.mkdir(exist_ok=True, parents=True)
         frame_name = Path(frame["image_relpath"]).stem
-        seeing = (frame["seeing_pixels"] or 0) * pixel_scale
+        seeing = frame["seeing_pixels"]
+        # NaN is truthy: 'or 0' alone would print 'seeing: nan' (same
+        # guard as the Moffat FWHM above)
+        if seeing is None or not np.isfinite(seeing):
+            seeing = 0.0
+        seeing = seeing * pixel_scale
         text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"
                 f"seeing moffat: {fwhm_arcsec:.02f}")
         plot_psf_diagnostic(

@@ -370,22 +370,31 @@ def do_modelling_of_roi():
                         wavelet_type_list=["starlet"], method="SLIT",
                         num_samples=500, seed=1, likelihood_type="chi2",
                         upsampling_factor=subsampling_factor)[0]
-    kwargs_final, optim = run_fit(
-        kwargs_partial1, kwargs_fixed_2, "adabelief",
-        user_config["roi_deconv_all_iters"],
-        dict(regularization_terms="l1_starlet",
-             regularization_strength_scales=reg.get(
-                 "regularization_strength_scales", 1.0),
-             regularization_strength_hf=reg.get(
-                 "regularization_strength_hf", 1.0),
-             regularization_strength_positivity=reg.get(
-                 "regularization_strength_positivity", 100.0),
-             regularization_strength_pts_source=reg.get(
-                 "regularization_strength_pts_source", 0.01),
-             regularization_strength_flux_uniformity=reg.get(
-                 "regularization_scatter_fluxes_main_optim", 10.0),
-             W=W, prior=astrometric_prior),
-        lr=1e-4, schedule=False, checkpoint=True)
+    def run_stage2():
+        return run_fit(
+            kwargs_partial1, kwargs_fixed_2, "adabelief",
+            user_config["roi_deconv_all_iters"],
+            dict(regularization_terms="l1_starlet",
+                 regularization_strength_scales=reg.get(
+                     "regularization_strength_scales", 1.0),
+                 regularization_strength_hf=reg.get(
+                     "regularization_strength_hf", 1.0),
+                 regularization_strength_positivity=reg.get(
+                     "regularization_strength_positivity", 100.0),
+                 regularization_strength_pts_source=reg.get(
+                     "regularization_strength_pts_source", 0.01),
+                 regularization_strength_flux_uniformity=reg.get(
+                     "regularization_scatter_fluxes_main_optim", 10.0),
+                 W=W, prior=astrometric_prior),
+            lr=1e-4, schedule=False, checkpoint=True)
+
+    from ..utilities.checkpoints import run_discarding_stale_checkpoint
+
+    # prepared cutouts or the iteration budget may legitimately change
+    # under the same footprint hash: a resume refusal discards the
+    # stale checkpoint instead of wedging every re-run
+    kwargs_final, optim = run_discarding_stale_checkpoint(
+        run_stage2, checkpoint_path, logger)
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()
 
@@ -447,7 +456,13 @@ def do_modelling_of_roi():
     wcs_highres = upsampled_wcs(wcs_ref, subsampling_factor)
     header_highres = Header()
     header_highres.update(wcs_highres.to_header_cards())
-    header_highres["ZPT"] = float(np.atleast_1d(zeropoint)[0])
+    zpt = float(np.atleast_1d(zeropoint)[0])
+    if np.isfinite(zpt):
+        header_highres["ZPT"] = zpt
+    else:
+        # FITS has no NaN card value; an absent zeropoint (no catalog
+        # match) is recorded as commentary instead of an invalid card
+        header_highres["COMMENT"] = "ZPT unavailable (no zeropoint)"
     write_fits(out_dir / f"{footprint_hash}_{roi}_high_res_model.fits",
                scale * np.asarray(high_res), header_highres)
     write_fits(out_dir / f"{footprint_hash}_{roi}_background.fits",

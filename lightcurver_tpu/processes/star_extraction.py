@@ -125,7 +125,15 @@ def extract_sources_from_sky_sub_image(image_path, sources_path,
                                        exptime,
                                        background_rms_electron_per_second,
                                        debug_plot_path):
-    """Re-extraction utility on an already sky-subtracted stored frame."""
+    """Re-extraction utility on an already sky-subtracted stored frame.
+
+    Works in ELECTRONS (exptime * stored e-/s frame) like the reference
+    (reference processes/star_extraction.py:76-77), while the import
+    path extracts on the e-/s frame directly — so re-extracted fluxes
+    differ from import-time ones by the frame's exptime.  Kept as
+    reference parity: the sources flux is only ever used for ordering
+    (brightest-first) and the detection SNR is scale-invariant.
+    """
     from ..io.fits import read_fits
 
     data, _ = read_fits(image_path)

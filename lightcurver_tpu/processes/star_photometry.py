@@ -342,7 +342,8 @@ def _fit_star_jobs_batched(user_config, jobs):
         psf[i, k:] = job["psf"][0]  # dummy epochs need a valid PSF
 
     # opt-in mid-fit checkpointing (deconv_checkpoint_every), keyed by
-    # the job-set content so a resumed run must match the pending stars
+    # the pending-star set + batch shape; the array CONTENT is digested
+    # inside fit_stars_batched (a mismatch discards the checkpoint below)
     checkpoint_every = int(user_config["deconv_checkpoint_every"] or 0)
     checkpoint_path = None
     if checkpoint_every > 0:
@@ -355,15 +356,25 @@ def _fit_star_jobs_batched(user_config, jobs):
         checkpoint_path = (user_config["checkpoints_dir"]
                            / f"star_photometry_{job_key}.ckpt")
 
-    out = fit_stars_batched(
-        data, noise, psf, user_config["subsampling_factor"],
-        n_iter=user_config["star_deconv_n_iter"],
-        uniform_background_per_epoch=user_config[
-            "star_photometry_uniform_background_per_epoch"],
-        starlet_global_background=user_config[
-            "star_photometry_starlet_global_background"],
-        checkpoint_path=checkpoint_path,
-        checkpoint_every=checkpoint_every or 500)
+    def run_batched_fit():
+        return fit_stars_batched(
+            data, noise, psf, user_config["subsampling_factor"],
+            n_iter=user_config["star_deconv_n_iter"],
+            uniform_background_per_epoch=user_config[
+                "star_photometry_uniform_background_per_epoch"],
+            starlet_global_background=user_config[
+                "star_photometry_starlet_global_background"],
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every or 500)
+
+    from ..utilities.checkpoints import run_discarding_stale_checkpoint
+
+    # inputs/budget may legitimately change under the same pending-star
+    # set (this task re-derives them from SQL): a resume refusal
+    # discards the stale checkpoint instead of wedging every re-run
+    out = run_discarding_stale_checkpoint(
+        run_batched_fit, checkpoint_path,
+        logging.getLogger("lightcurver.star_photometry"))
     if checkpoint_path is not None and checkpoint_path.exists():
         checkpoint_path.unlink()
 

@@ -17,8 +17,14 @@ from .stats import sigmaclip
 
 
 def _point_source_names(columns):
-    return {c.split("_")[0] for c in columns
-            if c.endswith("_flux") and not c.endswith("_d_flux")}
+    # strip the exact "_flux" suffix rather than split("_")[0] (the
+    # reference's defect): a label containing an underscore ("QSO_A")
+    # would otherwise map to a nonexistent "QSO_flux" column and crash
+    # the pipeline at its very last step
+    return {c[:-len("_flux")] for c in columns
+            if c.endswith("_flux")
+            and not c.endswith(("_d_flux", "_scatter_flux",
+                                "_count_flux"))}
 
 
 def group_observations(df, threshold=0.8):
@@ -95,7 +101,7 @@ def convert_flux_to_magnitude(df):
     with np.errstate(invalid="ignore", divide="ignore"):
         for prefix in ("d", "scatter"):
             for flux_col in flux_cols:
-                ps = flux_col.split("_")[0]
+                ps = flux_col[:-len("_flux")]  # underscore-safe labels
                 err_col = f"{ps}_{prefix}_flux"
                 if err_col not in df.columns:
                     continue

@@ -225,3 +225,42 @@ def test_checkpoint_is_not_pickle_and_n_iter_mismatch_raises(
             loss.loss_fn, params.free0, params.lower, params.upper, 60,
             checkpoint_path=str(ckpt), consts=loss.consts,
             checkpoint_every=20)
+
+
+def test_stale_checkpoint_is_discarded_at_task_level(star_batch,
+                                                     tmp_path):
+    """The pipeline tasks re-derive their inputs, so a resume refusal
+    (inputs changed under the same checkpoint key) discards the stale
+    checkpoint and restarts — the previous behaviour wedged every
+    re-run until the user deleted the file by hand."""
+    import logging
+
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+    from lightcurver_tpu.utilities.checkpoints import \
+        run_discarding_stale_checkpoint
+
+    data, noise, psf = star_batch
+    ckpt = tmp_path / "stale.ckpt"
+    # a completed fit leaves its checkpoint on disk (tasks delete it)
+    fit_stars_batched(data, noise, psf, 2, n_iter=100,
+                      checkpoint_path=str(ckpt), checkpoint_every=50)
+    assert ckpt.exists()
+    changed = data * np.float32(1.01)  # same shapes, different content
+    logger = logging.getLogger("test.stale_ckpt")
+
+    def run():
+        return fit_stars_batched(changed, noise, psf, 2, n_iter=100,
+                                 checkpoint_path=str(ckpt),
+                                 checkpoint_every=50)
+
+    # the bare call refuses (core semantics, unchanged) ...
+    with pytest.raises(ValueError, match="different input data"):
+        run()
+    # ... the task-level wrapper recovers and completes
+    out = run_discarding_stale_checkpoint(run, ckpt, logger)
+    assert np.isfinite(out["fluxes"]).all()
+    # unrelated errors still propagate
+    def boom():
+        raise ValueError("unrelated")
+    with pytest.raises(ValueError, match="unrelated"):
+        run_discarding_stale_checkpoint(boom, ckpt, logger)

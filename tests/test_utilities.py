@@ -164,3 +164,52 @@ class TestFootprintRAWrap:
         ra0 = float(np.mean(np.asarray(fp1)[:, 0] % 360.0))
         verts = np.asarray(common.mapping()["coordinates"][0])
         assert verts[:, 0].max() - verts[:, 0].min() < 1.0
+
+
+def test_underscore_point_source_labels():
+    """Labels containing underscores ('QSO_A') must survive nightly
+    grouping and magnitude conversion (round-3 review finding: the
+    reference's split('_')[0] crashed at the pipeline's last step)."""
+    import pandas as pd
+
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import (
+        convert_flux_to_magnitude, group_observations)
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, 60000.01, 60003.0],
+        "zeropoint": [25.0, 25.0, 25.0],
+        "QSO_A_flux": [100.0, 110.0, 105.0],
+        "QSO_A_d_flux": [5.0, 5.0, 5.0],
+    })
+    nightly = group_observations(df)
+    assert len(nightly) == 2
+    assert "QSO_A_flux" in nightly.columns
+    mags = convert_flux_to_magnitude(nightly)
+    assert np.isfinite(mags["QSO_A_mag"]).all()
+    assert np.isfinite(mags["QSO_A_d_mag"]).all()
+
+
+def test_html_report_survives_nan_mjd(tmp_path):
+    """One NaN MJD row must not blank the whole interactive SVG, and
+    underscore labels must appear in the report."""
+    import json
+    import re
+
+    import pandas as pd
+
+    from lightcurver_tpu.plotting.html_visualisation import \
+        generate_lightcurve_html
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, np.nan, 60002.0],
+        "QSO_A_mag": [18.0, 18.1, 18.2],
+        "QSO_A_d_mag": [0.01, 0.01, 0.01],
+    })
+    out = tmp_path / "curves.html"
+    generate_lightcurve_html(df, out)
+    html = out.read_text()
+    payload = json.loads(
+        re.search(r"const DATA = (\{.*?\});", html).group(1))
+    assert payload["mjd"] == [60000.0, 60002.0]  # NaN row dropped
+    assert "QSO_A" in payload["sources"]
+    assert len(payload["sources"]["QSO_A"]["mag"]) == 2
