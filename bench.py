@@ -12,10 +12,69 @@ Run: python bench.py            (uses whatever JAX backend is live)
 """
 
 import json
+import os
 import pathlib
 import time
 
 import numpy as np
+
+# metrics recorded incrementally by main(); the watchdog prints these
+# (as the final JSON line) if the backend wedges mid-run
+_METRICS = {}
+
+
+def _probe_backend():
+    """True if the default backend completes a tiny jit under a deadline.
+
+    The tunneled TPU backend can wedge INDEFINITELY (measured
+    2026-08-17: a 64 MB host->device transfer stalled > 9 min while the
+    CPU suite ran green) — and a wedged client never recovers
+    in-process, so the probe must run in a fresh subprocess.
+    """
+    import subprocess
+    import sys
+
+    deadline = float(os.environ.get("LIGHTCURVER_BENCH_PROBE_S", 300))
+    # the canonical probe (64 MB h2d + 4k matmul): sized to catch the
+    # OBSERVED wedge mode — large transfers stalling while tiny ops
+    # still succeed
+    probe = pathlib.Path(__file__).parent / "tools" / "tpu_probe.py"
+    try:
+        r = subprocess.run([sys.executable, str(probe)],
+                           timeout=deadline, capture_output=True,
+                           text=True)
+        if r.returncode == 0 and '"matmul_ms"' in r.stdout:
+            return True
+        print(f"# probe exited rc={r.returncode}: "
+              f"{(r.stderr or r.stdout)[-400:]}", flush=True)
+        return False
+    except subprocess.TimeoutExpired:
+        print(f"# probe timed out after {deadline:.0f}s", flush=True)
+        return False
+
+
+def _start_watchdog():
+    """Emit the JSON line with whatever completed, rather than hang.
+
+    The driver records bench.py's output once per round; a wedged
+    backend must degrade that to partial metrics, never to nothing.
+    """
+    import threading
+
+    deadline = float(os.environ.get("LIGHTCURVER_BENCH_DEADLINE_S", 3300))
+
+    def fire():
+        out = {"metric": "roi_deconv_100epoch_wall_s", "value": None,
+               "unit": "s", "vs_baseline": None}
+        out.update(_METRICS)
+        out["watchdog_timeout_s"] = deadline
+        print(json.dumps(out), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def _setup_jax():
@@ -25,13 +84,24 @@ def _setup_jax():
     cache.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if (os.environ.get("LIGHTCURVER_BENCH_NO_PROBE") != "1"
+            and not _probe_backend() and not _probe_backend()):
+        # unresponsive accelerator: a degraded CPU line beats a hang
+        print("# backend probe unresponsive twice; falling back to CPU",
+              flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        # drop the persistent cache: its entries were compiled for the
+        # accelerator host's CPU — loading another machine's CPU AOT
+        # code risks SIGILL (XLA logs exactly that)
+        jax.config.update("jax_compilation_cache_dir", None)
+        _METRICS["backend_fallback"] = "cpu (default backend probe hung)"
     from lightcurver_tpu import ops
 
     ops.auto_select_backends()
     return jax
 
 
-def run_roi_deconv(scene, n_iter=2000):
+def run_roi_deconv(scene, n_iter=2000, repeats=2):
     import jax
     import jax.numpy as jnp
     from lightcurver_tpu.core.deconv.model import setup_model
@@ -109,7 +179,7 @@ def run_roi_deconv(scene, n_iter=2000):
     # the machine's actual speed.  Perturbed restarts so no caching
     # layer can replay the result.
     wall = float("inf")
-    for rep in range(1, 3):
+    for rep in range(1, repeats + 1):
         free1 = jax.tree_util.tree_map(
             lambda x: x * (1 + 1e-6 * rep), params.free0)
         t0 = time.perf_counter()
@@ -155,7 +225,8 @@ def run_roi_cost(scene, n_iter=2000):
 
 
 def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
-                  n_iter_analytic=100, n_iter_adabelief=3000):
+                  n_iter_analytic=100, n_iter_adabelief=3000,
+                  repeats=3):
     """Batched per-frame PSF fits; returns (fits/sec, mean chi2)."""
     from lightcurver_tpu.core.psf.batched import build_psf_batched
     from lightcurver_tpu.utilities.synthetic import make_star_stamps
@@ -176,7 +247,7 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
     fit(data)                    # compile + first run
     # best-of-N (see run_roi_deconv: transient backend contention)
     wall = float("inf")
-    for rep in range(1, 4):
+    for rep in range(1, repeats + 1):
         t0 = time.perf_counter()
         out = fit(data * np.float32(1 + 1e-6 * rep))
         wall = min(wall, time.perf_counter() - t0)
@@ -184,7 +255,7 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
 
 
 def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
-                              n_iter=2000):
+                              n_iter=2000, repeats=3):
     """Batched joint star photometry: stars fitted per second.
 
     The third hot task (reference processes/star_photometry.py:232 —
@@ -211,7 +282,7 @@ def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
     # fit_stars_batched fetches every output to numpy (honest timing)
     fit_stars_batched(data, noise, psf, s, n_iter=n_iter)  # compile
     wall = float("inf")
-    for rep in range(1, 4):   # best-of-N (transient backend contention)
+    for rep in range(1, repeats + 1):  # best-of-N (backend contention)
         t0 = time.perf_counter()
         out = fit_stars_batched(data * np.float32(1 + 1e-6 * rep),
                                 noise, psf, s, n_iter=n_iter)
@@ -312,19 +383,35 @@ def _optional(fn, what, default):
 
 
 def main():
+    watchdog = _start_watchdog()
     jax = _setup_jax()
     from lightcurver_tpu import ops
     from lightcurver_tpu.utilities.synthetic import make_roi_scene
 
+    # degraded lane (unresponsive accelerator): primary metrics only,
+    # at full iteration budgets but reduced batch/repeat counts, so the
+    # line lands well inside the watchdog deadline on one CPU
+    degraded = "backend_fallback" in _METRICS
+    nan = float("nan")
+
     scene = make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4)
-    roi_wall, red_chi2, _ = _retry(lambda: run_roi_deconv(scene), "roi100")
+    roi_wall, red_chi2, _ = _retry(
+        lambda: run_roi_deconv(scene, repeats=1 if degraded else 2),
+        "roi100")
+    _METRICS.update({"metric": "roi_deconv_100epoch_wall_s",
+                     "value": round(roi_wall, 3), "unit": "s",
+                     "vs_baseline": round(180.0 / roi_wall, 2),
+                     "roi_reduced_chi2": round(red_chi2, 4)})
 
     # the flagship survey-scale configuration (BASELINE.json north star:
     # 1000 epochs < 60 s on v5e-8; epoch-sharded when devices allow)
-    scene1000 = make_roi_scene(n_epochs=1000, n_pix=64, s=2, n_sources=4)
-    roi1000_wall, roi1000_chi2, _ = _optional(
-        lambda: run_roi_deconv(scene1000), "roi1000",
-        (float("nan"), float("nan"), None))
+    scene1000 = None if degraded else make_roi_scene(
+        n_epochs=1000, n_pix=64, s=2, n_sources=4)
+    roi1000_wall, roi1000_chi2, _ = (nan, nan, None) if degraded else \
+        _optional(lambda: run_roi_deconv(scene1000), "roi1000",
+                  (nan, nan, None))
+    _METRICS["roi_deconv_1000epoch_wall_s"] = (
+        None if roi1000_wall != roi1000_wall else round(roi1000_wall, 3))
 
     # accelerated budget: the model is linear in the fluxes, so a short
     # AdaBelief run for positions/background + the exact GLS flux
@@ -332,35 +419,41 @@ def main():
     # Measured sweep: 250 iters + polish (chi2 1.0041, 1.6 s) already
     # beats 2000 iters unpolished (1.0056); the SHIPPED metric runs 500
     # iters (~3.2 s) as margin for harder position/background starts.
-    accel_wall, accel_chi2, _ = _optional(
-        lambda: run_roi_deconv(scene1000, n_iter=500), "roi1000accel",
-        (float("nan"), float("nan"), None))
+    accel_wall, accel_chi2, _ = (nan, nan, None) if degraded else \
+        _optional(lambda: run_roi_deconv(scene1000, n_iter=500),
+                  "roi1000accel", (nan, nan, None))
 
-    fits_per_sec, psf_chi2 = _retry(lambda: run_psf_bench(), "psf16")
+    fits_per_sec, psf_chi2 = _retry(
+        lambda: run_psf_bench(n_frames=4 if degraded else 16,
+                              repeats=1 if degraded else 3), "psf16")
+    _METRICS.update({"psf_fits_per_sec": round(fits_per_sec, 3),
+                     "psf_chi2": round(psf_chi2, 4)})
     # the third hot task: batched joint star photometry (stars/s at
     # the reference's 2000-iteration per-star budget, 50 epochs each)
     star_fps, star_chi2 = _optional(
-        lambda: run_star_photometry_bench(), "starphot",
-        (float("nan"), float("nan")))
+        lambda: run_star_photometry_bench(
+            n_stars=2 if degraded else 8,
+            repeats=1 if degraded else 3), "starphot", (nan, nan))
+    _METRICS["star_fits_per_sec"] = (
+        None if star_fps != star_fps else round(star_fps, 3))
     # the production-loop throughput (pipelined buckets, the
     # model_all_psfs pattern) — transfers overlap device compute
-    fits_pipelined, _ = _optional(
-        lambda: run_psf_bench_pipelined(), "psfpipe",
-        (float("nan"), float("nan")))
+    fits_pipelined, _ = (nan, nan) if degraded else _optional(
+        lambda: run_psf_bench_pipelined(), "psfpipe", (nan, nan))
     # vmap amortization curve (fits/sec at batch 1 / 32, full budget;
     # 16 is the headline above — throughput peaks there, batch 64
     # measured slower)
     psf_scaling = {}
-    for bs in (1, 32):
+    for bs in () if degraded else (1, 32):
         fps, _ = _optional(lambda b=bs: run_psf_bench(n_frames=b),
-                           f"psf{bs}", (float("nan"), None))
+                           f"psf{bs}", (nan, None))
         psf_scaling[f"psf_fits_per_sec_batch{bs}"] = round(fps, 3)
 
     # starlet backend measurement (the Pallas kernel wins standalone but
     # not inside the fused losses; auto_select keeps 'xla' — see
     # ops/starlet_op.py)
-    t_xla, t_pal = _optional(lambda: run_starlet_micro(), "starlet",
-                             (float("nan"), float("nan")))
+    t_xla, t_pal = (nan, nan) if degraded else _optional(
+        lambda: run_starlet_micro(), "starlet", (nan, nan))
 
     # roofline evidence (VERDICT r2 #4): per-iteration XLA cost of the
     # two hot fits, driver-verifiable each round.  ms/iter from the
@@ -370,19 +463,22 @@ def main():
     from lightcurver_tpu.utilities.benchmarking import \
         psf_pixel_phase_cost
 
-    roi_vg = _optional(lambda: run_roi_cost(scene1000), "roi1000cost",
-                       (float("nan"), float("nan")))
-    psf_vg = _optional(lambda: psf_pixel_phase_cost(16, 8, 64, 2)[0],
-                       "psfcost", (float("nan"), float("nan")))
+    roi_vg = (nan, nan) if degraded else _optional(
+        lambda: run_roi_cost(scene1000), "roi1000cost", (nan, nan))
+    psf_vg = (nan, nan) if degraded else _optional(
+        lambda: psf_pixel_phase_cost(16, 8, 64, 2)[0], "psfcost",
+        (nan, nan))
     from lightcurver_tpu.utilities.benchmarking import star_fit_phase_cost
 
-    star_vg = _optional(lambda: star_fit_phase_cost(8, 50, 16, 2)[0],
-                        "starcost", (float("nan"), float("nan")))
+    star_vg = (nan, nan) if degraded else _optional(
+        lambda: star_fit_phase_cost(8, 50, 16, 2)[0], "starcost",
+        (nan, nan))
     roi_ms_iter = roi1000_wall * 1e3 / 2000
-    psf_ms_iter = (16.0 / fits_per_sec) * 1e3 / 3100
-    # batched 8-star fit wall over its 2000 iterations (prep + GLS
+    psf_ms_iter = ((4.0 if degraded else 16.0)
+                   / fits_per_sec) * 1e3 / 3100
+    # batched star fit wall over its 2000 iterations (prep + GLS
     # polish folded in — an upper bound, like the PSF figure)
-    star_ms_iter = (8.0 / star_fps) * 1e3 / 2000
+    star_ms_iter = ((2.0 if degraded else 8.0) / star_fps) * 1e3 / 2000
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
     baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
@@ -391,7 +487,10 @@ def main():
         # NaN (a failed optional metric) -> JSON null, never 'NaN'
         return None if value != value else value
 
+    watchdog.cancel()
     print(json.dumps({
+        **({"backend_fallback": _METRICS["backend_fallback"]}
+           if degraded else {}),
         "metric": "roi_deconv_100epoch_wall_s",
         "value": round(roi_wall, 3),
         "unit": "s",
@@ -436,6 +535,13 @@ def run_config(n):
     4. 100-epoch joint ROI deconvolution (the headline, = main())
     5. survey scale: 1000-epoch joint deconvolution
     """
+    watchdog = _start_watchdog()
+    # a watchdog line must name THIS config's metric, not main()'s
+    _METRICS.update({"config": n, "metric": {
+        1: "moffat_fits_per_sec", 2: "psf_fits_per_sec_96frames",
+        3: "joint_photometry_10stars_100epochs_wall_s",
+        4: "roi_deconv_100epoch_wall_s",
+        5: "roi_deconv_1000epoch_wall_s"}.get(n, f"config_{n}")})
     jax = _setup_jax()
     from lightcurver_tpu.utilities.synthetic import (make_roi_scene,
                                                      make_star_stamps)
@@ -496,6 +602,9 @@ def run_config(n):
     else:
         raise SystemExit(f"unknown config {n}")
     out["backend"] = jax.default_backend()
+    if "backend_fallback" in _METRICS:
+        out["backend_fallback"] = _METRICS["backend_fallback"]
+    watchdog.cancel()
     print(json.dumps(out))
 
 
