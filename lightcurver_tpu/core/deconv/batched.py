@@ -26,7 +26,8 @@ from ..fisher import _diag_fisher
 
 def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                       uniform_background_per_epoch,
-                      starlet_global_background, dft_mats=None):
+                      starlet_global_background, dft_mats=None,
+                      dft_precision=None):
     """Setup of one star's fit: (free0, lower, upper, consts, scale).
 
     Star-independent constants (the DFT matrices) are NOT included in
@@ -128,7 +129,8 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         mean_ps_hat = (spectra["ps_hat"] * w).sum(axis=0) / n_real
         consts["W"] = _mc_starlet_noise(
             jnp.nanmedian(sig_real, axis=0), mean_ps_hat,
-            m, s, 200, n_starlet_scales(m), key, dft_mats)
+            m, s, 200, n_starlet_scales(m), key, dft_mats,
+            dft_precision=dft_precision)
     else:
         consts["W"] = jnp.ones((n_starlet_scales(m) + 1, m, m),
                                jnp.float32)
@@ -222,7 +224,7 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     free, lower, upper, consts, scale = _prepare_one_star(
         data, noisemap, psf, key, n_epochs, image_size, s,
         uniform_background_per_epoch, starlet_global_background,
-        dft_mats=shared.get("dft_mats"))
+        dft_mats=shared.get("dft_mats"), dft_precision=dft_precision)
     consts = {**consts, **shared}
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
                             starlet_global_background, dft_precision)
@@ -260,16 +262,18 @@ def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s",
                      "uniform_background_per_epoch",
-                     "starlet_global_background", "irfft_backend"))
+                     "starlet_global_background", "irfft_backend",
+                     "dft_precision"))
 def _prepare_stars(data, noisemap, psf, keys, n_epochs, image_size, s,
                    uniform_background_per_epoch,
-                   starlet_global_background, irfft_backend):
+                   starlet_global_background, irfft_backend,
+                   dft_precision=None):
     shared = _shared_consts(image_size, s, irfft_backend)
     prep = functools.partial(
         _prepare_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
         uniform_background_per_epoch=uniform_background_per_epoch,
         starlet_global_background=starlet_global_background,
-        dft_mats=shared.get("dft_mats"))
+        dft_mats=shared.get("dft_mats"), dft_precision=dft_precision)
     return jax.vmap(prep)(data, noisemap, psf, keys)
 
 
@@ -336,12 +340,12 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     resume (the upstream data changed under the checkpoint)."""
     import os
 
-    from ..optimize import _check_ckpt_digest
+    from ..optimize import _check_ckpt_digest, _load_ckpt_carry
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
         uniform_background_per_epoch, starlet_global_background,
-        irfft_backend)
+        irfft_backend, dft_precision=dft_precision)
     shared = _shared_consts(image_size, s, irfft_backend)
     carry = _init_carry_stars(free0, n_iter, lr)
     treedef = jax.tree_util.tree_structure(carry)
@@ -372,9 +376,9 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
                 checkpoint_path,
                 z["inputs_digest"] if "inputs_digest" in z else None,
                 inputs_digest)
-            leaves = [jnp.asarray(z[f"leaf_{i}"])
-                      for i in range(treedef.num_leaves)]
-            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            fresh = carry
+            carry = _load_ckpt_carry(z, treedef, lambda: fresh,
+                                     checkpoint_path)
             start = int(z["done"])
             histories = [np.asarray(z["history"])]
 
@@ -439,9 +443,16 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
         dict of stacked per-star results (numpy), matching the
         single-star ``do_one_star_forward_modelling`` surface.
     """
-    data = np.nan_to_num(np.asarray(data, dtype=np.float32))
-    noisemap = np.nan_to_num(np.asarray(noisemap, dtype=np.float32),
-                             nan=1e7)
+    data = np.asarray(data, dtype=np.float32)
+    noisemap = np.asarray(noisemap, dtype=np.float32)
+    # JOINT sanitization: a NaN datum with finite noise must not enter
+    # the fit (or the GLS polish / Fisher errors) as a zero-flux
+    # measurement at full weight — bad pixels get data 0 AND noise 1e7
+    # (per-pixel inflation cannot flip an epoch to dummy: epoch
+    # detection requires ALL pixels >= 1e6)
+    bad = ~(np.isfinite(data) & np.isfinite(noisemap))
+    data = np.where(bad, np.float32(0.0), data)
+    noisemap = np.where(bad, np.float32(1e7), noisemap)
     psf = np.asarray(psf, dtype=np.float32)
     n_stars, n_epochs_real, image_size = data.shape[:3]
     from ...ops import get_dft_precision, get_irfft_backend
@@ -485,10 +496,18 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     else:
         from ..optimize import arrays_digest
 
+        # the digest also covers the fit flags: a flag flip changes the
+        # carry structure/meaning under unchanged data, and must refuse
+        # the resume with the friendly digest message (the structural
+        # check in _load_ckpt_carry is the backstop)
+        flag_bytes = np.frombuffer(
+            (f"{bool(uniform_background_per_epoch)}:"
+             f"{bool(starlet_global_background)}:{float(lr)}").encode(),
+            dtype=np.uint8)
         out = _fit_stars_checkpointed(
             *args, checkpoint_path=checkpoint_path,
             checkpoint_every=checkpoint_every,
-            inputs_digest=arrays_digest(data, noisemap, psf))
+            inputs_digest=arrays_digest(data, noisemap, psf, flag_bytes))
     from ...parallel.batch import gather_to_host
 
     # "auto" was already resolved to a Mesh or None above

@@ -27,16 +27,18 @@ from . import convolution as conv
 
 
 @functools.partial(jax.jit, static_argnames=("m", "s", "num_samples",
-                                             "n_scales"))
+                                             "n_scales", "dft_precision"))
 def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key,
-                      dft_mats=None):
+                      dft_mats=None, dft_precision=None):
     """std of starlet coefficients of PSF-correlated upsampled noise.
 
     ``key`` is a PRNG key array (vmap-safe: callers under vmap pass their
     own split key, mirroring core/psf/build._grid_noise_weights_impl).
     With ``dft_mats`` the adjoint convolution runs as MXU matmuls (same
     rationale as _grid_noise_weights_impl: the TPU FFT op is slow AND
-    blocks batch-axis SPMD partitioning).
+    blocks batch-axis SPMD partitioning).  ``dft_precision`` (a
+    get_dft_precision() NAME) keys this standalone jit's cache so a
+    precision flip retraces instead of reusing the stale program.
     """
     L = conv.pad_len(m)
     # a pixel whose noise is NaN in every epoch would otherwise spread
@@ -49,11 +51,14 @@ def _mc_starlet_noise(sigma, mean_ps_hat, m, s, num_samples, n_scales, key,
         fine = upsample_transpose(eps, s)
         # correlate with the PSF (adjoint of convolution): conjugate spectrum
         if dft_mats is not None:
-            from ..ops.dft import irfft2_crop_matmul, rfft2_pad_matmul
+            from ..ops.dft import (irfft2_crop_matmul,
+                                   precision_from_name,
+                                   rfft2_pad_matmul)
 
-            fine_hat = rfft2_pad_matmul(fine, dft_mats)
+            prec = precision_from_name(dft_precision)
+            fine_hat = rfft2_pad_matmul(fine, dft_mats, precision=prec)
             back = irfft2_crop_matmul(fine_hat * jnp.conj(mean_ps_hat),
-                                      dft_mats)
+                                      dft_mats, precision=prec)
         else:
             fine_hat = jnp.fft.rfft2(fine, s=(L, L))
             back = jnp.fft.irfft2(fine_hat * jnp.conj(mean_ps_hat),

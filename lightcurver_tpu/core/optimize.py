@@ -311,11 +311,14 @@ def run_lbfgsb(loss_fn, free0, lower, upper, n_iter, memory_size=10,
                        memory_size=int(memory_size))
 
 
-@functools.cache
+@functools.lru_cache(maxsize=32)
 def _wrap_legacy(loss_fn):
     """Adapt a single-argument loss to the (free, consts) signature.
 
-    Cached so repeat calls reuse the jit cache entry.
+    Cached so repeat calls reuse the jit cache entry; BOUNDED because
+    each entry pins the loss closure (and every array it captured) plus
+    a jit program — an unbounded cache leaks linearly in a long-lived
+    process looping over per-object legacy fits.
     """
     def fn(free, consts):
         del consts
@@ -445,7 +448,10 @@ class Optimizer:
         self.loss_history = hist
         p.set_best(best)
         best_kwargs = p.best_fit_values(as_kwargs=True)
-        logL = float(hist[np.nanargmin(hist)]) if hist.size else float("nan")
+        # all-NaN histories (a degenerate fit) must report logL=nan for
+        # per-fit flagging, not crash the whole task on nanargmin
+        logL = (float(np.nanmin(hist))
+                if hist.size and np.isfinite(hist).any() else float("nan"))
         extra_fields = {"loss_history": hist}
         if stopped_at is not None:
             extra_fields["stopped_at"] = int(stopped_at)
@@ -490,6 +496,42 @@ def _check_ckpt_digest(path, stored, expected):
             f"(digest {stored} != {expected}); the upstream products "
             "changed since the interrupted fit — delete the checkpoint "
             "to restart from scratch")
+
+
+def _load_ckpt_carry(z, treedef, fresh_carry_thunk, path):
+    """Validate a stored flat-leaf checkpoint against the CURRENT carry
+    structure — leaf count both directions and per-leaf shapes — and
+    return the unflattened carry.  Shared by the single-fit and the
+    batched-star checkpoint paths so a structure change (a flipped fit
+    flag, a different epoch padding) is always a friendly refusal, not
+    a raw KeyError or a cryptic XLA shape error."""
+    n_leaves = treedef.num_leaves
+    try:
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
+    except KeyError as e:
+        raise ValueError(
+            f"checkpoint {path} has fewer carry leaves than this "
+            "problem (parameter structure changed, e.g. a fit flag "
+            "flipped); refusing to resume — delete the checkpoint to "
+            "restart") from e
+    # shapes only — eval_shape avoids allocating a full carry
+    # (params + optimizer moments) just to validate a resume
+    fresh_leaves = jax.tree_util.tree_leaves(
+        jax.eval_shape(fresh_carry_thunk))
+    for i, (stored, fresh) in enumerate(zip(leaves, fresh_leaves)):
+        if tuple(stored.shape) != tuple(fresh.shape):
+            raise ValueError(
+                f"checkpoint {path} leaf {i} has shape "
+                f"{tuple(stored.shape)}, expected {tuple(fresh.shape)} "
+                "(epoch padding/device count or free-parameter set "
+                "changed); refusing to resume — delete the checkpoint "
+                "to restart")
+    if f"leaf_{n_leaves}" in z:
+        raise ValueError(
+            f"checkpoint {path} has more carry leaves than this "
+            "problem (parameter structure changed); refusing to "
+            "resume — delete the checkpoint to restart")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
@@ -566,34 +608,7 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
             _check_ckpt_digest(
                 path, z["inputs_digest"] if "inputs_digest" in z
                 else None, inputs_digest)
-            n_leaves = treedef.num_leaves
-            try:
-                leaves = [jnp.asarray(z[f"leaf_{i}"])
-                          for i in range(n_leaves)]
-            except KeyError as e:
-                raise ValueError(
-                    f"checkpoint {path} has fewer carry leaves than this "
-                    "problem (parameter structure changed, e.g. "
-                    "further_optimize_background flipped); refusing to "
-                    "resume — delete the checkpoint to restart") from e
-            # shapes only — eval_shape avoids allocating a full carry
-            # (params + optimizer moments) just to validate a resume
-            fresh_leaves = jax.tree_util.tree_leaves(
-                jax.eval_shape(fresh_carry))
-            for i, (stored, fresh) in enumerate(zip(leaves, fresh_leaves)):
-                if tuple(stored.shape) != tuple(fresh.shape):
-                    raise ValueError(
-                        f"checkpoint {path} leaf {i} has shape "
-                        f"{tuple(stored.shape)}, expected "
-                        f"{tuple(fresh.shape)} (epoch padding/device "
-                        "count or free-parameter set changed); refusing "
-                        "to resume — delete the checkpoint to restart")
-            if f"leaf_{n_leaves}" in z:
-                raise ValueError(
-                    f"checkpoint {path} has more carry leaves than this "
-                    "problem (parameter structure changed); refusing to "
-                    "resume — delete the checkpoint to restart")
-            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            carry = _load_ckpt_carry(z, treedef, fresh_carry, path)
             return carry, int(z["done"]), np.asarray(z["history"])
 
     start = 0

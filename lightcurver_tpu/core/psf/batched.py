@@ -151,7 +151,8 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     # 2.34 s 16-frame bucket (tools/psf_roofline.py); `key` is retained
     # in the signature for the MC fallback but unused here
     W = _grid_noise_weights_closed(sigma_med, m, s, n_starlet_scales(m),
-                                   base_consts.get("dft_mats"))
+                                   base_consts.get("dft_mats"),
+                                   dft_precision=dft_precision)
     consts2 = {**base_consts, "W": W,
                "lam": jnp.asarray(regularization_strength, jnp.float32),
                "fixed": fixed2}

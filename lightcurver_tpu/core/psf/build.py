@@ -52,18 +52,28 @@ def _phase_losses(n_stars, n_pix, s, field_distortion,
     m = n_pix * s
     n_sc = n_starlet_scales(m)
 
-    def pin_term(kwargs):
-        # pin star 0's position (breaks the global-shift degeneracy
-        # between the stars' sub-pixel offsets and the PSF grid)
+    def pin_term(kwargs, consts):
+        # pin one star's position (breaks the global-shift degeneracy
+        # between the stars' sub-pixel offsets and the PSF grid) — the
+        # FIRST star with any unmasked pixel: a fully-masked star 0
+        # (satellite trail, cosmic) carries no data, and pinning it
+        # would leave the degeneracy unbroken while the grid drifts.
+        # One-hot weighted sum, NOT a gather: adding exact zeros keeps
+        # the loss bit-identical to the original static x0[0] pin
+        # whenever star 0 is valid (the scipy-parity test pins this)
         kg = kwargs["kwargs_gaussian"]
-        return 0.5 * ((kg["x0"][0] / 1e-3) ** 2 + (kg["y0"][0] / 1e-3) ** 2)
+        valid = consts["masks"].any(axis=(-2, -1))
+        first = (valid & (jnp.cumsum(valid) == 1)).astype(kg["x0"].dtype)
+        px = jnp.sum(first * kg["x0"])
+        py = jnp.sum(first * kg["y0"])
+        return 0.5 * ((px / 1e-3) ** 2 + (py / 1e-3) ** 2)
 
     def data_term(kwargs, consts):
         imgs = model.model(kwargs, consts["stamp_coordinates"],
                            consts.get("dft_mats"))
         chi2 = _masked_chi2_per_star(consts["data"], imgs,
                                      consts["sigma_2"], consts["masks"])
-        return 0.5 * chi2.sum() * n_pix**2 + pin_term(kwargs)
+        return 0.5 * chi2.sum() * n_pix**2 + pin_term(kwargs, consts)
 
     def loss_moffat(free, consts):
         return data_term(merge_free(free, consts["fixed"]), consts)
@@ -121,11 +131,6 @@ def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key,
     return jnp.maximum(jnp.std(coeffs, axis=0), 1e-12)
 
 
-_grid_noise_weights = jax.jit(
-    _grid_noise_weights_impl,
-    static_argnames=("m", "s", "num_samples", "n_scales"))
-
-
 def _starlet_transfer_fns(L, n_scales, dtype=jnp.float32):
     """Fourier transfer functions of the starlet detail scales.
 
@@ -152,7 +157,8 @@ def _starlet_transfer_fns(L, n_scales, dtype=jnp.float32):
     return jnp.stack(out)
 
 
-def _grid_noise_weights_closed(sigma, m, s, n_scales, dft_mats=None):
+def _grid_noise_weights_closed(sigma, m, s, n_scales, dft_mats=None,
+                               dft_precision=None):
     """CLOSED-FORM per-scale starlet coefficient noise (no Monte-Carlo).
 
     The map from data noise eps to the starlet coefficients of the
@@ -200,10 +206,16 @@ def _grid_noise_weights_closed(sigma, m, s, n_scales, dft_mats=None):
     sig2_up = jnp.zeros((m, m), jnp.float32)
     sig2_up = sig2_up.at[::s, ::s].set(sigma.astype(jnp.float32) ** 2)
     if dft_mats is not None:
-        from ...ops.dft import irfft2_crop_matmul, rfft2_pad_matmul
+        from ...ops.dft import (irfft2_crop_matmul, precision_from_name,
+                                rfft2_pad_matmul)
 
-        sig2_hat = rfft2_pad_matmul(sig2_up, dft_mats)
-        var = irfft2_crop_matmul(sig2_hat * b2_hat, dft_mats)
+        # dft_precision is a STATIC name keying the standalone jit below
+        # (never read the ops global inside this trace: a flipped
+        # set_dft_precision() must retrace, not reuse the old program)
+        prec = precision_from_name(dft_precision)
+        sig2_hat = rfft2_pad_matmul(sig2_up, dft_mats, precision=prec)
+        var = irfft2_crop_matmul(sig2_hat * b2_hat, dft_mats,
+                                 precision=prec)
     else:
         sig2_hat = jnp.fft.rfft2(sig2_up, s=(L, L))
         var = jnp.fft.irfft2(sig2_hat * b2_hat, s=(L, L))[..., :m, :m]
@@ -211,12 +223,13 @@ def _grid_noise_weights_closed(sigma, m, s, n_scales, dft_mats=None):
 
 
 _grid_noise_weights_closed_jit = jax.jit(
-    _grid_noise_weights_closed, static_argnames=("m", "s", "n_scales"))
+    _grid_noise_weights_closed,
+    static_argnames=("m", "s", "n_scales", "dft_precision"))
 
 
 def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
                                      num_samples=64, seed=0,
-                                     dft_mats=None):
+                                     dft_mats=None, dft_precision=None):
     """Starlet l1 weights of the PSF grid (closed form; see
     _grid_noise_weights_closed).  num_samples/seed retained for the MC
     fallback's signature but unused on the production path."""
@@ -225,7 +238,8 @@ def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
     sigma = sigma / jnp.maximum(mean_amp, 1e-12)
     return _grid_noise_weights_closed_jit(sigma, model.m, model.s,
                                           n_starlet_scales(model.m),
-                                          dft_mats)
+                                          dft_mats,
+                                          dft_precision=dft_precision)
 
 
 def psf_bound_values(n_pix):
@@ -291,15 +305,22 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     s = int(subsampling_factor)
     m = n_pix * s
     if masks is None:
-        masks = np.ones_like(image, dtype=bool)
+        # same default as build_psf_batched: a NaN datum with finite
+        # noise must not enter the fit as a zero-flux measurement at
+        # full weight
+        masks = np.isfinite(image)
     masks_j = jnp.asarray(np.asarray(masks, dtype=bool))
 
-    scale = float(np.nanmax(image))
+    scale = float(np.nanmax(np.where(masks, image, np.nan)))
     if not np.isfinite(scale) or scale <= 0:
         scale = 1.0
     data = jnp.asarray(np.nan_to_num(image / scale))
     sigma = jnp.asarray(np.nan_to_num(noisemap / scale, nan=1e8))
-    sigma_2 = sigma**2
+    # masked pixels are excluded from the chi2 by weight; unit variance
+    # there keeps a zero/NaN-noise convention at masked pixels from
+    # producing inf partials whose 0-cotangent VJP is NaN (same guard
+    # as core/psf/batched.py _fit_one_frame)
+    sigma_2 = jnp.where(masks_j, sigma**2, 1.0)
 
     from ...ops import get_dft_precision
 
@@ -360,8 +381,10 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     params2 = Params(kwargs_1, kwargs_fixed_2, kwargs_up, kwargs_down)
 
     mean_amp = jnp.mean(jnp.asarray(a0))
-    W = _propagate_noise_to_grid_weights(model, noisemap / scale, mean_amp,
-                                         dft_mats=base_consts.get("dft_mats"))
+    W = _propagate_noise_to_grid_weights(
+        model, noisemap / scale, mean_amp,
+        dft_mats=base_consts.get("dft_mats"),
+        dft_precision=get_dft_precision())
 
     consts2 = {**base_consts, "W": W,
                "lam": jnp.asarray(regularization_strength, jnp.float32),

@@ -200,17 +200,29 @@ def make_rfft2_pad_mats(L, m, dtype=np.float32):
             "fCx": jnp.asarray(Cx, dtype), "fSx": jnp.asarray(Sx, dtype)}
 
 
-def _precision(precision):
-    if precision is not None:
-        return precision
-    from . import get_dft_precision
+def precision_from_name(name):
+    """Map a get_dft_precision() name to a lax Precision.
 
-    name = get_dft_precision()
+    Standalone jitted programs must key their cache on the precision
+    NAME (a static argument) and convert with this helper, never read
+    the ops global inside their trace — a flipped set_dft_precision()
+    would otherwise silently reuse the old-precision program (the
+    batched fitters thread the name the same way)."""
+    if name is None:
+        return None
     if name == "highest":
         return _HI
     if name == "high":
         return jax.lax.Precision.HIGH
     return jax.lax.Precision.DEFAULT
+
+
+def _precision(precision):
+    if precision is not None:
+        return precision
+    from . import get_dft_precision
+
+    return precision_from_name(get_dft_precision())
 
 
 def rfft2_pad_matmul(img, mats, precision=None):

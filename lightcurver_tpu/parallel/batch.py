@@ -53,7 +53,9 @@ def auto_batch_mesh():
     return batch_mesh()
 
 
-EPOCH_AXIS = "epoch"
+# single source of truth: the epoch-sharded deconv (parallel/deconv.py)
+# and the 2-D star-fit mesh must agree on the axis name
+from .mesh import EPOCH_AXIS  # noqa: E402  (re-export)
 
 
 def batch_epoch_mesh(n_batch, n_epoch=None, devices=None):
