@@ -201,6 +201,14 @@ def _format_card(key, value, comment=""):
         body = "T".rjust(20) if value else "F".rjust(20)
     elif isinstance(value, (int, np.integer)):
         body = str(int(value)).rjust(20)
+    elif isinstance(value, (float, np.floating)) \
+            and not np.isfinite(value):
+        # FITS has no non-finite numeric card value; repr() would emit
+        # the ILLEGAL bare token 'nan'.  A quoted string is legal FITS
+        # and preserves the information (raw instrument headers do
+        # carry such cards; re-reads see the string 'nan', which
+        # float()s back for any consumer that expects a number)
+        body = f"'{float(value)!s:<8s}'"
     elif isinstance(value, (float, np.floating)):
         if value != 0 and (abs(value) >= 1e15 or abs(value) < 1e-9):
             body = np.format_float_scientific(value, precision=12)

@@ -18,10 +18,14 @@ def generate_lightcurve_html(df, out_path):
     # a single non-finite MJD would make the JS extent() NaN and blank
     # the whole SVG (the matplotlib path filters these too)
     df = df[np.isfinite(np.asarray(df["mjd"], dtype=float))]
-    # suffix-strip, not split("_")[0]: labels may contain underscores
-    sources = sorted({c[:-len("_mag")] for c in df.columns
-                      if c.endswith("_mag")
-                      and not c.endswith(("_d_mag", "_scatter_mag"))})
+    # suffix-strip, not split("_")[0]: labels may contain underscores.
+    # Set-based: drop a candidate only when it is a derived column of
+    # another present source (same rule as
+    # utilities/lightcurves_postprocessing._point_source_names)
+    names = {c[:-len("_mag")] for c in df.columns if c.endswith("_mag")}
+    derived = {f"{m}_{suffix}" for m in names
+               for suffix in ("d", "scatter", "count")}
+    sources = sorted(names - derived)
     payload = {"mjd": [float(v) for v in df["mjd"]], "sources": {}}
     for ps in sources:
         mags = [None if not np.isfinite(v) else float(v)

@@ -102,9 +102,20 @@ def calculate_coefficient():
 
     chi2_min, chi2_max = get_chi2_bounds(psf_or_fluxes="fluxes")
     df = get_fluxes(footprint_hash, chi2_min, chi2_max)
-    stars_to_use = user_config["stars_to_use_norm"]
-    if isinstance(stars_to_use, list):
-        df = df[df["name"].isin(stars_to_use)]
+    # filter to the CURRENT star selection — the same select_stars call
+    # the photometry task uses.  The reference filters only on a
+    # stars_to_use list (reference processes/normalization_calculation.py:157-160)
+    # and never consults stars_to_exclude_norm or the int top-N
+    # selection: STALE star_flux_in_frame rows (a star excluded after a
+    # previous run under the same footprint hash) would silently poison
+    # every coefficient.  Deliberate divergence, see PARITY.md.
+    from ..structure.database import select_stars
+
+    selected = select_stars(
+        stars_to_use=user_config["stars_to_use_norm"],
+        combined_footprint_hash=footprint_hash,
+        stars_to_exclude=user_config["stars_to_exclude_norm"])
+    df = df[df["star_gaia_id"].isin(selected["gaia_id"])]
     logger.info(f"Normalization from {len(df)} flux measurements.")
 
     # per-star median normalization

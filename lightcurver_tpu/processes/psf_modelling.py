@@ -328,9 +328,11 @@ def _store_psf_result(user_config, regions_file, job, result,
         plots_dir.mkdir(exist_ok=True, parents=True)
         frame_name = Path(frame["image_relpath"]).stem
         seeing = frame["seeing_pixels"]
-        # NaN is truthy: 'or 0' alone would print 'seeing: nan' (same
-        # guard as the Moffat FWHM above)
-        if seeing is None or not np.isfinite(seeing):
+        # NaN is truthy ('or 0' would print 'seeing: nan'), and the
+        # estimator's -1.0 no-sources sentinel must not print as a
+        # negative arcsecond value (same seeing > 0 gate as
+        # _dispatch_fit_jobs)
+        if seeing is None or not np.isfinite(seeing) or seeing <= 0:
             seeing = 0.0
         seeing = seeing * pixel_scale
         text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"

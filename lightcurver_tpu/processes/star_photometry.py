@@ -167,9 +167,12 @@ def _derived_psf_ref(frame_id, user_config, combined_footprint_hash,
 
 def get_frames_for_star(combined_footprint_hash, gaia_id, psf_fit_chi2_min,
                         psf_fit_chi2_max, only_fluxless_frames=False,
-                        psf_ref_cache=None):
+                        psf_ref_cache=None, user_config=None):
     """Frames containing the star, gated on PSF chi2; optionally only
-    frames still missing a flux (the incremental mechanism)."""
+    frames still missing a flux (the incremental mechanism).
+
+    ``user_config``: pass the caller's config; loading it here would
+    re-read + re-derive the YAML once PER STAR in the task loop."""
     query = """
     SELECT f.*, ps.chi2, ps.psf_ref
     FROM frames f
@@ -207,7 +210,8 @@ def get_frames_for_star(combined_footprint_hash, gaia_id, psf_fit_chi2_min,
         # PSF failed the chi2 bounds (and since the SQL gate already
         # removed failing rows, keeping only the current ref here
         # composes to 'admit iff the current PSF passed').
-        user_config = get_user_config()
+        if user_config is None:
+            user_config = get_user_config()
         current_ref = frames["id"].map(lambda fid: _derived_psf_ref(
             fid, user_config, combined_footprint_hash, psf_ref_cache))
         frames = frames[frames["psf_ref"] == current_ref]
@@ -294,7 +298,7 @@ def do_star_photometry():
             gaia_id=star["gaia_id"], psf_fit_chi2_min=chi2_min,
             psf_fit_chi2_max=chi2_max, only_fluxless_frames=only_fluxless,
             combined_footprint_hash=footprint_hash,
-            psf_ref_cache=psf_ref_cache)
+            psf_ref_cache=psf_ref_cache, user_config=user_config)
         if len(frames) == 0:
             logger.info(f"Star {star['name']}: up to date.")
             continue

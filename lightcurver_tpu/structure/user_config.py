@@ -20,8 +20,19 @@ _GAIA_BANDS = ("r_sdss", "i_sdss", "g_sdss", "V", "R", "Ic", "B_T", "V_T")
 
 
 def _as_name_list(value):
-    """'abcd' -> ['a','b','c','d']; lists/None pass through."""
+    """'abcd' -> ['a','b','c','d']; 'aa,ab' -> ['aa','ab'];
+    lists/None pass through.
+
+    Character-splitting is the reference's semantics (reference
+    structure/user_config.py:50-60) but silently mis-parses the
+    multi-character spreadsheet names fields with > 26 stars get
+    ('aa', 'ab', ... — utilities/star_naming.py): "aa" became
+    ['a', 'a'].  Comma-separated strings (and YAML lists) express
+    those; bare strings keep reference behavior.
+    """
     if isinstance(value, str):
+        if "," in value:
+            return [v.strip() for v in value.split(",") if v.strip()]
         return list(value)
     return value
 
@@ -84,6 +95,10 @@ def get_user_config():
     config.setdefault("constraints_on_normalization_coeff", {})
     config.setdefault("fix_point_source_astrometry", False)
     config.setdefault("deconv_checkpoint_every", 0)
+    # absent key == null: the ROI tasks derive the workdir default
+    # themselves (a missing key otherwise KeyErrors at the LAST two
+    # pipeline stages for notebook users bypassing the template check)
+    config.setdefault("prepared_roi_cutouts_path", None)
     config["checkpoints_dir"] = workdir / "checkpoints"
     return config
 

@@ -20,11 +20,14 @@ def _point_source_names(columns):
     # strip the exact "_flux" suffix rather than split("_")[0] (the
     # reference's defect): a label containing an underscore ("QSO_A")
     # would otherwise map to a nonexistent "QSO_flux" column and crash
-    # the pipeline at its very last step
-    return {c[:-len("_flux")] for c in columns
-            if c.endswith("_flux")
-            and not c.endswith(("_d_flux", "_scatter_flux",
-                                "_count_flux"))}
+    # the pipeline at its very last step.  A candidate is dropped only
+    # when it is a DERIVED column of another present source ("a_d" with
+    # "a" present) — a plain suffix blacklist would silently drop a
+    # genuine source the user named "image_d".
+    names = {c[:-len("_flux")] for c in columns if c.endswith("_flux")}
+    derived = {f"{m}_{suffix}" for m in names
+               for suffix in ("d", "scatter", "count")}
+    return names - derived
 
 
 def group_observations(df, threshold=0.8):
@@ -57,6 +60,14 @@ def group_observations(df, threshold=0.8):
         for ps in sources:
             fluxes = group[f"{ps}_flux"].to_numpy()
             variances = group[f"{ps}_d_flux"].to_numpy() ** 2
+            # one NaN epoch (a degenerate fit is reported as NaN by
+            # design) must not NaN the whole night: clip and average
+            # over the finite epochs only.  The reference's
+            # scipy.stats.sigmaclip propagates the NaN into the clip
+            # bounds and loses the night (reference
+            # utilities/lightcurves_postprocessing.py:8-57)
+            finite = np.isfinite(fluxes) & np.isfinite(variances)
+            fluxes, variances = fluxes[finite], variances[finite]
             kept, lo_lim, hi_lim = sigmaclip(fluxes, low=2, high=2)
             keep = (fluxes >= lo_lim) & (fluxes <= hi_lim)
             kept_var = variances[keep]
@@ -94,9 +105,10 @@ def convert_flux_to_magnitude(df):
         df["zeropoint"] = 0.0
     zp = np.asarray(df["zeropoint"], dtype=float)
 
-    aux = [c for c in df.columns
-           if "_scatter_flux" in c or "_d_flux" in c or "_count" in c]
-    flux_cols = [c for c in df.columns if "_flux" in c and c not in aux]
+    # same derived-column rule as _point_source_names (a substring
+    # blacklist would silently drop a source the user named "image_d")
+    flux_cols = [f"{ps}_flux"
+                 for ps in sorted(_point_source_names(df.columns))]
 
     with np.errstate(invalid="ignore", divide="ignore"):
         for prefix in ("d", "scatter"):

@@ -438,3 +438,25 @@ class TestReviewRound3Fixes:
         corners = np.array(wcs.footprint_polygon((50, 50)))
         assert corners[:, 0].max() - corners[:, 0].min() < 1.0
         assert np.all(np.abs(corners[:, 0] - 0.02) < 1.0)
+
+
+def test_nonfinite_float_card_written_as_legal_string(tmp_path):
+    """FITS has no NaN card value: a raw-instrument NaN float card must
+    be written as a quoted string (legal FITS), never the bare illegal
+    token 'nan'."""
+    import numpy as np
+
+    from lightcurver_tpu.io.fits import Header, read_fits, write_fits
+
+    h = Header()
+    h["FOCUSPOS"] = float("nan")
+    h["SPEED"] = float("inf")
+    h["GOOD"] = 1.25
+    path = tmp_path / "nan_card.fits"
+    write_fits(path, np.zeros((4, 4), np.float32), h)
+    raw = path.read_bytes()[:2880].decode("ascii", errors="replace")
+    assert "= nan" not in raw and "= inf" not in raw
+    _, back = read_fits(path)
+    assert np.isnan(float(back["FOCUSPOS"]))
+    assert np.isinf(float(back["SPEED"]))
+    assert back["GOOD"] == 1.25

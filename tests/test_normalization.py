@@ -58,3 +58,82 @@ def test_coefficient_recovery():
     errs = [weighted_std(scaled[f], weights[f]) for f in scaled.columns]
     assert np.all(np.isfinite(errs))
     assert max(errs) < 0.05
+
+
+@pytest.fixture()
+def _norm_workdir(tmp_path, monkeypatch):
+    """Config + DB with 2 frames x 3 stars of fluxes; star 'c' is
+    variable (flux 5x higher in frame 2)."""
+    import yaml
+
+    config = {
+        "workdir": str(tmp_path),
+        "raw_dirs": [str(tmp_path / "raw")],
+        "ROI": {"roi": {"coordinates": [42.0, 19.0]}},
+        "photometric_band": "r_sdss",
+        "stars_to_use_psf": None,
+        "stars_to_use_norm": None,
+        "stars_to_exclude_psf": None,
+        "stars_to_exclude_norm": "c",
+        "star_selection_strategy": "common_footprint_stars",
+        "fluxes_fit_exclude_strategy": None,
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump(config))
+    monkeypatch.setenv("LIGHTCURVER_CONFIG", str(cfg_path))
+    from lightcurver_tpu.structure.database import (execute_sqlite_query,
+                                                    initialize_database)
+
+    initialize_database()
+    from lightcurver_tpu.structure.user_config import get_user_config
+    from lightcurver_tpu.utilities.footprint import \
+        get_combined_footprint_hash
+
+    for fid in (1, 2):
+        execute_sqlite_query(
+            "INSERT INTO frames (id, mjd, plate_solved, eliminated, "
+            "roi_in_footprint) VALUES (?, ?, 1, 0, 1)",
+            params=(fid, 60000.0 + fid), is_select=False)
+    fp = get_combined_footprint_hash(get_user_config(), [1, 2])
+    # stars a, b constant; star c 5x brighter in frame 2
+    fluxes = {"ga": (100.0, 100.0), "gb": (300.0, 300.0),
+              "gc": (100.0, 500.0)}
+    for name, gid in [("a", "ga"), ("b", "gb"), ("c", "gc")]:
+        execute_sqlite_query(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec, "
+            "gaia_id, distance_to_roi_arcsec) VALUES "
+            "(?, ?, 42.0, 19.0, ?, 10.0)", params=(fp, name, gid),
+            is_select=False)
+        for fid in (1, 2):
+            execute_sqlite_query(
+                "INSERT INTO stars_in_frames (frame_id, star_gaia_id, "
+                "combined_footprint_hash) VALUES (?, ?, ?)",
+                params=(fid, gid, fp), is_select=False)
+            execute_sqlite_query(
+                "INSERT INTO star_flux_in_frame (combined_footprint_hash,"
+                " frame_id, star_gaia_id, flux, flux_uncertainty, chi2) "
+                "VALUES (?, ?, ?, ?, ?, 1.0)",
+                params=(fp, fid, gid, fluxes[gid][fid - 1],
+                        0.01 * fluxes[gid][fid - 1]), is_select=False)
+    return fp
+
+
+def test_excluded_star_rows_do_not_poison_coefficients(_norm_workdir):
+    """stars_to_exclude_norm must filter STALE star_flux_in_frame rows
+    out of the normalization (the reference never consults it there,
+    reference processes/normalization_calculation.py:157-160: an
+    excluded variable star's old rows silently skew every frame
+    coefficient)."""
+    from lightcurver_tpu.processes.normalization_calculation import \
+        calculate_coefficient
+    from lightcurver_tpu.structure.database import get_pandas
+
+    calculate_coefficient()
+    coeffs = get_pandas(columns=["frame_id", "coefficient"],
+                        table="normalization_coefficients")
+    assert len(coeffs) == 2
+    c = coeffs.sort_values("frame_id")["coefficient"].to_numpy()
+    # stars a and b are constant across the frames: with the variable
+    # excluded star filtered out, the two coefficients must be equal
+    # (with it leaking in, frame 2's coefficient is ~1.5x frame 1's)
+    np.testing.assert_allclose(c[1] / c[0], 1.0, rtol=0.02)

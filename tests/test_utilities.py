@@ -213,3 +213,65 @@ def test_html_report_survives_nan_mjd(tmp_path):
     assert payload["mjd"] == [60000.0, 60002.0]  # NaN row dropped
     assert "QSO_A" in payload["sources"]
     assert len(payload["sources"]["QSO_A"]["mag"]) == 2
+
+
+def test_name_list_comma_and_char_semantics():
+    """'abcd' keeps the reference's char-split semantics; 'aa,ab'
+    (multi-char spreadsheet names past 26 stars) splits on commas —
+    previously "aa" became ['a', 'a']."""
+    from lightcurver_tpu.structure.user_config import _as_name_list
+
+    assert _as_name_list("abcd") == ["a", "b", "c", "d"]
+    assert _as_name_list("aa,ab") == ["aa", "ab"]
+    assert _as_name_list(" a , aa ") == ["a", "aa"]
+    assert _as_name_list(["aa", "b"]) == ["aa", "b"]
+    assert _as_name_list(None) is None
+
+
+def test_nightly_grouping_survives_nan_epoch():
+    """One NaN-flux epoch (degenerate fits report NaN by design) must
+    not NaN the whole night: the clip and weighted mean run over the
+    finite epochs."""
+    import pandas as pd
+
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+        group_observations
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, 60000.01, 60000.02, 60003.0],
+        "a_flux": [100.0, np.nan, 102.0, 99.0],
+        "a_d_flux": [1.0, 1.0, 1.0, 1.0],
+    })
+    nightly = group_observations(df)
+    assert len(nightly) == 2
+    first = nightly.sort_values("mjd").iloc[0]
+    assert first["a_count_flux"] == 2          # NaN epoch dropped
+    assert abs(first["a_flux"] - 101.0) < 0.5  # finite epochs averaged
+    assert np.isfinite(first["a_d_flux"])
+
+
+def test_source_label_ending_in_d_is_not_dropped():
+    """A source the user named 'image_d' must survive grouping and
+    magnitude conversion (the suffix blacklist dropped it; the
+    set-based rule only drops derived columns of a PRESENT source)."""
+    import pandas as pd
+
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import (
+        _point_source_names, convert_flux_to_magnitude,
+        group_observations)
+
+    cols = ["image_d_flux", "image_d_d_flux"]
+    assert _point_source_names(cols) == {"image_d"}
+    # ... but a genuine derived column of a present source stays out
+    assert _point_source_names(
+        ["a_flux", "a_d_flux", "a_scatter_flux"]) == {"a"}
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, 60003.0],
+        "zeropoint": [25.0, 25.0],
+        "image_d_flux": [100.0, 105.0],
+        "image_d_d_flux": [2.0, 2.0],
+    })
+    nightly = group_observations(df)
+    mags = convert_flux_to_magnitude(nightly)
+    assert np.isfinite(mags["image_d_mag"]).all()
