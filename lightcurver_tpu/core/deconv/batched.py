@@ -340,7 +340,8 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     resume (the upstream data changed under the checkpoint)."""
     import os
 
-    from ..optimize import _check_ckpt_digest, _load_ckpt_carry
+    from ..optimize import (CheckpointMismatch, _check_ckpt_digest,
+                            _load_ckpt_carry)
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
@@ -363,12 +364,11 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
         os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
                    checkpoint_path)
 
-    start, histories = 0, []
-    if os.path.exists(checkpoint_path):
+    def load_state():
         with np.load(checkpoint_path) as z:
             stored = int(z["n_iter"])
             if stored != n_iter:
-                raise ValueError(
+                raise CheckpointMismatch(
                     f"checkpoint {checkpoint_path} was recorded for "
                     f"n_iter={stored}, requested {n_iter}; delete it to "
                     "restart")
@@ -377,10 +377,20 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
                 z["inputs_digest"] if "inputs_digest" in z else None,
                 inputs_digest)
             fresh = carry
-            carry = _load_ckpt_carry(z, treedef, lambda: fresh,
-                                     checkpoint_path)
-            start = int(z["done"])
-            histories = [np.asarray(z["history"])]
+            loaded = _load_ckpt_carry(z, treedef, lambda: fresh,
+                                      checkpoint_path)
+            return loaded, int(z["done"]), [np.asarray(z["history"])]
+
+    start, histories = 0, []
+    if os.path.exists(checkpoint_path):
+        try:
+            carry, start, histories = load_state()
+        except CheckpointMismatch:
+            raise
+        except Exception as e:  # noqa: BLE001 — truncated/garbage file
+            raise CheckpointMismatch(
+                f"checkpoint {checkpoint_path} is unreadable "
+                f"({type(e).__name__}: {e}); delete it to restart") from e
 
     if int(checkpoint_every) <= 0:
         raise ValueError(

@@ -486,12 +486,23 @@ def arrays_digest(*arrays):
     return h.hexdigest()
 
 
+class CheckpointMismatch(ValueError):
+    """A mid-fit checkpoint cannot be resumed against the current fit
+    (changed inputs/budget/parameter structure, or a corrupted file).
+
+    ValueError subclass so direct API users' existing handlers keep
+    working; the pipeline tasks catch THIS type specifically
+    (utilities/checkpoints.run_discarding_stale_checkpoint) to discard
+    the stale file and restart — string-matching the message was
+    fragile (a corrupted npz raises messages with no path in them)."""
+
+
 def _check_ckpt_digest(path, stored, expected):
     if expected is None:
         return
     stored = None if stored is None else str(stored)
     if stored != expected:
-        raise ValueError(
+        raise CheckpointMismatch(
             f"checkpoint {path} was recorded for different input data "
             f"(digest {stored} != {expected}); the upstream products "
             "changed since the interrupted fit — delete the checkpoint "
@@ -509,7 +520,7 @@ def _load_ckpt_carry(z, treedef, fresh_carry_thunk, path):
     try:
         leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
     except KeyError as e:
-        raise ValueError(
+        raise CheckpointMismatch(
             f"checkpoint {path} has fewer carry leaves than this "
             "problem (parameter structure changed, e.g. a fit flag "
             "flipped); refusing to resume — delete the checkpoint to "
@@ -520,14 +531,14 @@ def _load_ckpt_carry(z, treedef, fresh_carry_thunk, path):
         jax.eval_shape(fresh_carry_thunk))
     for i, (stored, fresh) in enumerate(zip(leaves, fresh_leaves)):
         if tuple(stored.shape) != tuple(fresh.shape):
-            raise ValueError(
+            raise CheckpointMismatch(
                 f"checkpoint {path} leaf {i} has shape "
                 f"{tuple(stored.shape)}, expected {tuple(fresh.shape)} "
                 "(epoch padding/device count or free-parameter set "
                 "changed); refusing to resume — delete the checkpoint "
                 "to restart")
     if f"leaf_{n_leaves}" in z:
-        raise ValueError(
+        raise CheckpointMismatch(
             f"checkpoint {path} has more carry leaves than this "
             "problem (parameter structure changed); refusing to "
             "resume — delete the checkpoint to restart")
@@ -597,10 +608,20 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
         os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
 
     def load_state(path):
+        try:
+            return _load_state_inner(path)
+        except CheckpointMismatch:
+            raise
+        except Exception as e:  # noqa: BLE001 — truncated/garbage file
+            raise CheckpointMismatch(
+                f"checkpoint {path} is unreadable ({type(e).__name__}: "
+                f"{e}); delete it to restart") from e
+
+    def _load_state_inner(path):
         with np.load(path) as z:
             stored_n_iter = int(z["n_iter"])
             if stored_n_iter != n_iter:
-                raise ValueError(
+                raise CheckpointMismatch(
                     f"checkpoint {path} was recorded for n_iter="
                     f"{stored_n_iter}, requested {n_iter}; refusing to "
                     "resume (the lr schedule would not match) — delete "

@@ -18,14 +18,9 @@ def generate_lightcurve_html(df, out_path):
     # a single non-finite MJD would make the JS extent() NaN and blank
     # the whole SVG (the matplotlib path filters these too)
     df = df[np.isfinite(np.asarray(df["mjd"], dtype=float))]
-    # suffix-strip, not split("_")[0]: labels may contain underscores.
-    # Set-based: drop a candidate only when it is a derived column of
-    # another present source (same rule as
-    # utilities/lightcurves_postprocessing._point_source_names)
-    names = {c[:-len("_mag")] for c in df.columns if c.endswith("_mag")}
-    derived = {f"{m}_{suffix}" for m in names
-               for suffix in ("d", "scatter", "count")}
-    sources = sorted(names - derived)
+    from ..utilities.lightcurves_postprocessing import _point_source_names
+
+    sources = sorted(_point_source_names(df.columns, suffix="_mag"))
     payload = {"mjd": [float(v) for v in df["mjd"]], "sources": {}}
     for ps in sources:
         mags = [None if not np.isfinite(v) else float(v)

@@ -16,17 +16,18 @@ import pandas as pd
 from .stats import sigmaclip
 
 
-def _point_source_names(columns):
-    # strip the exact "_flux" suffix rather than split("_")[0] (the
-    # reference's defect): a label containing an underscore ("QSO_A")
-    # would otherwise map to a nonexistent "QSO_flux" column and crash
-    # the pipeline at its very last step.  A candidate is dropped only
-    # when it is a DERIVED column of another present source ("a_d" with
-    # "a" present) — a plain suffix blacklist would silently drop a
-    # genuine source the user named "image_d".
-    names = {c[:-len("_flux")] for c in columns if c.endswith("_flux")}
-    derived = {f"{m}_{suffix}" for m in names
-               for suffix in ("d", "scatter", "count")}
+def _point_source_names(columns, suffix="_flux"):
+    # strip the exact suffix rather than split("_")[0] (the reference's
+    # defect): a label containing an underscore ("QSO_A") would
+    # otherwise map to a nonexistent "QSO_flux" column and crash the
+    # pipeline at its very last step.  A candidate is dropped only when
+    # it is a DERIVED column of another present source ("a_d" with "a"
+    # present) — a plain suffix blacklist would silently drop a genuine
+    # source the user named "image_d".  The HTML report reuses this
+    # with suffix="_mag".
+    names = {c[:-len(suffix)] for c in columns if c.endswith(suffix)}
+    derived = {f"{m}_{kind}" for m in names
+               for kind in ("d", "scatter", "count")}
     return names - derived
 
 
@@ -37,6 +38,11 @@ def group_observations(df, threshold=0.8):
     inverse-variance weighted mean; uncertainty = sqrt(1 / sum(weights));
     scatter = weighted std.  Other columns are plain-averaged.
     """
+    # a NaN MJD cannot be assigned to a night: np.diff(NaN) fails the
+    # '> threshold' break test and the epoch's (possibly finite) fluxes
+    # would silently merge into the LAST night (the HTML report drops
+    # such rows for the same reason)
+    df = df[np.isfinite(np.asarray(df["mjd"], dtype=float))]
     df_sorted = df.sort_values(by="mjd").reset_index(drop=True)
     sources = sorted(_point_source_names(df.columns))
     flux_cols = ([f"{ps}_flux" for ps in sources]

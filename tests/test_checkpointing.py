@@ -264,3 +264,31 @@ def test_stale_checkpoint_is_discarded_at_task_level(star_batch,
         raise ValueError("unrelated")
     with pytest.raises(ValueError, match="unrelated"):
         run_discarding_stale_checkpoint(boom, ckpt, logger)
+
+
+def test_corrupted_checkpoint_is_discarded_at_task_level(star_batch,
+                                                         tmp_path):
+    """A truncated/garbage checkpoint file must surface as the typed
+    CheckpointMismatch (so the task wrapper discards it), not as a raw
+    np.load/zipfile error that wedges every re-run."""
+    import logging
+
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+    from lightcurver_tpu.core.optimize import CheckpointMismatch
+    from lightcurver_tpu.utilities.checkpoints import \
+        run_discarding_stale_checkpoint
+
+    data, noise, psf = star_batch
+    ckpt = tmp_path / "garbage.ckpt"
+    ckpt.write_bytes(b"this is not an npz file at all")
+
+    def run():
+        return fit_stars_batched(data, noise, psf, 2, n_iter=100,
+                                 checkpoint_path=str(ckpt),
+                                 checkpoint_every=50)
+
+    with pytest.raises(CheckpointMismatch, match="unreadable"):
+        run()
+    out = run_discarding_stale_checkpoint(
+        run, ckpt, logging.getLogger("test.garbage_ckpt"))
+    assert np.isfinite(out["fluxes"]).all()

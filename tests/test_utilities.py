@@ -275,3 +275,24 @@ def test_source_label_ending_in_d_is_not_dropped():
     nightly = group_observations(df)
     mags = convert_flux_to_magnitude(nightly)
     assert np.isfinite(mags["image_d_mag"]).all()
+
+
+def test_nightly_grouping_drops_nan_mjd_epoch():
+    """A NaN-MJD epoch cannot be assigned to a night: it must be
+    dropped, not silently merged into the LAST night (np.diff(NaN)
+    fails the gap test)."""
+    import pandas as pd
+
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+        group_observations
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, np.nan, 60002.0],
+        "a_flux": [100.0, 200.0, 300.0],
+        "a_d_flux": [1.0, 1.0, 1.0],
+    })
+    nightly = group_observations(df)
+    assert len(nightly) == 2
+    last = nightly.sort_values("mjd").iloc[-1]
+    assert last["a_count_flux"] == 1         # the NaN-mjd epoch is gone
+    assert abs(last["a_flux"] - 300.0) < 1e-9
