@@ -28,6 +28,15 @@ from ..utilities.footprint import (
 from ..processes.star_extraction import extract_sources_from_sky_sub_image
 
 
+class _RelayHandler(logging.Handler):
+    """Re-dispatch a queued worker record through the parent's live
+    logging hierarchy (the record's own logger, so level filtering and
+    propagation apply normally)."""
+
+    def emit(self, record):
+        logging.getLogger(record.name).handle(record)
+
+
 def worker_init(log_queue):
     """Route ALL worker logging through the queue.
 
@@ -86,9 +95,14 @@ def _pool_run(worker, jobs):
                     if f is not None]
     else:
         log_queue = Manager().Queue()
-        base_logger = logging.getLogger("lightcurver")
+        # a RELAY handler, not a snapshot of 'lightcurver'.handlers:
+        # with a custom WorkflowManager logger (setup_base_logger never
+        # ran) the snapshot is EMPTY and every worker record — incl.
+        # per-frame failure tracebacks — would silently vanish.  The
+        # relay re-dispatches each record through the live hierarchy,
+        # honoring whatever handlers exist at consume time.
         listener = logging.handlers.QueueListener(log_queue,
-                                                  *base_logger.handlers)
+                                                  _RelayHandler())
         listener.start()
         try:
             with Pool(processes=n_proc, initializer=worker_init,

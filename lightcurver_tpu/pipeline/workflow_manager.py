@@ -80,7 +80,10 @@ def _validate_config_keys():
         message = (f"You have parameters in your config file that are not "
                    f"in the latest config version: {extra}.\nRemove them, "
                    "or set LIGHTCURVER_RELAX_CONFIG_CHECK=1 to ignore.")
-        if "LIGHTCURVER_RELAX_CONFIG_CHECK" in os.environ:
+        # value-aware: presence alone would make '=0' still relax the
+        # check, contradicting the message's 'set ...=1' instruction
+        if os.environ.get("LIGHTCURVER_RELAX_CONFIG_CHECK",
+                          "").lower() in ("1", "true", "yes"):
             print("===== config check relaxed: =====")
             print(message)
         else:
@@ -137,7 +140,12 @@ class WorkflowManager:
 
         if logger is None:
             setup_base_logger()
-            logger = logging.getLogger(__name__)
+            # inside the 'lightcurver' hierarchy: __name__ here is
+            # 'lightcurver_tpu.pipeline.workflow_manager', whose records
+            # would BYPASS the session FileHandler attached to
+            # 'lightcurver' — orchestration lines (task starts,
+            # post-check failures) must reach the persistent log
+            logger = logging.getLogger("lightcurver.workflow_manager")
         self.logger = logger
 
     def build_dependency_graph(self):

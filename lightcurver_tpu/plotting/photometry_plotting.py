@@ -26,12 +26,13 @@ def find_sources(df):
     ``{ps}_d_mag``) are optional — ``_errors`` falls back to zero-width
     bars, so error-less dataframes still plot.
     """
-    sources = []
-    for col in df.columns:
-        if not col.endswith("_mag") or col.count("_") != 1:
-            continue
-        sources.append(col[: -len("_mag")])
-    return sorted(sources)
+    # shared derived-column rule: count('_') == 1 (the reference's
+    # heuristic, reference plotting/photometry_plotting.py:12) drops
+    # underscore labels like 'QSO_A' that the rest of this pipeline
+    # explicitly supports
+    from ..utilities.lightcurves_postprocessing import _point_source_names
+
+    return sorted(_point_source_names(df.columns, suffix="_mag"))
 
 
 def measure_scatter(mags):

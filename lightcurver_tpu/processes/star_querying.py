@@ -56,7 +56,8 @@ def query_gaia_stars():
 
     strategy = user_config["star_selection_strategy"]
     if strategy == "common_footprint_stars":
-        _, common = load_combined_footprint_from_db(frames_hash)
+        _, common = load_combined_footprint_from_db(frames_hash,
+                                                    missing_ok=False)
         if not common:
             # stored as [] when the frames share no area (footprint.py)
             raise RuntimeError(
@@ -66,7 +67,8 @@ def query_gaia_stars():
                 "'stars_per_frame' / 'ROI_disk' strategy.")
         region_type, region = "polygon", common["coordinates"][0]
     elif strategy == "stars_per_frame":
-        largest, _ = load_combined_footprint_from_db(frames_hash)
+        largest, _ = load_combined_footprint_from_db(frames_hash,
+                                                     missing_ok=False)
         region_type, region = "polygon", largest["coordinates"][0]
     elif strategy == "ROI_disk":
         region_type = "circle"

@@ -6,10 +6,21 @@ ROI interactively or from arguments.
 """
 
 import argparse
+import json
 import re
 from pathlib import Path
 
 import yaml
+
+
+def _q(value):
+    """Quote a scalar for literal YAML splicing.
+
+    json.dumps gives a double-quoted string that YAML 1.1 parses back
+    verbatim — an UNQUOTED name like 'NO', '2023' or 'M31 #field'
+    would otherwise come back as a boolean/int/comment-truncated key.
+    """
+    return json.dumps(str(value))
 
 
 def _fill_template(text, workdir, roi_name, roi_ra, roi_dec, band):
@@ -19,18 +30,22 @@ def _fill_template(text, workdir, roi_name, roi_ra, roi_dec, band):
     not available here, so the few keys are edited in place)."""
     # replacements go through lambdas so user values are literal text,
     # never backreference patterns
-    text, n = re.subn(r"(?m)^workdir:.*$", lambda m: f"workdir: {workdir}",
-                      text, count=1)
-    assert n == 1, "template lost its workdir key"
-    roi_block = (f"ROI:\n  {roi_name}:\n"
-                 f"    coordinates: [{roi_ra}, {roi_dec}]"
+    text, n = re.subn(r"(?m)^workdir:.*$",
+                      lambda m: f"workdir: {_q(workdir)}", text, count=1)
+    if n != 1:
+        raise RuntimeError("template lost its workdir key")
+    roi_block = (f"ROI:\n  {_q(roi_name)}:\n"
+                 f"    coordinates: [{float(roi_ra)}, {float(roi_dec)}]"
                  "   # [ra, dec] degrees\n")
     text, n = re.subn(r"(?m)^ROI:\n(?:[ \t]+\S.*\n)+",
                       lambda m: roi_block, text, count=1)
-    assert n == 1, "template lost its ROI block"
+    if n != 1:
+        raise RuntimeError("template lost its ROI block")
     text, n = re.subn(r"(?m)^photometric_band:.*$",
-                      lambda m: f"photometric_band: {band}", text, count=1)
-    assert n == 1, "template lost its photometric_band key"
+                      lambda m: f"photometric_band: {_q(band)}",
+                      text, count=1)
+    if n != 1:
+        raise RuntimeError("template lost its photometric_band key")
     return text
 
 _TEMPLATE = (Path(__file__).parent.parent / "pipeline"
@@ -84,12 +99,19 @@ def initialize():
                             args.roi_name, args.roi_ra, args.roi_dec,
                             args.photom_band)
     # sanity: the comment-preserving substitution must still parse and
-    # carry exactly the values the user gave
+    # carry exactly the values the user gave.  Real raises, not asserts
+    # (python -O would otherwise write a silently corrupted config)
     parsed = yaml.safe_load(filled)
-    assert parsed["workdir"] == str(workdir)
-    assert parsed["ROI"] == {args.roi_name:
-                             {"coordinates": [args.roi_ra, args.roi_dec]}}
-    assert parsed["photometric_band"] == args.photom_band
+    expected_roi = {args.roi_name:
+                    {"coordinates": [args.roi_ra, args.roi_dec]}}
+    if (parsed["workdir"] != str(workdir)
+            or parsed["ROI"] != expected_roi
+            or parsed["photometric_band"] != args.photom_band):
+        raise RuntimeError(
+            "filled config does not round-trip the given values "
+            f"(got workdir={parsed['workdir']!r}, ROI={parsed['ROI']!r}, "
+            f"band={parsed['photometric_band']!r}); config.yaml keeps "
+            "the template values — fill it in manually")
     config_path.write_text(filled)
     print(f"Adapt the header parser at {parser_file}.")
     print(f"Prepared rough configuration at {config_path} -- refine it.")

@@ -117,12 +117,26 @@ def save_combined_footprints_to_db(frames_hash, common_footprint,
         is_select=False)
 
 
-def load_combined_footprint_from_db(frames_hash):
+def load_combined_footprint_from_db(frames_hash, missing_ok=True):
+    """(largest, common) polygons for the hash, or None when absent.
+
+    ``missing_ok=False`` raises an actionable error instead: callers
+    that unpack the result directly (star querying) would otherwise
+    surface 'cannot unpack non-iterable NoneType' with no hint that the
+    footprint task must be (re-)run for the current frame set.
+    """
     rows = execute_sqlite_query(
         "SELECT largest, common FROM combined_footprint WHERE hash = ?",
         params=(frames_hash,))
     if not rows:
-        return None
+        if missing_ok:
+            return None
+        raise RuntimeError(
+            f"no combined footprint stored for frame-set hash "
+            f"{frames_hash}: the frame set changed since the last "
+            "footprint calculation — run the "
+            "calculate_common_and_total_footprint task (do not --start "
+            "the pipeline after it)")
     largest, common = rows[0]
     return json.loads(largest), json.loads(common)
 

@@ -72,7 +72,11 @@ def group_observations(df, threshold=0.8):
             # scipy.stats.sigmaclip propagates the NaN into the clip
             # bounds and loses the night (reference
             # utilities/lightcurves_postprocessing.py:8-57)
-            finite = np.isfinite(fluxes) & np.isfinite(variances)
+            # > 0: a zero-variance epoch (degenerate Fisher error) is
+            # excluded like the NaN ones — np.all(kept_var > 0) below
+            # would otherwise discard the whole night
+            finite = (np.isfinite(fluxes) & np.isfinite(variances)
+                      & (variances > 0))
             fluxes, variances = fluxes[finite], variances[finite]
             kept, lo_lim, hi_lim = sigmaclip(fluxes, low=2, high=2)
             keep = (fluxes >= lo_lim) & (fluxes <= hi_lim)

@@ -140,3 +140,77 @@ def test_import_anti_join_and_dedup_key_on_stem(tmp_path, monkeypatch,
     assert imported_names == ["a.fit", "b.fits"]  # first 'a' wins, c skipped
     assert any("Duplicate raw file stem 'a'" in r.message
                for r in caplog.records)
+
+
+def test_lc_init_yaml_special_names(tmp_path, monkeypatch):
+    """ROI names YAML would mis-parse unquoted ('NO' -> bool, '2023' ->
+    int, '#'-containing -> comment) must round-trip verbatim."""
+    from lightcurver_tpu.scripts.initialize import initialize
+
+    monkeypatch.setattr(sys, "argv", [
+        "lc_init", "--workdir", str(tmp_path), "--roi_name", "NO",
+        "--roi_ra", "10.0", "--roi_dec", "20.0",
+        "--photom_band", "r_sdss"])
+    initialize()
+    config = yaml.safe_load((tmp_path / "config.yaml").read_text())
+    assert config["ROI"] == {"NO": {"coordinates": [10.0, 20.0]}}
+
+
+def test_relax_config_check_is_value_aware(tmp_path, monkeypatch):
+    """LIGHTCURVER_RELAX_CONFIG_CHECK=0 must stay STRICT (presence
+    alone relaxed the check, contradicting the 'set ...=1' message)."""
+    from pathlib import Path
+
+    import pytest
+
+    import lightcurver_tpu
+    from lightcurver_tpu.pipeline.workflow_manager import \
+        _validate_config_keys
+
+    template = (Path(lightcurver_tpu.__file__).parent / "pipeline"
+                / "example_config_file" / "config.yaml")
+    config = yaml.safe_load(template.read_text())
+    config["workdir"] = str(tmp_path)
+    config["definitely_a_typoed_key"] = 1
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.dump(config))
+    monkeypatch.setenv("LIGHTCURVER_CONFIG", str(bad))
+
+    monkeypatch.setenv("LIGHTCURVER_RELAX_CONFIG_CHECK", "0")
+    with pytest.raises(RuntimeError, match="not in the latest config"):
+        _validate_config_keys()
+    monkeypatch.setenv("LIGHTCURVER_RELAX_CONFIG_CHECK", "1")
+    _validate_config_keys()  # relaxed: no raise
+
+
+def test_queue_listener_relays_to_live_handlers():
+    """Worker records must reach handlers attached AFTER the listener
+    was built (a snapshot of 'lightcurver'.handlers is empty when
+    setup_base_logger never ran, silently dropping worker logs)."""
+    import logging
+    import logging.handlers
+    import queue
+
+    from lightcurver_tpu.pipeline.task_wrappers import _RelayHandler
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    log_queue = queue.Queue()
+    listener = logging.handlers.QueueListener(log_queue, _RelayHandler())
+    listener.start()
+    lg = logging.getLogger("lightcurver.test_relay")
+    lg.addHandler(Capture())
+    lg.setLevel(logging.INFO)
+    try:
+        # what worker_init's QueueHandler would enqueue
+        logging.handlers.QueueHandler(log_queue).emit(
+            lg.makeRecord("lightcurver.test_relay", logging.INFO,
+                          __file__, 1, "worker traceback", (), None))
+        listener.stop()  # drains the queue
+    finally:
+        lg.handlers = []
+    assert records == ["worker traceback"]

@@ -296,3 +296,22 @@ def test_nightly_grouping_drops_nan_mjd_epoch():
     last = nightly.sort_values("mjd").iloc[-1]
     assert last["a_count_flux"] == 1         # the NaN-mjd epoch is gone
     assert abs(last["a_flux"] - 300.0) < 1e-9
+
+
+def test_zero_variance_epoch_does_not_nuke_the_night():
+    """One exactly-zero d_flux epoch (degenerate Fisher error) must be
+    excluded like NaN epochs, not discard the whole night."""
+    import pandas as pd
+
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+        group_observations
+
+    df = pd.DataFrame({
+        "mjd": [60000.0, 60000.01, 60000.02],
+        "a_flux": [100.0, 500.0, 102.0],
+        "a_d_flux": [1.0, 0.0, 1.0],     # middle epoch degenerate
+    })
+    nightly = group_observations(df)
+    assert len(nightly) == 1
+    assert nightly["a_count_flux"].iloc[0] == 2
+    assert abs(nightly["a_flux"].iloc[0] - 101.0) < 0.5
