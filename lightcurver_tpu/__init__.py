@@ -14,7 +14,8 @@ from .core.deconv.model import setup_model, DeconvModel     # noqa: F401
 from .core.deconv.loss import Loss, Prior                   # noqa: F401
 from .core.deconv.batched import fit_stars_batched          # noqa: F401
 from .core.params import Params                             # noqa: F401
-from .core.optimize import Optimizer                        # noqa: F401
+from .core.optimize import (Optimizer,                      # noqa: F401
+                            CheckpointMismatch)
 from .core.noise import propagate_noise                     # noqa: F401
 from .core.fisher import (get_flux_uncertainties,           # noqa: F401
                           FisherCovariance)
