@@ -13,6 +13,12 @@ rays hit.  The reference exercises this on 2 bundled OmegaCAM frames
   reference star) plus injected cosmic-ray hits — the bad-column and
   L.A.Cosmic masking (processes/cutout_making.mask_cutout) must keep
   them out of the fits.
+- one reference star has a LARGE PROPER MOTION (0.5 "/yr; think
+  61 Cyg-like nearby dwarfs): at the 2023.7 observing epoch it sits
+  ~19 px from its Gaia DR3 (2016.0) catalog position — farther than a
+  whole cutout — so its flux only comes out right if cutout extraction
+  PM-corrects positions to the frame epoch
+  (processes/cutout_making.py, utilities/coordinates.apply_proper_motion).
 
 The pipeline must complete and stay quantitatively correct: PSFs on
 every frame, unaffected star fluxes within 10%, ROI fluxes within the
@@ -44,6 +50,30 @@ PS_OFFSETS = {"A": (-0.8, 0.5), "B": (0.7, -0.6)}
 PS_FLUXES = {"A": [300.0, 360.0, 330.0], "B": [150.0, 120.0, 135.0]}
 FRAME_FWHM_PX = [2.6, 3.1, 2.8]
 FRAME_DITHER_PX = [(0.0, 0.0), (1.4, -0.8), (-1.1, 0.6)]
+
+# a high-proper-motion reference star: catalog position at Gaia epoch
+# 2016.0, but RENDERED at the observing-epoch position (the ~7.7 yr
+# baseline moves it ~3.9" ~ 19 px — more than a whole 16 px cutout)
+PM_STAR = {"offset_arcsec": (10.0, 4.0), "flux": 850.0,
+           "pmra": 400.0, "pmdec": -300.0, "source_id": 3008}
+MJD0 = 60200.0
+
+
+def _pm_star_positions():
+    """(catalog ra/dec at 2016.0, observed ra/dec at MJD0).
+
+    Independent linear-motion arithmetic — deliberately NOT calling
+    utilities/coordinates.apply_proper_motion, which is the code under
+    test."""
+    dx, dy = PM_STAR["offset_arcsec"]
+    dec_cat = ROI_DEC + dy / 3600.0
+    ra_cat = ROI_RA + dx / 3600.0 / np.cos(np.radians(ROI_DEC))
+    jyear = 2000.0 + (MJD0 - 51544.5) / 365.25
+    dt = jyear - 2016.0
+    ra_obs = ra_cat + (PM_STAR["pmra"] * dt / 1000.0 / 3600.0
+                       / np.cos(np.radians(dec_cat)))
+    dec_obs = dec_cat + PM_STAR["pmdec"] * dt / 1000.0 / 3600.0
+    return (ra_cat, dec_cat), (ra_obs, dec_obs)
 
 
 def _make_wcs(frame_idx):
@@ -105,10 +135,24 @@ def workdir(tmp_path_factory):
             "phot_rp_mean_mag": gmag - 0.5, "pmra": 0.0, "pmdec": 0.0,
             "ref_epoch": 2016.0,
         })
+    # the high-PM star: CATALOG row at the 2016.0 position, but
+    # rendered at the observing-epoch position (motion between the 3
+    # frames, 4 days, is ~4 mas — negligible)
+    (pm_ra_cat, pm_dec_cat), pm_obs = _pm_star_positions()
+    pm_gmag = 20.0 - 2.5 * np.log10(PM_STAR["flux"])
+    stars.append({
+        "ra": pm_ra_cat, "dec": pm_dec_cat,
+        "source_id": PM_STAR["source_id"],
+        "phot_g_mean_mag": pm_gmag, "phot_bp_mean_mag": pm_gmag + 0.5,
+        "phot_rp_mean_mag": pm_gmag - 0.5,
+        "pmra": PM_STAR["pmra"], "pmdec": PM_STAR["pmdec"],
+        "ref_epoch": 2016.0,
+    })
     fixture_csv = tmp / "gaia_fixture.csv"
     pd.DataFrame(stars).to_csv(fixture_csv, index=False)
     star_world = [((s["ra"], s["dec"]), f)
                   for s, f in zip(stars, STAR_FLUXES_E_S)]
+    star_world.append((pm_obs, PM_STAR["flux"]))
 
     from lightcurver_tpu.io.fits import write_fits, Header
 
@@ -229,6 +273,7 @@ def test_unaffected_star_fluxes(pipeline_run):
                           right_on="gaia_id")
     injected = {str(3000 + i): f
                 for i, f in enumerate(STAR_FLUXES_E_S)}
+    injected[str(PM_STAR["source_id"])] = PM_STAR["flux"]
     trail_id = str(3000 + TRAIL_STAR)
     for gaia_id, group in merged.groupby("star_gaia_id"):
         if str(gaia_id) == trail_id:
@@ -236,6 +281,26 @@ def test_unaffected_star_fluxes(pipeline_run):
         measured = group["flux"].median()
         assert measured == pytest.approx(injected[str(gaia_id)],
                                          rel=0.1)
+
+
+def test_high_proper_motion_star_followed(pipeline_run):
+    """The PM star sits ~19 px from its catalog position at the
+    observing epoch — farther than a whole 16 px cutout, so its flux
+    is only recoverable if cutout extraction PM-corrected the
+    position.  (Also asserted inside test_unaffected_star_fluxes; this
+    pins the displacement so the scenario cannot silently go soft.)"""
+    (ra_cat, dec_cat), (ra_obs, dec_obs) = _pm_star_positions()
+    displacement_px = np.hypot(
+        (ra_obs - ra_cat) * np.cos(np.radians(dec_cat)),
+        dec_obs - dec_cat) * 3600.0 / (PIXEL_SCALE * 3600.0)
+    assert displacement_px > 16.0   # beyond the whole stamp
+
+    fluxes = _query(
+        "SELECT flux FROM star_flux_in_frame WHERE star_gaia_id = ?",
+        (str(PM_STAR["source_id"]),))
+    assert len(fluxes) == N_FRAMES
+    assert fluxes["flux"].median() == pytest.approx(PM_STAR["flux"],
+                                                    rel=0.1)
 
 
 def test_roi_fluxes_including_rotated_frame(pipeline_run, workdir):
