@@ -35,10 +35,20 @@ else:
 
     # persistent compilation cache: the suite's wall time is dominated
     # by XLA compiles of the big jitted fit programs; caching them
-    # makes re-runs (and parallel test shards) several times faster
+    # makes re-runs (and parallel test shards) several times faster.
+    # Keyed by the CPU feature flags: XLA:CPU AOT results are compiled
+    # -march=native-equivalent, and loading another machine's entries
+    # logs 'could lead to execution errors such as SIGILL'
+    import hashlib
     import pathlib
 
-    _cache = pathlib.Path(__file__).parents[1] / ".jax_cache_cpu"
+    try:
+        _flags = next(line for line in open("/proc/cpuinfo")
+                      if line.startswith("flags"))
+    except (OSError, StopIteration):
+        _flags = "unknown"
+    _fp = hashlib.sha256(_flags.encode()).hexdigest()[:8]
+    _cache = pathlib.Path(__file__).parents[1] / f".jax_cache_cpu_{_fp}"
     _cache.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(_cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

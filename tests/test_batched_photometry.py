@@ -32,8 +32,11 @@ def test_flux_recovery_and_fisher_calibration(star_set):
     rel = out["fluxes"] / true_flux - 1
     assert abs(float(np.mean(rel))) < 0.03
     # Fisher uncertainties statistically calibrated: |error| / sigma ~ 1
+    # (measured 0.92 on this fixture; sampling sigma of the std at
+    # n=30 is ~0.13, so (0.7, 1.4) is stable AND catches a factor-2
+    # miscalibration — a dropped sqrt(2) lands at ~0.65 or ~1.85)
     pulls = (out["fluxes"] - true_flux) / out["fluxes_uncertainties"]
-    assert 0.5 < float(np.std(pulls)) < 2.0
+    assert 0.7 < float(np.std(pulls)) < 1.4
     # loss history contract: exactly n_iter entries
     assert out["loss_history"].shape == (5, 400)
 

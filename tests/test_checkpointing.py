@@ -54,32 +54,56 @@ def test_resume_matches_uninterrupted(problem, tmp_path):
         assert leaf_ck == pytest.approx(leaf_ref, rel=1e-4)
 
 
-def test_partial_checkpoint_resumes(problem, tmp_path):
-    """Simulate an interruption by rewinding the checkpoint's done marker."""
-    from lightcurver_tpu.core.optimize import run_adabelief_checkpointed
+def test_killed_optimizer_fit_resumes_exactly(problem, tmp_path,
+                                              monkeypatch):
+    """GENUINE mid-run kill of run_adabelief_checkpointed: the second
+    segment's checkpoint write raises, leaving a one-segment (iter-40)
+    state on disk; the resumed run must reproduce the uninterrupted
+    trajectory exactly.  (An earlier test rewound a FINISHED
+    checkpoint's done marker instead — that leaves an iteration-80
+    carry labeled done=40, an inconsistent state no real kill
+    produces, so it could only assert shapes.)"""
+    import numpy as real_np
+
+    from lightcurver_tpu.core.optimize import (run_adabelief,
+                                               run_adabelief_checkpointed)
 
     loss, params = problem
-    ckpt = tmp_path / "fit.ckpt"
-    run_adabelief_checkpointed(
-        loss.loss_fn, params.free0, params.lower, params.upper, 80,
-        checkpoint_path=str(ckpt), consts=loss.consts,
-        checkpoint_every=40)
-    with np.load(ckpt) as z:
-        state = dict(z)
-    # rewind the checkpoint to the 40-iteration point
-    state["done"] = np.int64(40)
-    state["history"] = state["history"][:40]
-    np.savez(str(ckpt) + ".new", **state)
-    import os
+    best_ref, final_ref, hist_ref = run_adabelief(
+        loss.loss_fn, params.free0, params.lower, params.upper, 120,
+        init_learning_rate=1e-2, consts=loss.consts)
 
-    os.replace(str(ckpt) + ".new.npz", ckpt)
+    ckpt = tmp_path / "fit.ckpt"
+    calls = {"n": 0}
+    orig_savez = real_np.savez
+
+    def bomb(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise KeyboardInterrupt("simulated kill")
+        return orig_savez(*args, **kwargs)
+
+    monkeypatch.setattr(real_np, "savez", bomb)
+    with pytest.raises(KeyboardInterrupt):
+        run_adabelief_checkpointed(
+            loss.loss_fn, params.free0, params.lower, params.upper, 120,
+            checkpoint_path=str(ckpt), init_learning_rate=1e-2,
+            consts=loss.consts, checkpoint_every=40)
+    monkeypatch.setattr(real_np, "savez", orig_savez)
+    assert ckpt.exists()
+    with np.load(ckpt) as z:
+        assert int(z["done"]) == 40  # exactly one segment survived
 
     best, final, hist = run_adabelief_checkpointed(
-        loss.loss_fn, params.free0, params.lower, params.upper, 80,
-        checkpoint_path=str(ckpt), consts=loss.consts,
-        checkpoint_every=40)
-    assert hist.shape == (80,)
-    assert np.isfinite(hist).all()
+        loss.loss_fn, params.free0, params.lower, params.upper, 120,
+        checkpoint_path=str(ckpt), init_learning_rate=1e-2,
+        consts=loss.consts, checkpoint_every=40)
+    assert hist.shape == (120,)
+    np.testing.assert_allclose(hist, np.asarray(hist_ref), rtol=1e-5,
+                               atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(final["kwargs_analytic"]["a"]),
+        np.asarray(final_ref["kwargs_analytic"]["a"]), rtol=1e-4)
 
 
 @pytest.fixture()

@@ -111,28 +111,50 @@ class TestStarlet:
 
 
 class TestConvolution:
-    def test_convolve_grid_matches_scipy_delta(self):
-        """A delta at pixel (i0, j0) spawns a peak-aligned PSF copy."""
+    def test_convolve_grid_matches_fourier_shift_delta(self):
+        """A delta at pixel (i0, j0) spawns a peak-aligned PSF copy.
+
+        Even m: the center c = (m-1)/2 is FRACTIONAL, so the expected
+        output is a half-pixel-shifted PSF copy that has no exact
+        integer-lattice counterpart — the oracle is an explicit Fourier
+        phase ramp (the independent scipy crop comparison lives in
+        test_convolve_grid_matches_scipy_odd_support below)."""
         m = 32
         rng = np.random.default_rng(4)
         t = np.zeros((m, m), dtype=np.float32)
-        # synthetic psf with peak exactly at the array center (odd support)
         t[14:19, 14:19] = rng.random((5, 5)).astype(np.float32)
         img = np.zeros((m, m), dtype=np.float32)
         img[20, 9] = 1.0
         t_hat = conv.psf_fft_for_grid(jnp.asarray(t))
         out = conv.convolve_grid(jnp.asarray(img), t_hat)
-        oracle = scipy.signal.fftconvolve(img, t, mode="full")
-        # peak-aligned: t's array coordinate center c = (m-1)/2 = 15.5 maps
-        # onto the delta. Build oracle by exact fractional shift in Fourier.
         c = (m - 1) / 2.0
         full = np.fft.rfft2(t, s=(2 * m, 2 * m))
         fy = np.fft.fftfreq(2 * m).reshape(-1, 1)
         fx = np.fft.rfftfreq(2 * m).reshape(1, -1)
         shift = np.exp(-2j * np.pi * (fy * (20 - c) + fx * (9 - c)))
-        oracle2 = np.fft.irfft2(full * shift, s=(2 * m, 2 * m))[:m, :m]
-        np.testing.assert_allclose(np.asarray(out), oracle2, atol=1e-4)
-        del oracle
+        oracle = np.fft.irfft2(full * shift, s=(2 * m, 2 * m))[:m, :m]
+        np.testing.assert_allclose(np.asarray(out), oracle, atol=1e-4)
+
+    def test_convolve_grid_matches_scipy_odd_support(self):
+        """Fully INDEPENDENT scipy cross-check on an odd grid.
+
+        With m odd the center c = (m-1)/2 is an integer, so the
+        peak-aligned convention maps exactly onto a crop of
+        scipy.signal.fftconvolve's full output:
+        out[y, x] = full[y + c, x + c].  This catches any convention
+        error shared between convolve_grid and a hand-built Fourier
+        ramp oracle (the two use the same rfft machinery)."""
+        m = 33
+        c = (m - 1) // 2
+        rng = np.random.default_rng(7)
+        t = np.zeros((m, m), dtype=np.float32)
+        t[c - 2:c + 3, c - 2:c + 3] = rng.random((5, 5)).astype(np.float32)
+        img = rng.random((m, m)).astype(np.float32)  # arbitrary image
+        t_hat = conv.psf_fft_for_grid(jnp.asarray(t))
+        out = conv.convolve_grid(jnp.asarray(img), t_hat)
+        full = scipy.signal.fftconvolve(img, t, mode="full")
+        np.testing.assert_allclose(np.asarray(out),
+                                   full[c:c + m, c:c + m], atol=1e-4)
 
     def test_convolution_linearity_and_flux(self):
         m = 32

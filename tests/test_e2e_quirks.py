@@ -283,6 +283,30 @@ def test_unaffected_star_fluxes(pipeline_run):
                                          rel=0.1)
 
 
+def test_bleed_trail_is_masked_in_cutouts(pipeline_run, workdir):
+    """The saturation column through the trail star must be flagged in
+    that star's stored cutout mask on the trailed frame — otherwise
+    the quirk the fixture builds could silently stop being exercised
+    (the flux assertions deliberately skip the trail star)."""
+    import h5py
+
+    frames = _query("SELECT id, image_relpath FROM frames ORDER BY mjd")
+    trailed_rel = frames["image_relpath"].iloc[2]   # k == 2 got the trail
+    trail_id = str(3000 + TRAIL_STAR)
+    with h5py.File(workdir / "regions.h5", "r") as f:
+        mask = f[f"{trailed_rel}/cosmicsmask/{trail_id}"][...]
+        data = f[f"{trailed_rel}/data/{trail_id}"][...]
+    assert mask.any(), "saturation trail not flagged at all"
+    # the trail is a hot COLUMN through the stamp: some column must be
+    # mostly masked
+    col_frac = mask.mean(axis=0)
+    assert col_frac.max() > 0.8, (
+        f"no mostly-masked column (max fraction {col_frac.max():.2f})")
+    # and the masked column IS the bright artifact
+    hot_col = int(np.nanargmax(np.nanmedian(data, axis=0)))
+    assert col_frac[hot_col] > 0.8
+
+
 def test_high_proper_motion_star_followed(pipeline_run):
     """The PM star sits ~19 px from its catalog position at the
     observing epoch — farther than a whole 16 px cutout, so its flux

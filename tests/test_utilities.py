@@ -157,13 +157,21 @@ class TestFootprintRAWrap:
         # intersection spans 0.15 x 0.2 deg; union 0.25 x 0.2 deg
         assert common.area == pytest.approx(0.15 * 0.2, rel=1e-6)
         assert largest.area == pytest.approx(0.25 * 0.2, rel=1e-6)
-        # the ROI on the seam is inside (after unwrapping to the
-        # polygons' own window)
-        from lightcurver_tpu.utilities.footprint import unwrap_ra
-
-        ra0 = float(np.mean(np.asarray(fp1)[:, 0] % 360.0))
+        # the polygon lives in ONE continuous window ...
         verts = np.asarray(common.mapping()["coordinates"][0])
         assert verts[:, 0].max() - verts[:, 0].min() < 1.0
+        # ... and containment works across the seam: the overlap spans
+        # RA [-0.05, 0.10] unwrapped (x dec [9.9, 10.1]), so RA 0.0 —
+        # dead on the seam — is inside and RA 0.14 (fp1-only) is not
+        from lightcurver_tpu.utilities.footprint import unwrap_ra
+
+        window_center = float(verts[:, 0].mean())
+        roi_ra, roi_dec = 0.0, 10.0       # dead on the seam
+        assert common.contains(
+            float(unwrap_ra(roi_ra, window_center)), roi_dec)
+        # a point OUTSIDE the common overlap must not be contained
+        assert not common.contains(
+            float(unwrap_ra(0.14, window_center)), roi_dec)
 
 
 def test_underscore_point_source_labels():
