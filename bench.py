@@ -21,6 +21,11 @@ import numpy as np
 # metrics recorded incrementally by main(); the watchdog prints these
 # (as the final JSON line) if the backend wedges mid-run
 _METRICS = {}
+# per-repeat wall samples of the best-of-N metrics: the min shields
+# against tenant contention, but ONLY the min would hide an
+# intermittent real regression (e.g. an every-other-run recompile) —
+# the spread makes bimodality visible in the recorded JSON
+_SAMPLES = {}
 
 
 def _probe_backend():
@@ -101,7 +106,7 @@ def _setup_jax():
     return jax
 
 
-def run_roi_deconv(scene, n_iter=2000, repeats=2):
+def run_roi_deconv(scene, n_iter=2000, repeats=2, samples_key=None):
     import jax
     import jax.numpy as jnp
     from lightcurver_tpu.core.deconv.model import setup_model
@@ -184,7 +189,10 @@ def run_roi_deconv(scene, n_iter=2000, repeats=2):
             lambda x: x * (1 + 1e-6 * rep), params.free0)
         t0 = time.perf_counter()
         kwargs, hist = fit(free1)    # steady state
-        wall = min(wall, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        wall = min(wall, dt)
+        if samples_key:
+            _SAMPLES.setdefault(samples_key, []).append(round(dt, 3))
 
     modelled = np.asarray(model.model(kwargs))[:n_real]
     red_chi2 = float(np.nansum(
@@ -226,7 +234,7 @@ def run_roi_cost(scene, n_iter=2000):
 
 def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
                   n_iter_analytic=100, n_iter_adabelief=3000,
-                  repeats=3):
+                  repeats=3, samples_key=None):
     """Batched per-frame PSF fits; returns (fits/sec, mean chi2)."""
     from lightcurver_tpu.core.psf.batched import build_psf_batched
     from lightcurver_tpu.utilities.synthetic import make_star_stamps
@@ -245,17 +253,23 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
                                  n_iter_adabelief=n_iter_adabelief)
 
     fit(data)                    # compile + first run
-    # best-of-N (see run_roi_deconv: transient backend contention)
+    # best-of-N (see run_roi_deconv: transient backend contention).
+    # NOTE the wall includes the perturbation multiply + host->device
+    # upload + result fetch: this is the PRODUCTION per-bucket cost
+    # (the pipelined variant overlaps it), so fits/s is end-to-end
     wall = float("inf")
     for rep in range(1, repeats + 1):
         t0 = time.perf_counter()
         out = fit(data * np.float32(1 + 1e-6 * rep))
-        wall = min(wall, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        wall = min(wall, dt)
+        if samples_key:
+            _SAMPLES.setdefault(samples_key, []).append(round(dt, 3))
     return n_frames / wall, float(out["chi2"].mean())
 
 
 def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
-                              n_iter=2000, repeats=3):
+                              n_iter=2000, repeats=3, samples_key=None):
     """Batched joint star photometry: stars fitted per second.
 
     The third hot task (reference processes/star_photometry.py:232 —
@@ -286,7 +300,10 @@ def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
         t0 = time.perf_counter()
         out = fit_stars_batched(data * np.float32(1 + 1e-6 * rep),
                                 noise, psf, s, n_iter=n_iter)
-        wall = min(wall, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        wall = min(wall, dt)
+        if samples_key:
+            _SAMPLES.setdefault(samples_key, []).append(round(dt, 3))
     return n_stars / wall, float(np.mean(out["chi2"]))
 
 
@@ -396,7 +413,8 @@ def main():
 
     scene = make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4)
     roi_wall, red_chi2, _ = _retry(
-        lambda: run_roi_deconv(scene, repeats=1 if degraded else 2),
+        lambda: run_roi_deconv(scene, repeats=1 if degraded else 2,
+                               samples_key="roi100"),
         "roi100")
     _METRICS.update({"metric": "roi_deconv_100epoch_wall_s",
                      "value": round(roi_wall, 3), "unit": "s",
@@ -408,8 +426,9 @@ def main():
     scene1000 = None if degraded else make_roi_scene(
         n_epochs=1000, n_pix=64, s=2, n_sources=4)
     roi1000_wall, roi1000_chi2, _ = (nan, nan, None) if degraded else \
-        _optional(lambda: run_roi_deconv(scene1000), "roi1000",
-                  (nan, nan, None))
+        _optional(lambda: run_roi_deconv(scene1000,
+                                         samples_key="roi1000"),
+                  "roi1000", (nan, nan, None))
     _METRICS["roi_deconv_1000epoch_wall_s"] = (
         None if roi1000_wall != roi1000_wall else round(roi1000_wall, 3))
 
@@ -425,7 +444,8 @@ def main():
 
     fits_per_sec, psf_chi2 = _retry(
         lambda: run_psf_bench(n_frames=4 if degraded else 16,
-                              repeats=1 if degraded else 3), "psf16")
+                              repeats=1 if degraded else 3,
+                              samples_key="psf16"), "psf16")
     _METRICS.update({"psf_fits_per_sec": round(fits_per_sec, 3),
                      "psf_chi2": round(psf_chi2, 4)})
     # the third hot task: batched joint star photometry (stars/s at
@@ -433,7 +453,8 @@ def main():
     star_fps, star_chi2 = _optional(
         lambda: run_star_photometry_bench(
             n_stars=2 if degraded else 8,
-            repeats=1 if degraded else 3), "starphot", (nan, nan))
+            repeats=1 if degraded else 3,
+            samples_key="star8"), "starphot", (nan, nan))
     _METRICS["star_fits_per_sec"] = (
         None if star_fps != star_fps else round(star_fps, 3))
     # the production-loop throughput (pipelined buckets, the
@@ -473,6 +494,8 @@ def main():
     star_vg = (nan, nan) if degraded else _optional(
         lambda: star_fit_phase_cost(8, 50, 16, 2)[0], "starcost",
         (nan, nan))
+    # wall/iterations: folds the GLS polish + host fetch into the
+    # per-iteration figure — an UPPER bound like the psf/star ones
     roi_ms_iter = roi1000_wall * 1e3 / 2000
     psf_ms_iter = ((4.0 if degraded else 16.0)
                    / fits_per_sec) * 1e3 / 3100
@@ -510,8 +533,14 @@ def main():
         **{k: _num(v) for k, v in psf_scaling.items()},
         "roi1000_ms_per_iter": _num(round(roi_ms_iter, 3)),
         "roi1000_vg_bytes_per_iter": _num(roi_vg[0]),
-        "roi1000_implied_gbps": _num(round(
-            roi_vg[0] / (roi_ms_iter / 1e3) / 1e9, 1))
+        # PER-CHIP: the cost analysis lowers the UNSHARDED program
+        # (total bytes) while the wall is epoch-sharded over
+        # device_count chips, each streaming ~bytes/N — without the /N
+        # a multi-chip run would report an N-chip aggregate against
+        # the single chip's ~526 GB/s roofline
+        "roi1000_implied_gbps_per_chip": _num(round(
+            roi_vg[0] / jax.device_count()
+            / (roi_ms_iter / 1e3) / 1e9, 1))
         if roi_vg[0] == roi_vg[0] and roi_ms_iter == roi_ms_iter
         else None,
         "psf_ms_per_iter_upper": _num(round(psf_ms_iter, 4)),
@@ -521,6 +550,10 @@ def main():
         "starlet_xla_us": _num(round(t_xla * 1e6, 1)),
         "starlet_pallas_us": _num(round(t_pal * 1e6, 1)),
         "starlet_backend_selected": ops.get_backend(),
+        # every per-repeat wall behind the best-of-N minima: the min
+        # shields against tenant contention; the spread exposes an
+        # intermittent real regression the min alone would hide
+        "wall_samples": _SAMPLES,
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),
     }))

@@ -22,7 +22,14 @@ def time_compiled_loop(fn, img, n_rep):
     def many(x):
         def body(c, _):
             y = fn(c)
-            s = y.ravel()[0]
+            # FULL reduction, not one element: keeping only
+            # y.ravel()[0] live lets XLA dead-code-eliminate every part
+            # of fn that does not feed that element (measured on CPU:
+            # the 7-scale m=128 starlet timed 38 us pruned vs 688 us
+            # with all scales live — 18x), which biased XLA-vs-Pallas
+            # comparisons in XLA's favor: an opaque pallas_call cannot
+            # be pruned
+            s = y.sum()
             # loop-carried dependence: next input depends on this output
             return x * (1.0 + 1e-12 * s), s
 

@@ -102,6 +102,10 @@ def make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4, noise_sigma=0.3,
         "data": data, "sigma_2": (sigma**2).astype(np.float32),
         "psf": psf.astype(np.float32), "xs": xs, "ys": ys, "s": s,
         "a_true": a_true,
+        # the per-epoch seeing actually drawn: consumers computing SNR
+        # from the scene (tools/degeneracy_study._snr) must not fall
+        # back to an assumed constant
+        "fwhm": fwhms.astype(np.float32),
     }
 
 

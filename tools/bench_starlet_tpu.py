@@ -92,10 +92,17 @@ def bench_roi_step(jax, backend, n_iter=300):
         return hist
 
     fit(params.free0)
-    free1 = jax.tree_util.tree_map(lambda x: x * (1 + 1e-6), params.free0)
-    t0 = time.perf_counter()
-    fit(free1)
-    wall = time.perf_counter() - t0
+    # best-of-3: a single sample can be off by an order of magnitude
+    # from transient tenant contention (measured: the same program
+    # 15.5 then 0.28 ms/iter minutes apart), and this wall is the
+    # decision metric behind auto_select_backends
+    wall = float("inf")
+    for rep in range(1, 4):
+        free1 = jax.tree_util.tree_map(
+            lambda x: x * (1 + 1e-6 * rep), params.free0)
+        t0 = time.perf_counter()
+        fit(free1)
+        wall = min(wall, time.perf_counter() - t0)
     ops.set_backend("xla")
     return wall
 
@@ -113,10 +120,12 @@ def bench_psf_step(jax, backend):
     sigma = np.stack([f["sigma"] for f in frames])
     build_psf_batched(data, sigma, 2, n_iter_analytic=100,
                       n_iter_adabelief=1000)
-    t0 = time.perf_counter()
-    build_psf_batched(data * np.float32(1 + 1e-6), sigma, 2,
-                      n_iter_analytic=100, n_iter_adabelief=1000)
-    wall = time.perf_counter() - t0
+    wall = float("inf")  # best-of-3 (see bench_roi_step)
+    for rep in range(1, 4):
+        t0 = time.perf_counter()
+        build_psf_batched(data * np.float32(1 + 1e-6 * rep), sigma, 2,
+                          n_iter_analytic=100, n_iter_adabelief=1000)
+        wall = min(wall, time.perf_counter() - t0)
     ops.set_backend("xla")
     return wall
 

@@ -35,8 +35,14 @@ REG_STRENGTHS = [0.3, 1.0, 3.0, 10.0]
 
 
 def _snr(scene, noise_sigma):
-    """Matched-filter point-source SNR at the mean flux and seeing."""
-    fwhm = float(np.mean(scene["fwhm"])) if "fwhm" in scene else 3.0
+    """Matched-filter point-source SNR at the mean flux and seeing.
+
+    scene["fwhm"] is the per-epoch seeing make_roi_scene actually drew
+    (it was absent before round 3, so the committed PARITY.md table's
+    SNR labels were computed from an assumed 3.0 px — ~3% off the true
+    ~3.1 px mean; the error-vs-SNR conclusions are unaffected at the
+    table's own precision)."""
+    fwhm = float(np.mean(scene["fwhm"]))
     n_eff = 4.0 * np.pi * (fwhm / 2.355) ** 2
     return float(np.mean(scene["a_true"]) / (noise_sigma * np.sqrt(n_eff)))
 

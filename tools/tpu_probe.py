@@ -23,12 +23,19 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", str(
         pathlib.Path(__file__).parents[1] / ".jax_cache"))
-    out = {"backend": None, "h2d_s": None, "matmul_ms": None}
+    out = {"backend": None, "init_s": None, "h2d_s": None,
+           "matmul_ms": None}
     a = np.random.default_rng(0).random((4096, 4096), dtype=np.float32)
+    # initialize the client BEFORE timing the transfer: in a fresh
+    # process the first device op includes tunnel connect + device
+    # enumeration, which would misattribute many seconds to "h2d"
+    t0 = time.perf_counter()
+    out["backend"] = jax.default_backend()
+    jax.block_until_ready(jnp.zeros(8))
+    out["init_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
     x = jnp.asarray(a)
     jax.block_until_ready(x)
-    out["backend"] = jax.default_backend()
     out["h2d_s"] = round(time.perf_counter() - t0, 2)
     f = jax.jit(lambda v: v @ v)
     jax.block_until_ready(f(x))  # compile
