@@ -214,3 +214,37 @@ def test_queue_listener_relays_to_live_handlers():
     finally:
         lg.handlers = []
     assert records == ["worker traceback"]
+
+
+def test_flow_diagram_generator(tmp_path):
+    """The docs diagram tool renders every DAG task and parses as XML.
+
+    The committed docs/img/workflow_diagram.svg is generated by this
+    tool from the live pipeline_dependency_graph.yaml (the reference
+    ships a hand-drawn equivalent, reference docs/flow_diagram/).
+    """
+    import pathlib
+    import sys
+    import xml.dom.minidom
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    try:
+        import make_flow_diagram
+    finally:
+        sys.path.pop(0)
+
+    out = tmp_path / "diagram.svg"
+    make_flow_diagram.main(out)
+    svg = out.read_text()
+    xml.dom.minidom.parseString(svg)
+
+    spec = yaml.safe_load(
+        (pathlib.Path(make_flow_diagram.__file__).parents[1] /
+         "lightcurver_tpu" / "pipeline" /
+         "pipeline_dependency_graph.yaml").read_text())
+    for task in spec["tasks"]:
+        assert f'>{task["name"]}</text>' in svg
+        assert task["nature"] in make_flow_diagram.NATURE_STYLE
+    # one edge per dependency (plus the arrowhead marker path)
+    n_deps = sum(len(t["dependencies"]) for t in spec["tasks"])
+    assert svg.count('marker-end="url(#arr)"') == n_deps
