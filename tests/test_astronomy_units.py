@@ -185,3 +185,21 @@ class TestGaiaColourTransforms:
         _set(cfg_path, config, photometric_band="z_panstarrs")
         with pytest.raises(ValueError, match="Unsupported band"):
             save_gaia_catalog_photometry_to_database("g9")
+
+
+def test_ephemeris_result_structure():
+    """Reference contract (tests/test_processes/
+    test_frame_characterization.py): the ephemeris() dict carries the
+    five documented keys at a realistic observation."""
+    from lightcurver_tpu.processes.frame_characterization import ephemeris
+
+    results = ephemeris(mjd=60365.13, ra_object=141.23246,
+                        dec_object=2.32358, telescope_longitude=-70.738,
+                        telescope_latitude=-29.256,
+                        telescope_elevation=2400.0)
+    assert isinstance(results, dict)
+    for key in ("weird_astro_conditions", "comments", "target_info",
+                "moon_info", "sun_info"):
+        assert key in results
+    # and the target block is populated with finite values
+    assert np.isfinite(results["target_info"]["airmass"])

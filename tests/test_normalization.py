@@ -137,3 +137,41 @@ def test_excluded_star_rows_do_not_poison_coefficients(_norm_workdir):
     # excluded star filtered out, the two coefficients must be equal
     # (with it leaking in, frame 2's coefficient is ~1.5x frame 1's)
     np.testing.assert_allclose(c[1] / c[0], 1.0, rtol=0.02)
+
+
+def test_update_normalization_coefficients_upsert(tmp_path, monkeypatch):
+    """Reference contract (tests/test_database_queries/test_queries.py):
+    insert rows, then re-insert one key with new values — the modified
+    row is updated in place and the untouched row survives."""
+    import yaml
+
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.dump({
+        "workdir": str(tmp_path), "raw_dirs": [str(tmp_path / "raw")],
+        "ROI": {"roi": {"coordinates": [42.0, 19.0]}},
+        "photometric_band": "r_sdss",
+        "stars_to_use_psf": None, "stars_to_use_norm": None,
+        "stars_to_exclude_psf": None, "stars_to_exclude_norm": None,
+        "star_selection_strategy": "common_footprint_stars",
+        "fluxes_fit_exclude_strategy": None}))
+    monkeypatch.setenv("LIGHTCURVER_CONFIG", str(cfg_path))
+    from lightcurver_tpu.processes.normalization_calculation import \
+        update_normalization_coefficients
+    from lightcurver_tpu.structure.database import (execute_sqlite_query,
+                                                    initialize_database)
+
+    initialize_database()
+    update_normalization_coefficients([(1, -1, 1.0, 0.05),
+                                       (2, -2, 0.9, 0.07)])
+    rows = execute_sqlite_query(
+        "SELECT * FROM normalization_coefficients", use_pandas=False)
+    assert len(rows) == 2
+    assert (1, -1, 1.0, 0.05) in [tuple(r) for r in rows]
+    assert (2, -2, 0.9, 0.07) in [tuple(r) for r in rows]
+
+    update_normalization_coefficients([(1, -1, 1.1, 0.15)])
+    rows = [tuple(r) for r in execute_sqlite_query(
+        "SELECT * FROM normalization_coefficients", use_pandas=False)]
+    assert len(rows) == 2
+    assert (1, -1, 1.1, 0.15) in rows
+    assert (2, -2, 0.9, 0.07) in rows

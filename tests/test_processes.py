@@ -428,3 +428,19 @@ class TestGetFluxesNullHandling:
         # the aggregation that crashed on object dtype works
         med = df.groupby("star_gaia_id")["flux"].median()
         assert med["g1"] == pytest.approx(100.0)
+
+
+def test_extract_stars_empty_detection_keeps_columns():
+    """Reference contract (tests/test_processes/test_star_extraction.py):
+    pure noise below threshold detects ZERO sources, and the empty
+    table still carries the downstream-consumed columns."""
+    from lightcurver_tpu.processes.star_extraction import extract_stars
+
+    rng = np.random.default_rng(0)
+    image = rng.random((100, 100)).astype(np.float32)
+    sources = extract_stars(image, np.ones_like(image),
+                            detection_threshold=3, min_area=10)
+    assert len(sources) == 0
+    for col in ("xcentroid", "ycentroid", "a", "b", "flux", "npix",
+                "FWHM", "ellipticity"):
+        assert col in sources.columns

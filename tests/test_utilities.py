@@ -323,3 +323,77 @@ def test_zero_variance_epoch_does_not_nuke_the_night():
     assert len(nightly) == 1
     assert nightly["a_count_flux"].iloc[0] == 2
     assert abs(nightly["a_flux"].iloc[0] - 101.0) < 0.5
+
+
+class TestReferenceGroupingContracts:
+    """The reference's own hand-computed grouping/magnitude pins.
+
+    Mirrors reference tests/test_products_handling/test_grouping.py and
+    test_magnitude_errors.py value for value — these are the published
+    numerical contracts of the post-processing API.
+    """
+
+    def test_grouping_multiple_observations(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            group_observations
+
+        df = pd.DataFrame({"mjd": [1.0, 1.2, 2.5, 2.6],
+                           "A_flux": [10.0, 12.0, 20.0, 22.0],
+                           "A_d_flux": [1.0, 1.0, 2.0, 2.0],
+                           "other": [100, 200, 300, 400]})
+        out = group_observations(df, threshold=0.8)
+        assert len(out) == 2
+        assert out.loc[0, "A_flux"] == pytest.approx(11.0, abs=1e-3)
+        assert out.loc[1, "A_flux"] == pytest.approx(21.0, abs=1e-3)
+        # optional non-flux columns are plain-averaged per group
+        assert out.loc[0, "other"] == pytest.approx(150.0, abs=1e-3)
+        assert out.loc[1, "other"] == pytest.approx(350.0, abs=1e-3)
+
+    def test_single_observation_group(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            group_observations
+
+        df = pd.DataFrame({"mjd": [1.0], "A_flux": [10.0],
+                           "A_d_flux": [1.0]})
+        out = group_observations(df, threshold=0.8)
+        assert len(out) == 1
+        assert out.loc[0, "A_flux"] == pytest.approx(10.0, abs=1e-3)
+        assert out.loc[0, "A_d_flux"] == pytest.approx(1.0, abs=1e-3)
+        assert out.loc[0, "A_count_flux"] == 1
+
+    def test_last_group_inclusion(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            group_observations
+
+        df = pd.DataFrame({"mjd": [1.0, 1.2, 3.0],
+                           "A_flux": [10.0, 12.0, 20.0],
+                           "A_d_flux": [1.0, 1.0, 2.0]})
+        out = group_observations(df, threshold=0.8)
+        assert len(out) == 2
+        assert out.loc[0, "A_flux"] == pytest.approx(11.0, abs=1e-5)
+        assert out.loc[1, "A_flux"] == pytest.approx(20.0, abs=1e-3)
+        assert out.loc[1, "mjd"] == pytest.approx(3.0, abs=1e-5)
+
+    def test_convert_flux_to_magnitude_reference_values(self):
+        from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+            convert_flux_to_magnitude
+
+        df = pd.DataFrame({"A_flux": [100, 50, 10, 5],
+                           "A_d_flux": [10, 5, 2, 6],
+                           "A_scatter_flux": [8, 4, 1.5, 3],
+                           "zeropoint": [25, 25, 25, 25]})
+        out = convert_flux_to_magnitude(df)
+        expected = {
+            "A_mag": [20.0, 20.7526, 22.5, 23.253],
+            "A_d_mag_down": [0.1035, 0.1035, 0.1980, 0.856],
+            "A_d_mag_up": [0.1144, 0.1142, 0.2423, np.nan],
+            "A_scatter_mag_down": [0.0835, 0.0835, 0.152, 0.510],
+            "A_scatter_mag_up": [0.090, 0.090, 0.176, 0.995],
+        }
+        for col, values in expected.items():
+            for i, v in enumerate(values):
+                got = out.at[i, col]
+                if np.isnan(v):
+                    assert np.isnan(got), (col, i)
+                else:
+                    assert got == pytest.approx(v, abs=1e-2), (col, i)
