@@ -72,6 +72,7 @@ def _start_watchdog():
         out = {"metric": "roi_deconv_100epoch_wall_s", "value": None,
                "unit": "s", "vs_baseline": None}
         out.update(_METRICS)
+        out["wall_samples"] = _SAMPLES
         out["watchdog_timeout_s"] = deadline
         print(json.dumps(out), flush=True)
         os._exit(3)
@@ -183,6 +184,10 @@ def run_roi_deconv(scene, n_iter=2000, repeats=2, samples_key=None):
     # transient multi-x slowdowns (other tenants); the best repeat is
     # the machine's actual speed.  Perturbed restarts so no caching
     # layer can replay the result.
+    if samples_key:
+        # a crashed attempt re-run by _retry must not leave its
+        # partial walls in the recorded spread
+        _SAMPLES[samples_key] = []
     wall = float("inf")
     for rep in range(1, repeats + 1):
         free1 = jax.tree_util.tree_map(
@@ -257,6 +262,8 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
     # NOTE the wall includes the perturbation multiply + host->device
     # upload + result fetch: this is the PRODUCTION per-bucket cost
     # (the pipelined variant overlaps it), so fits/s is end-to-end
+    if samples_key:
+        _SAMPLES[samples_key] = []  # discard walls of crashed attempts
     wall = float("inf")
     for rep in range(1, repeats + 1):
         t0 = time.perf_counter()
@@ -295,6 +302,8 @@ def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
 
     # fit_stars_batched fetches every output to numpy (honest timing)
     fit_stars_batched(data, noise, psf, s, n_iter=n_iter)  # compile
+    if samples_key:
+        _SAMPLES[samples_key] = []  # discard walls of crashed attempts
     wall = float("inf")
     for rep in range(1, repeats + 1):  # best-of-N (backend contention)
         t0 = time.perf_counter()
@@ -442,20 +451,30 @@ def main():
         _optional(lambda: run_roi_deconv(scene1000, n_iter=500),
                   "roi1000accel", (nan, nan, None))
 
+    # REDUCED workloads in the degraded lane land under DISTINCT keys
+    # (batch-4 throughput is intrinsically below batch-16 on any
+    # machine; reusing the headline key would read as a regression
+    # across rounds)
+    psf_key = "psf_fits_per_sec_degraded_batch4" if degraded \
+        else "psf_fits_per_sec"
     fits_per_sec, psf_chi2 = _retry(
         lambda: run_psf_bench(n_frames=4 if degraded else 16,
                               repeats=1 if degraded else 3,
-                              samples_key="psf16"), "psf16")
-    _METRICS.update({"psf_fits_per_sec": round(fits_per_sec, 3),
+                              samples_key="psf4_degraded" if degraded
+                              else "psf16"), "psf16")
+    _METRICS.update({psf_key: round(fits_per_sec, 3),
                      "psf_chi2": round(psf_chi2, 4)})
     # the third hot task: batched joint star photometry (stars/s at
     # the reference's 2000-iteration per-star budget, 50 epochs each)
+    star_key = "star_fits_per_sec_degraded_2stars" if degraded \
+        else "star_fits_per_sec"
     star_fps, star_chi2 = _optional(
         lambda: run_star_photometry_bench(
             n_stars=2 if degraded else 8,
             repeats=1 if degraded else 3,
-            samples_key="star8"), "starphot", (nan, nan))
-    _METRICS["star_fits_per_sec"] = (
+            samples_key="star2_degraded" if degraded else "star8"),
+        "starphot", (nan, nan))
+    _METRICS[star_key] = (
         None if star_fps != star_fps else round(star_fps, 3))
     # the production-loop throughput (pipelined buckets, the
     # model_all_psfs pattern) — transfers overlap device compute
@@ -495,13 +514,14 @@ def main():
         lambda: star_fit_phase_cost(8, 50, 16, 2)[0], "starcost",
         (nan, nan))
     # wall/iterations: folds the GLS polish + host fetch into the
-    # per-iteration figure — an UPPER bound like the psf/star ones
+    # per-iteration figure — an UPPER bound like the psf/star ones.
+    # Not emitted from the degraded lane: a batch-4/2-star CPU program
+    # is not the per-iteration figure these keys document.
     roi_ms_iter = roi1000_wall * 1e3 / 2000
-    psf_ms_iter = ((4.0 if degraded else 16.0)
-                   / fits_per_sec) * 1e3 / 3100
+    psf_ms_iter = nan if degraded else (16.0 / fits_per_sec) * 1e3 / 3100
     # batched star fit wall over its 2000 iterations (prep + GLS
     # polish folded in — an upper bound, like the PSF figure)
-    star_ms_iter = ((2.0 if degraded else 8.0) / star_fps) * 1e3 / 2000
+    star_ms_iter = nan if degraded else (8.0 / star_fps) * 1e3 / 2000
 
     baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
     baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
@@ -523,12 +543,13 @@ def main():
         "roi_1000epoch_reduced_chi2": _num(round(roi1000_chi2, 4)),
         "roi_deconv_1000epoch_accel_wall_s": _num(round(accel_wall, 3)),
         "roi_1000epoch_accel_reduced_chi2": _num(round(accel_chi2, 4)),
-        "psf_fits_per_sec": round(fits_per_sec, 3),
-        "psf_fits_per_sec_vs_baseline": round(
-            fits_per_sec / baseline_psf_fits_per_sec, 2),
+        psf_key: round(fits_per_sec, 3),
+        **({} if degraded else {
+            "psf_fits_per_sec_vs_baseline": round(
+                fits_per_sec / baseline_psf_fits_per_sec, 2)}),
         "psf_fits_per_sec_pipelined": _num(round(fits_pipelined, 3)),
         "psf_chi2": round(psf_chi2, 4),
-        "star_fits_per_sec": _num(round(star_fps, 3)),
+        star_key: _num(round(star_fps, 3)),
         "star_phot_chi2": _num(round(star_chi2, 4)),
         **{k: _num(v) for k, v in psf_scaling.items()},
         "roi1000_ms_per_iter": _num(round(roi_ms_iter, 3)),

@@ -12,7 +12,7 @@ import sqlite3
 
 import pandas as pd
 
-from .user_config import get_user_config
+from .user_config import _as_name_list, get_user_config
 
 # ---------------------------------------------------------------------------
 # schema (table name -> column definitions / table constraints)
@@ -257,15 +257,9 @@ def _apply_star_selection(base_query, base_params, stars_to_use,
             f"{type(stars_to_use)}")
     df = execute_sqlite_query(query, params, use_pandas=True)
     if stars_to_exclude:
-        if isinstance(stars_to_exclude, str):
-            # same comma-aware parsing as user_config._as_name_list
-            # ("aa" must not become ['a', 'a'])
-            if "," in stars_to_exclude:
-                stars_to_exclude = [v.strip() for v in
-                                    stars_to_exclude.split(",")
-                                    if v.strip()]
-            else:
-                stars_to_exclude = list(stars_to_exclude)
+        # comma-aware parsing shared with the config loader
+        # ("aa" must not become ['a', 'a'])
+        stars_to_exclude = _as_name_list(stars_to_exclude)
         if not isinstance(stars_to_exclude, list):
             raise RuntimeError(
                 f"stars_to_exclude: expected None, str or list, got "

@@ -43,8 +43,9 @@ else:
     import pathlib
 
     try:
-        _flags = next(line for line in open("/proc/cpuinfo")
-                      if line.startswith("flags"))
+        with open("/proc/cpuinfo") as _cpuinfo:
+            _flags = next(line for line in _cpuinfo
+                          if line.startswith("flags"))
     except (OSError, StopIteration):
         _flags = "unknown"
     _fp = hashlib.sha256(_flags.encode()).hexdigest()[:8]

@@ -33,6 +33,12 @@ def main():
     out["backend"] = jax.default_backend()
     jax.block_until_ready(jnp.zeros(8))
     out["init_s"] = round(time.perf_counter() - t0, 2)
+    if out["backend"] == "cpu":
+        # no accelerator to probe: the wedge mode under test lives in
+        # the tunneled PJRT plugin.  A CPU-default host passes with a
+        # small matmul — the full 4k probe can take minutes on a
+        # 1-CPU box and would misclassify a healthy machine as wedged.
+        a = a[:512, :512].copy()
     t0 = time.perf_counter()
     x = jnp.asarray(a)
     jax.block_until_ready(x)
