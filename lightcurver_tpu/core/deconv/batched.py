@@ -144,11 +144,12 @@ def _prepare_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
 
 
 def _star_loss_fn(n_epochs, image_size, s, starlet_global_background,
-                  dft_precision):
+                  dft_precision, starlet_backend="xla"):
     model = DeconvModel.for_eval(s, image_size, n_epochs, 1)
     return _build_loss_fn(model.config(),
                           starlet_global_background,  # use_starlet
                           False, False, False, (),
+                          starlet_backend=starlet_backend,
                           dft_precision=dft_precision)
 
 
@@ -218,7 +219,7 @@ def _shared_consts(image_size, s, irfft_backend):
 def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
                   n_iter, uniform_background_per_epoch,
                   starlet_global_background, lr, irfft_backend,
-                  dft_precision):
+                  dft_precision, starlet_backend="xla"):
     """Pure single-star joint fit (fully traceable)."""
     shared = _shared_consts(image_size, s, irfft_backend)
     free, lower, upper, consts, scale = _prepare_one_star(
@@ -227,7 +228,8 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
         dft_mats=shared.get("dft_mats"), dft_precision=dft_precision)
     consts = {**consts, **shared}
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
-                            starlet_global_background, dft_precision)
+                            starlet_global_background, dft_precision,
+                            starlet_backend)
     best, _, history = adabelief_scan(
         loss_fn, free, consts, lower, upper, n_iter, lr, True)
     return _finalize_one_star(best, history, consts, scale, n_epochs,
@@ -239,16 +241,17 @@ def _fit_one_star(data, noisemap, psf, key, n_epochs, image_size, s,
     static_argnames=("n_epochs", "image_size", "s", "n_iter",
                      "uniform_background_per_epoch",
                      "starlet_global_background", "irfft_backend",
-                     "dft_precision"))
+                     "dft_precision", "starlet_backend"))
 def _fit_stars(data, noisemap, psf, keys, n_epochs, image_size, s, n_iter,
                uniform_background_per_epoch, starlet_global_background,
-               lr, irfft_backend, dft_precision):
+               lr, irfft_backend, dft_precision, starlet_backend="xla"):
     fit = functools.partial(
         _fit_one_star, n_epochs=n_epochs, image_size=image_size, s=s,
         n_iter=n_iter,
         uniform_background_per_epoch=uniform_background_per_epoch,
         starlet_global_background=starlet_global_background, lr=lr,
-        irfft_backend=irfft_backend, dft_precision=dft_precision)
+        irfft_backend=irfft_backend, dft_precision=dft_precision,
+        starlet_backend=starlet_backend)
     return jax.vmap(fit)(data, noisemap, psf, keys)
 
 
@@ -294,14 +297,15 @@ def _init_carry_stars(free0, n_iter, lr):
     jax.jit,
     static_argnames=("n_epochs", "image_size", "s",
                      "starlet_global_background", "n_iter", "length",
-                     "dft_precision"))
+                     "dft_precision", "starlet_backend"))
 def _segment_stars(carry, consts, shared, lower, upper, lr, n_epochs,
                    image_size, s, starlet_global_background, n_iter,
-                   length, dft_precision):
+                   length, dft_precision, starlet_backend="xla"):
     from ..optimize import make_adabelief, adabelief_step_fn
 
     loss_fn = _star_loss_fn(n_epochs, image_size, s,
-                            starlet_global_background, dft_precision)
+                            starlet_global_background, dft_precision,
+                            starlet_backend)
     opt = make_adabelief(n_iter, lr, True)
 
     def seg(carry, consts, lower, upper, shared):
@@ -332,16 +336,23 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
                             uniform_background_per_epoch,
                             starlet_global_background, lr,
                             irfft_backend, dft_precision,
+                            starlet_backend="xla", *,
                             checkpoint_path, checkpoint_every,
                             inputs_digest=None):
     """Host-segmented batched fit with npz checkpoints (leaves only —
     structure rebuilt from a fresh carry, never unpickled).  A stored
     ``inputs_digest`` that differs from the current one refuses to
-    resume (the upstream data changed under the checkpoint)."""
+    resume (the upstream data changed under the checkpoint).
+
+    Checkpoint I/O note: each segment rewrites the carry plus the FULL
+    cumulative loss history (npz cannot append), so checkpoint write
+    volume grows quadratically with the segment count — negligible at
+    the production segment counts (n_iter/checkpoint_every <~ 40), so
+    the single self-contained file is kept over per-segment shards."""
     import os
 
     from ..optimize import (CheckpointMismatch, _check_ckpt_digest,
-                            _load_ckpt_carry)
+                            _load_ckpt_carry, materialize_tree)
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
@@ -352,7 +363,12 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     treedef = jax.tree_util.tree_structure(carry)
 
     def save_state(done, histories):
-        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(carry)]
+        # sharded carries (multi-host star/epoch meshes) gather first;
+        # only process 0 writes — checkpoint_path must live on storage
+        # every process can read for a pod-scale resume to be consistent
+        leaves = jax.tree_util.tree_leaves(materialize_tree(carry))
+        if jax.process_index() != 0:
+            return
         payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
         payload["n_iter"] = np.int64(n_iter)
         payload["done"] = np.int64(done)
@@ -402,8 +418,9 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
         carry, hist = _segment_stars(
             carry, consts, shared, lower, upper, lr, n_epochs,
             image_size, s, starlet_global_background, n_iter, length,
-            dft_precision)
-        histories.append(np.asarray(hist))  # vmapped scan ys: (S, len)
+            dft_precision, starlet_backend)
+        # vmapped scan ys: (S, len); star-sharded on a mesh -> gather
+        histories.append(materialize_tree(hist))
         done += length
         save_state(done, histories)
 
@@ -496,11 +513,17 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     # thunk rejects partitioner-produced layouts outright)
     irfft_backend = "mxu" if (mesh is not None and mesh.size > 1) \
         else get_irfft_backend()
+    # the starlet backend travels as a STATIC argument read OUTSIDE
+    # the trace (module convention: flipping ops.set_backend retraces
+    # instead of silently reusing the stale program)
+    from ...ops import get_backend as _get_starlet_backend
+
+    starlet_backend = _get_starlet_backend()
     args = (data_d, noise_d, psf_d, keys,
             int(n_epochs), int(image_size), int(subsampling_factor),
             int(n_iter), bool(uniform_background_per_epoch),
             bool(starlet_global_background), float(lr),
-            irfft_backend, get_dft_precision())
+            irfft_backend, get_dft_precision(), starlet_backend)
     if checkpoint_path is None:
         out = _fit_stars(*args)
     else:
@@ -512,7 +535,8 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
         # check in _load_ckpt_carry is the backstop)
         flag_bytes = np.frombuffer(
             (f"{bool(uniform_background_per_epoch)}:"
-             f"{bool(starlet_global_background)}:{float(lr)}").encode(),
+             f"{bool(starlet_global_background)}:{float(lr)}:"
+             f"{starlet_backend}").encode(),
             dtype=np.uint8)
         out = _fit_stars_checkpointed(
             *args, checkpoint_path=checkpoint_path,

@@ -132,7 +132,8 @@ class Loss:
                  regularization_strength_positivity=0.0,
                  regularization_strength_pts_source=0.0,
                  regularization_strength_flux_uniformity=0.0,
-                 W=None, prior=None, epoch_weights=None):
+                 W=None, prior=None, epoch_weights=None,
+                 irfft_backend=None):
         self.model = deconv_class
         self.params = param_class
         self.prior = prior
@@ -200,7 +201,13 @@ class Loss:
 
         from ...ops import get_irfft_backend
 
-        if get_irfft_backend() == "mxu":
+        # explicit override for sharded callers: a partitioned program
+        # containing the FFT op all-gathers the full epoch stack every
+        # iteration (XLA SPMD cannot partition FFT batch dims), so
+        # parallel/deconv.fit_deconv_sharded forces 'mxu' here
+        if irfft_backend is None:
+            irfft_backend = get_irfft_backend()
+        if irfft_backend == "mxu":
             from ...ops.dft import make_dft_mats
 
             self.consts["dft_mats"] = make_dft_mats(2 * m, m,

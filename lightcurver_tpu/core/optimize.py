@@ -545,6 +545,31 @@ def _load_ckpt_carry(z, treedef, fresh_carry_thunk, path):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def materialize_tree(tree):
+    """np.asarray every leaf; on multi-process meshes, gather first.
+
+    A leaf sharded across processes is not fully addressable and
+    ``np.asarray`` on it raises — the checkpoint writers below (and the
+    batched star fit's) call this so mid-fit checkpointing works on
+    pods too.  Single-process (any single-host mesh): a plain tree_map,
+    zero overhead.
+    """
+    import numpy as np
+
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = next(
+            (leaf.sharding.mesh for leaf in jax.tree_util.tree_leaves(tree)
+             if isinstance(getattr(leaf, "sharding", None), NamedSharding)),
+            None)
+        if mesh is not None:
+            tree = jax.jit(
+                lambda t: t,
+                out_shardings=NamedSharding(mesh, PartitionSpec()))(tree)
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
 def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                                checkpoint_path, init_learning_rate=1e-3,
                                schedule_learning_rate=True, consts=None,
@@ -595,7 +620,12 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
     treedef = jax.tree_util.tree_structure(fresh_carry())
 
     def save_state(path, carry, done, history):
-        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(carry)]
+        # sharded carries gather first (multi-host); only process 0
+        # writes — checkpoint_path must live on storage every process
+        # can read for a pod-scale resume to be consistent
+        leaves = jax.tree_util.tree_leaves(materialize_tree(carry))
+        if jax.process_index() != 0:
+            return
         payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
         payload["n_iter"] = np.int64(n_iter)
         payload["done"] = np.int64(done)

@@ -1,6 +1,6 @@
 from .mesh import epoch_mesh
 from .deconv import shard_consts, shard_pytree, sharded_deconv_step, \
-    fit_deconv_sharded, pad_epochs
+    fit_deconv_sharded, pad_epoch_stacks
 
 __all__ = [
     "epoch_mesh",
@@ -8,5 +8,5 @@ __all__ = [
     "shard_pytree",
     "sharded_deconv_step",
     "fit_deconv_sharded",
-    "pad_epochs",
+    "pad_epoch_stacks",
 ]

@@ -34,11 +34,9 @@ def batch_mesh(n_devices=None, devices=None):
             (default: all).
         devices: explicit device list (overrides n_devices).
     """
-    if devices is None:
-        devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[: int(n_devices)]
-    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+    from .mesh import mesh_1d
+
+    return mesh_1d(BATCH_AXIS, n_devices, devices)
 
 
 def auto_batch_mesh():

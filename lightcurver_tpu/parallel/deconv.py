@@ -56,26 +56,6 @@ def shard_pytree(mesh, tree):
     return jax.device_put(tree, param_shardings(mesh, tree))
 
 
-def pad_epochs(arrays, n_devices, noise_pad=1e8):
-    """Pad epoch-stacked arrays so the epoch count divides the mesh size.
-
-    Returns ``(padded_dict, n_padded)``.  ``arrays`` maps names to arrays
-    with leading epoch axis; the entry named ``'sigma'`` (noise) is padded
-    with ``noise_pad`` so dummy epochs carry ~zero statistical weight, all
-    others with zeros.
-    """
-    n = next(iter(arrays.values())).shape[0]
-    n_pad = (-n) % int(n_devices)
-    if n_pad == 0:
-        return dict(arrays), n
-    out = {}
-    for name, arr in arrays.items():
-        fill = noise_pad if name == "sigma" else 0.0
-        widths = [(0, n_pad)] + [(0, 0)] * (arr.ndim - 1)
-        out[name] = np.pad(np.asarray(arr), widths, constant_values=fill)
-    return out, n + n_pad
-
-
 def pad_epoch_stacks(data, sigma_2, psf, n_devices, var_pad=1e16):
     """Pad (data, sigma_2, psf) epoch stacks to a multiple of n_devices.
 
@@ -252,9 +232,20 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
     params.lower = shard_pytree(mesh, params.lower)
     params.upper = shard_pytree(mesh, params.upper)
 
+    loss_kwargs = dict(loss_kwargs or {})
+    if mesh.size > 1:
+        # the FFT op cannot be batch-partitioned (XLA all-gathers the
+        # full epoch stack around every transform); force the matmul-DFT
+        # render so the sharded program stays collective-free apart
+        # from the shared-gradient psum (same guard as the batched
+        # PSF/star entry points)
+        loss_kwargs.setdefault("irfft_backend", "mxu")
     loss = Loss(data_p, model_p, params, sigma_2_p, epoch_weights=epoch_w,
-                **(loss_kwargs or {}))
-    consts = shard_consts(mesh, loss.consts)
+                **loss_kwargs)
+    # assign BACK to the loss: keeping the unsharded bundle referenced
+    # would pin a full-N copy of data + spectra on one device for the
+    # whole fit
+    consts = loss.consts = shard_consts(mesh, loss.consts)
 
     from ..core.optimize import run_adabelief
 
@@ -262,8 +253,14 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
         loss.loss_fn, params.free0, params.lower, params.upper, n_iter,
         init_learning_rate=init_learning_rate, consts=consts)
     params.set_best(best)
+    from .batch import gather_to_host
+
+    # multi-host: epoch-sharded result leaves span non-addressable
+    # devices; every process gathers before materializing (no-op on a
+    # single process)
     kwargs_best = strip_epoch_kwargs(
-        params.best_fit_values(as_kwargs=True), n_real, n_pad, n_sources)
+        gather_to_host(mesh, params.best_fit_values(as_kwargs=True)),
+        n_real, n_pad, n_sources)
     if n_pad:
         from ..core.deconv.model import DeconvModel
 

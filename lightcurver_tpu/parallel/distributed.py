@@ -23,7 +23,17 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
 
     logger = logging.getLogger("lightcurver.distributed")
     kwargs = {}
-    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    has_coordinator = bool(coordinator_address
+                           or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not has_coordinator and (num_processes is not None
+                                or process_id is not None):
+        # silently dropping the explicit topology and auto-detecting
+        # would produce a wrong (or hung) initialization with no hint
+        raise ValueError(
+            "num_processes/process_id were given without a "
+            "coordinator_address (or JAX_COORDINATOR_ADDRESS); all "
+            "three are needed for an explicit bootstrap")
+    if has_coordinator:
         kwargs["coordinator_address"] = (
             coordinator_address
             or os.environ["JAX_COORDINATOR_ADDRESS"])

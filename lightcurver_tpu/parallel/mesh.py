@@ -16,19 +16,26 @@ from jax.sharding import Mesh
 EPOCH_AXIS = "epoch"
 
 
-def epoch_mesh(n_devices=None, devices=None):
-    """1-D mesh over the epoch axis.
+def mesh_1d(axis_name, n_devices=None, devices=None):
+    """1-D mesh constructor shared by the epoch and batch meshes.
 
     Args:
+        axis_name: the single mesh-axis name.
         n_devices: use the first ``n_devices`` visible devices
             (default: all).
         devices: explicit device list (overrides n_devices).
-
-    Returns:
-        jax.sharding.Mesh with a single axis named ``"epoch"``.
     """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[: int(n_devices)]
-    return Mesh(np.asarray(devices), (EPOCH_AXIS,))
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def epoch_mesh(n_devices=None, devices=None):
+    """1-D mesh over the epoch axis (see :func:`mesh_1d`).
+
+    Returns:
+        jax.sharding.Mesh with a single axis named ``"epoch"``.
+    """
+    return mesh_1d(EPOCH_AXIS, n_devices, devices)

@@ -316,6 +316,13 @@ def do_modelling_of_roi():
             params.fixed = shard_pytree(mesh, params.fixed)
             params.lower = shard_pytree(mesh, params.lower)
             params.upper = shard_pytree(mesh, params.upper)
+        if mesh is not None:
+            # the FFT op cannot be batch-partitioned: force the
+            # matmul-DFT render so the epoch-sharded program stays
+            # collective-free apart from the shared-gradient psum
+            # (same guard as parallel.fit_deconv_sharded)
+            loss_kwargs = dict(loss_kwargs)
+            loss_kwargs.setdefault("irfft_backend", "mxu")
         loss = Loss(data_fit, model_fit, params, var_fit,
                     epoch_weights=epoch_w, **loss_kwargs)
         if mesh is not None:
@@ -331,6 +338,12 @@ def do_modelling_of_roi():
                        checkpoint_every=checkpoint_every or 500,
                        checkpoint_inputs_digest=checkpoint_digest)
         kwargs_best = params.best_fit_values(as_kwargs=True)
+        if mesh is not None:
+            # multi-host: epoch-sharded leaves are not fully
+            # addressable; gather before any np.asarray downstream
+            from ..parallel.batch import gather_to_host
+
+            kwargs_best = gather_to_host(mesh, kwargs_best)
         if n_pad:
             from ..parallel.deconv import strip_epoch_kwargs
 

@@ -106,3 +106,13 @@ def test_initialize_distributed_env_parsing(monkeypatch):
     dist.initialize_distributed()
     assert captured == {"coordinator_address": "envhost:1",
                         "num_processes": 7, "process_id": 3}
+
+
+def test_initialize_distributed_rejects_partial_explicit_args(monkeypatch):
+    """Explicit topology without a coordinator must raise, not be
+    silently dropped into auto-detection."""
+    from lightcurver_tpu.parallel.distributed import initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_distributed(num_processes=2, process_id=1)

@@ -79,6 +79,19 @@ np.testing.assert_allclose(pshd["full_psf"] / peak,
                            pref["full_psf"] / peak, atol=3e-2)
 np.testing.assert_allclose(pshd["kwargs_moffat"]["fwhm_x"],
                            pref["kwargs_moffat"]["fwhm_x"], rtol=1e-2)
+
+# ---- checkpointed batched fit on the cross-process mesh (regression:
+# save_state must gather the process-sharded optimizer carry before
+# np.asarray, and only process 0 writes the file)
+import pathlib
+
+ckpt = pathlib.Path("star_fit.ckpt.npz").absolute()  # shared cwd
+ck = fit_stars_batched(data, noise, psf, 2, mesh=batch_mesh(4),
+                       checkpoint_path=str(ckpt), checkpoint_every=60,
+                       **kw)
+np.testing.assert_allclose(ck["fluxes"], shd["fluxes"], rtol=1e-4)
+if pid == 0:
+    assert ckpt.exists()  # written by process 0 only (after the sync)
 print(f"WORKER_OK {pid}")
 """
 

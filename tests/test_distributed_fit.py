@@ -73,6 +73,21 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
 a_global = np.asarray(gather(kwargs["kwargs_analytic"]["a"]))
 np.testing.assert_allclose(a_global, a_ref, rtol=1e-3, atol=1e-3)
+
+# ---- NON-divisible epoch count across processes (regression: the
+# strip of the padding epochs materializes the result leaves with
+# np.asarray, which raises on cross-process shards unless
+# fit_deconv_sharded gathers them first).  7 epochs pad to 8, so the
+# sharded optimizer program is reused from the fit above.
+data7, sigma7, psf7, xs7, ys7, s7 = ge._toy_problem(
+    n_epochs=7, n_pix=12, s=2, n_sources=2)
+kwargs7, model7, hist7 = fit_deconv_sharded(
+    data7, sigma7, psf7, xs7, ys7, s7, mesh, n_iter=n_iter,
+    init_learning_rate=1e-2)
+a7 = np.asarray(kwargs7["kwargs_analytic"]["a"])  # must not raise
+assert a7.shape == (14,), a7.shape                # sized for REAL epochs
+assert np.isfinite(a7).all()
+assert np.isfinite(np.asarray(hist7)).all()
 print(f"WORKER_OK {pid}")
 """
 

@@ -71,15 +71,21 @@ def test_sharded_fit_matches_single_device(toy):
     np.testing.assert_allclose(a_8, a_1, rtol=1e-3, atol=1e-3)
 
 
-def test_pad_epochs():
-    from lightcurver_tpu.parallel.deconv import pad_epochs
+def test_pad_epoch_stacks():
+    from lightcurver_tpu.parallel.deconv import pad_epoch_stacks
 
-    arrays = {"data": np.ones((5, 4, 4)), "sigma": np.ones((5, 4, 4))}
-    padded, n = pad_epochs(arrays, 8)
-    assert n == 8
-    assert padded["data"].shape == (8, 4, 4)
-    assert padded["data"][5:].sum() == 0.0
-    assert (padded["sigma"][5:] == 1e8).all()
+    data = np.ones((5, 4, 4), np.float32)
+    sigma_2 = np.ones((5, 4, 4), np.float32)
+    psf = np.full((5, 8, 8), 0.25, np.float32)
+    data_p, sigma_2_p, psf_p, epoch_w = pad_epoch_stacks(
+        data, sigma_2, psf, 8)
+    assert data_p.shape == (8, 4, 4)
+    assert data_p[5:].sum() == 0.0
+    assert (sigma_2_p[5:] == 1e16).all()
+    # dummy PSFs repeat the last real epoch (well-conditioned spectra)
+    np.testing.assert_array_equal(psf_p[5:], np.broadcast_to(
+        psf[-1], (3, 8, 8)))
+    np.testing.assert_array_equal(epoch_w, [1, 1, 1, 1, 1, 0, 0, 0])
 
 
 def test_pad_strip_kwargs_roundtrip():
@@ -261,3 +267,23 @@ def test_sharded_step_collective_traffic_is_epoch_independent():
     # any per-epoch array
     m2 = (16 * 2) ** 2
     assert b_large < 8 * 4 * m2, b_large
+
+
+def test_loss_irfft_backend_override(toy):
+    """The sharded entry points force the matmul-DFT render regardless
+    of the global flag (a partitioned FFT op all-gathers the full
+    epoch stack); pin the Loss-level override they rely on."""
+    from lightcurver_tpu import ops
+    from lightcurver_tpu.core.deconv.loss import Loss
+    from lightcurver_tpu.core.deconv.model import setup_model
+    from lightcurver_tpu.core.params import Params
+
+    assert ops.get_irfft_backend() == "fft"  # the suite-wide default
+    data, sigma_2, psf, xs, ys, s = toy
+    model, ki, ku, kd, kf = setup_model(data, sigma_2, psf, xs, ys, s)
+    params = Params(ki, kf, ku, kd)
+    forced = Loss(data, model, params, sigma_2, irfft_backend="mxu")
+    assert "dft_mats" in forced.consts
+    assert "t_re" in forced.consts  # the all-real raw-spectrum path
+    default = Loss(data, model, params, sigma_2)
+    assert "dft_mats" not in default.consts
