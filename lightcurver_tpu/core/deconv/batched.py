@@ -352,7 +352,8 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     import os
 
     from ..optimize import (CheckpointMismatch, _check_ckpt_digest,
-                            _load_ckpt_carry, materialize_tree)
+                            _load_ckpt_carry, materialize_tree,
+                            replicate_tree)
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
@@ -363,12 +364,15 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     treedef = jax.tree_util.tree_structure(carry)
 
     def save_state(done, histories):
-        # sharded carries (multi-host star/epoch meshes) gather first;
-        # only process 0 writes — checkpoint_path must live on storage
+        # sharded carries (multi-host star/epoch meshes) gather first
+        # (a collective — every process joins); only process 0
+        # materializes + writes — checkpoint_path must live on storage
         # every process can read for a pod-scale resume to be consistent
-        leaves = jax.tree_util.tree_leaves(materialize_tree(carry))
+        gathered = replicate_tree(carry)
         if jax.process_index() != 0:
             return
+        leaves = [np.asarray(x)
+                  for x in jax.tree_util.tree_leaves(gathered)]
         payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
         payload["n_iter"] = np.int64(n_iter)
         payload["done"] = np.int64(done)
@@ -515,10 +519,14 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
         else get_irfft_backend()
     # the starlet backend travels as a STATIC argument read OUTSIDE
     # the trace (module convention: flipping ops.set_backend retraces
-    # instead of silently reusing the stale program)
+    # instead of silently reusing the stale program).  On a sharded
+    # mesh the Pallas starlet is forced off: it has no partitioning
+    # rule, so a partitioned program containing it fails to compile
+    # (same guard as irfft_backend above)
     from ...ops import get_backend as _get_starlet_backend
 
-    starlet_backend = _get_starlet_backend()
+    starlet_backend = "xla" if (mesh is not None and mesh.size > 1) \
+        else _get_starlet_backend()
     args = (data_d, noise_d, psf_d, keys,
             int(n_epochs), int(image_size), int(subsampling_factor),
             int(n_iter), bool(uniform_background_per_epoch),

@@ -133,7 +133,7 @@ class Loss:
                  regularization_strength_pts_source=0.0,
                  regularization_strength_flux_uniformity=0.0,
                  W=None, prior=None, epoch_weights=None,
-                 irfft_backend=None):
+                 irfft_backend=None, starlet_backend=None):
         self.model = deconv_class
         self.params = param_class
         self.prior = prior
@@ -148,10 +148,17 @@ class Loss:
 
         from ...ops import get_dft_precision
 
+        # explicit override for sharded callers: the Pallas starlet has
+        # no partitioning rule, so a partitioned program containing it
+        # fails to compile (or replicates the background stack) —
+        # parallel entry points force 'xla' here, mirroring
+        # irfft_backend above
+        if starlet_backend is None:
+            starlet_backend = _ops_backend()
         self._fn = _build_loss_fn(self.model.config(), use_starlet,
                                   use_pos, use_pts, use_flux_uni,
                                   prior_names,
-                                  starlet_backend=_ops_backend(),
+                                  starlet_backend=starlet_backend,
                                   dft_precision=get_dft_precision())
         # expose the SHARED function object (not a bound method) so the
         # optimizers' jit cache hits across Loss instances of identical

@@ -518,7 +518,9 @@ def _load_ckpt_carry(z, treedef, fresh_carry_thunk, path):
     a raw KeyError or a cryptic XLA shape error."""
     n_leaves = treedef.num_leaves
     try:
-        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
+        # numpy leaves: on a multi-process mesh they are re-placed via
+        # device_put below; single-process, jit ingests them directly
+        leaves = [z[f"leaf_{i}"] for i in range(n_leaves)]
     except KeyError as e:
         raise CheckpointMismatch(
             f"checkpoint {path} has fewer carry leaves than this "
@@ -542,32 +544,60 @@ def _load_ckpt_carry(z, treedef, fresh_carry_thunk, path):
             f"checkpoint {path} has more carry leaves than this "
             "problem (parameter structure changed); refusing to "
             "resume — delete the checkpoint to restart")
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    carry = jax.tree_util.tree_unflatten(treedef, leaves)
+    if jax.process_count() > 1:
+        # the npz leaves are host-local; a cross-process jitted segment
+        # rejects host-committed inputs next to mesh-sharded consts, so
+        # place the resumed carry on the global mesh with the fresh
+        # carry's shardings (every process loaded the same file, so
+        # device_put's per-process addressable-shard slicing is
+        # consistent)
+        fresh = fresh_carry_thunk()
+        carry = jax.device_put(
+            carry,
+            jax.tree_util.tree_map(lambda leaf: leaf.sharding, fresh))
+    return carry
 
 
-def materialize_tree(tree):
-    """np.asarray every leaf; on multi-process meshes, gather first.
+@functools.lru_cache(maxsize=8)
+def _replicate_jit(mesh):
+    """Cached identity-jit gathering a tree to REPLICATED on ``mesh``.
+
+    Cached per mesh so checkpoint segments reuse one compiled gather
+    instead of re-tracing a fresh ``jax.jit`` object every call."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.jit(lambda t: t,
+                   out_shardings=NamedSharding(mesh, PartitionSpec()))
+
+
+def replicate_tree(tree):
+    """Gather process-sharded leaves to replicated sharding (device-side).
 
     A leaf sharded across processes is not fully addressable and
     ``np.asarray`` on it raises — the checkpoint writers below (and the
-    batched star fit's) call this so mid-fit checkpointing works on
-    pods too.  Single-process (any single-host mesh): a plain tree_map,
+    batched star fit's) gather first so mid-fit checkpointing works on
+    pods too.  The gather is a COLLECTIVE: on a multi-process mesh
+    every process must call this.  Single-process: returned unchanged,
     zero overhead.
     """
-    import numpy as np
-
     if jax.process_count() > 1:
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import NamedSharding
 
         mesh = next(
             (leaf.sharding.mesh for leaf in jax.tree_util.tree_leaves(tree)
              if isinstance(getattr(leaf, "sharding", None), NamedSharding)),
             None)
         if mesh is not None:
-            tree = jax.jit(
-                lambda t: t,
-                out_shardings=NamedSharding(mesh, PartitionSpec()))(tree)
-    return jax.tree_util.tree_map(np.asarray, tree)
+            tree = _replicate_jit(mesh)(tree)
+    return tree
+
+
+def materialize_tree(tree):
+    """np.asarray every leaf; on multi-process meshes, gather first."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(np.asarray, replicate_tree(tree))
 
 
 def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
@@ -620,12 +650,15 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
     treedef = jax.tree_util.tree_structure(fresh_carry())
 
     def save_state(path, carry, done, history):
-        # sharded carries gather first (multi-host); only process 0
-        # writes — checkpoint_path must live on storage every process
-        # can read for a pod-scale resume to be consistent
-        leaves = jax.tree_util.tree_leaves(materialize_tree(carry))
+        # sharded carries gather first (multi-host, a collective —
+        # every process joins); only process 0 materializes + writes —
+        # checkpoint_path must live on storage every process can read
+        # for a pod-scale resume to be consistent
+        gathered = replicate_tree(carry)
         if jax.process_index() != 0:
             return
+        leaves = [np.asarray(x)
+                  for x in jax.tree_util.tree_leaves(gathered)]
         payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
         payload["n_iter"] = np.int64(n_iter)
         payload["done"] = np.int64(done)

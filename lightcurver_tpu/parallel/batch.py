@@ -207,6 +207,7 @@ def gather_to_host(mesh, tree):
     """
     if mesh is None or jax.process_count() == 1:
         return tree
-    gather = jax.jit(lambda t: t,
-                     out_shardings=NamedSharding(mesh, P()))
-    return gather(tree)
+    from ..core.optimize import _replicate_jit
+
+    # cached per mesh: repeated result gathers reuse one compiled program
+    return _replicate_jit(mesh)(tree)

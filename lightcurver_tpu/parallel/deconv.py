@@ -238,8 +238,11 @@ def fit_deconv_sharded(data, sigma_2, psf, xs, ys, subsampling_factor, mesh,
         # full epoch stack around every transform); force the matmul-DFT
         # render so the sharded program stays collective-free apart
         # from the shared-gradient psum (same guard as the batched
-        # PSF/star entry points)
+        # PSF/star entry points).  The Pallas starlet likewise has no
+        # partitioning rule — keep the XLA transform in the partitioned
+        # program regardless of the global flag.
         loss_kwargs.setdefault("irfft_backend", "mxu")
+        loss_kwargs.setdefault("starlet_backend", "xla")
     loss = Loss(data_p, model_p, params, sigma_2_p, epoch_weights=epoch_w,
                 **loss_kwargs)
     # assign BACK to the loss: keeping the unsharded bundle referenced

@@ -25,12 +25,16 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     kwargs = {}
     has_coordinator = bool(coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
-    if not has_coordinator and (num_processes is not None
-                                or process_id is not None):
+    has_explicit_topology = (
+        num_processes is not None or process_id is not None
+        or bool(os.environ.get("JAX_NUM_PROCESSES"))
+        or bool(os.environ.get("JAX_PROCESS_ID")))
+    if not has_coordinator and has_explicit_topology:
         # silently dropping the explicit topology and auto-detecting
         # would produce a wrong (or hung) initialization with no hint
         raise ValueError(
-            "num_processes/process_id were given without a "
+            "num_processes/process_id were given (as arguments or "
+            "JAX_NUM_PROCESSES/JAX_PROCESS_ID) without a "
             "coordinator_address (or JAX_COORDINATOR_ADDRESS); all "
             "three are needed for an explicit bootstrap")
     if has_coordinator:

@@ -316,13 +316,15 @@ def do_modelling_of_roi():
             params.fixed = shard_pytree(mesh, params.fixed)
             params.lower = shard_pytree(mesh, params.lower)
             params.upper = shard_pytree(mesh, params.upper)
-        if mesh is not None:
             # the FFT op cannot be batch-partitioned: force the
             # matmul-DFT render so the epoch-sharded program stays
-            # collective-free apart from the shared-gradient psum
-            # (same guard as parallel.fit_deconv_sharded)
+            # collective-free apart from the shared-gradient psum;
+            # likewise keep the XLA starlet (the Pallas kernel has no
+            # partitioning rule) — same guards as
+            # parallel.fit_deconv_sharded
             loss_kwargs = dict(loss_kwargs)
             loss_kwargs.setdefault("irfft_backend", "mxu")
+            loss_kwargs.setdefault("starlet_backend", "xla")
         loss = Loss(data_fit, model_fit, params, var_fit,
                     epoch_weights=epoch_w, **loss_kwargs)
         if mesh is not None:
@@ -408,8 +410,10 @@ def do_modelling_of_roi():
     # stale checkpoint instead of wedging every re-run
     kwargs_final, optim = run_discarding_stale_checkpoint(
         run_stage2, checkpoint_path, logger)
-    if checkpoint_path is not None and checkpoint_path.exists():
-        checkpoint_path.unlink()
+    if checkpoint_path is not None:
+        # missing_ok: on a pod, N processes race to clean up the one
+        # shared file that only process 0 wrote
+        checkpoint_path.unlink(missing_ok=True)
 
     # exact GLS flux polish at the fitted positions and background
     from ..core.fisher import linear_flux_solve

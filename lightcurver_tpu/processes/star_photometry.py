@@ -379,8 +379,10 @@ def _fit_star_jobs_batched(user_config, jobs):
     out = run_discarding_stale_checkpoint(
         run_batched_fit, checkpoint_path,
         logging.getLogger("lightcurver.star_photometry"))
-    if checkpoint_path is not None and checkpoint_path.exists():
-        checkpoint_path.unlink()
+    if checkpoint_path is not None:
+        # missing_ok: on a pod, N processes race to clean up the one
+        # shared file that only process 0 wrote
+        checkpoint_path.unlink(missing_ok=True)
 
     results = []
     for i, job in enumerate(jobs):

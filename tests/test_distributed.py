@@ -116,3 +116,15 @@ def test_initialize_distributed_rejects_partial_explicit_args(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     with pytest.raises(ValueError, match="coordinator"):
         initialize_distributed(num_processes=2, process_id=1)
+
+
+def test_initialize_distributed_rejects_partial_env_topology(monkeypatch):
+    """Topology from JAX_NUM_PROCESSES/JAX_PROCESS_ID env vars without a
+    coordinator address is just as silently wrong as explicit args."""
+    from lightcurver_tpu.parallel.distributed import initialize_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    with pytest.raises(ValueError, match="coordinator"):
+        initialize_distributed()

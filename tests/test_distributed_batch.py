@@ -92,6 +92,17 @@ ck = fit_stars_batched(data, noise, psf, 2, mesh=batch_mesh(4),
 np.testing.assert_allclose(ck["fluxes"], shd["fluxes"], rtol=1e-4)
 if pid == 0:
     assert ckpt.exists()  # written by process 0 only (after the sync)
+
+# ---- RESUME on the cross-process mesh (regression: the npz leaves
+# are host-local; _load_ckpt_carry must device_put them back onto the
+# global mesh with the fresh carry's shardings or the finalize jit
+# rejects them).  The completed run above left done == n_iter in the
+# file, so this loads, skips all segments, and finalizes from the
+# restored carry.
+ck2 = fit_stars_batched(data, noise, psf, 2, mesh=batch_mesh(4),
+                        checkpoint_path=str(ckpt), checkpoint_every=60,
+                        **kw)
+np.testing.assert_allclose(ck2["fluxes"], ck["fluxes"], rtol=1e-6)
 print(f"WORKER_OK {pid}")
 """
 

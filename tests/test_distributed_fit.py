@@ -44,10 +44,13 @@ data, sigma_2, psf, xs, ys, s = ge._toy_problem(
     n_epochs=8, n_pix=12, s=2, n_sources=2)
 n_iter = 60
 
-# single-device reference (local computation, no collectives)
+# single-device reference (local computation, no collectives).  Same
+# matmul-DFT render the sharded path forces, so the 2e-4 trajectory
+# bound below compares identical arithmetic and pins ONLY the
+# collectives, not FFT-vs-DFT float noise.
 model, ki, ku, kd, kf = setup_model(data, sigma_2, psf, xs, ys, s)
 params = Params(ki, kf, ku, kd)
-loss = Loss(data, model, params, sigma_2)
+loss = Loss(data, model, params, sigma_2, irfft_backend="mxu")
 best, _, hist_ref = run_adabelief(
     loss.loss_fn, params.free0, params.lower, params.upper, n_iter,
     init_learning_rate=1e-2, consts=loss.consts)

@@ -287,3 +287,18 @@ def test_loss_irfft_backend_override(toy):
     assert "t_re" in forced.consts  # the all-real raw-spectrum path
     default = Loss(data, model, params, sigma_2)
     assert "dft_mats" not in default.consts
+
+    # starlet override: the sharded entry points force 'xla' because
+    # the Pallas starlet has no partitioning rule.  _build_loss_fn is
+    # lru-cached on the backend, so function identity proves which
+    # backend a Loss traced.
+    assert ops.get_backend() == "xla"
+    ops.set_backend("pallas")
+    try:
+        forced_xla = Loss(data, model, params, sigma_2,
+                          starlet_backend="xla")
+        assert forced_xla.loss_fn is default.loss_fn
+        unforced = Loss(data, model, params, sigma_2)
+        assert unforced.loss_fn is not default.loss_fn
+    finally:
+        ops.set_backend("xla")
