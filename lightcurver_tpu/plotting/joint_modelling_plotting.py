@@ -25,11 +25,18 @@ def plot_joint_modelling_diagnostic(datas, noisemaps, residuals,
                    vmin=-vmax, vmax=vmax)
     axes[1].set_title("mean residual / noise", fontsize=9)
 
-    worst = int(np.argmax(chi2_per_frame)) if chi2_per_frame is not None \
-        else 0
+    # without a chi2 ranking there IS no 'worst' epoch — labelling the
+    # epoch-0 fallback as worst would send a user triaging a bad joint
+    # fit to the wrong frame
+    if chi2_per_frame is not None:
+        worst = int(np.argmax(chi2_per_frame))
+        panel_title = f"worst epoch ({worst})"
+    else:
+        worst = 0
+        panel_title = "epoch 0"
     axes[2].imshow(residuals[worst] / noisemaps[worst], origin="lower",
                    cmap="coolwarm", vmin=-5, vmax=5)
-    axes[2].set_title(f"worst epoch ({worst})", fontsize=9)
+    axes[2].set_title(panel_title, fontsize=9)
 
     if loss_curve is not None:
         axes[3].plot(np.asarray(loss_curve))

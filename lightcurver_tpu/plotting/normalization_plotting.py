@@ -2,6 +2,7 @@
 (reference plotting/normalization_plotting.py:10-116). Queries the DB."""
 
 import matplotlib.pyplot as plt
+import numpy as np
 
 from ..structure.database import execute_sqlite_query
 
@@ -35,6 +36,13 @@ def plot_normalized_star_curves(combined_footprint_hash, save_path=None):
 
     if not fluxes.empty:
         fluxes = fluxes.copy()
+        # a degenerate frame (coefficient 0 or NaN) would put inf/NaN
+        # points on the axes and blow matplotlib's autoscale for the
+        # whole panel — drop those rows, they carry no diagnostic value
+        coeff = np.asarray(fluxes["coefficient"], dtype=float)
+        flux = np.asarray(fluxes["flux"], dtype=float)
+        fluxes = fluxes[np.isfinite(coeff) & (coeff != 0)
+                        & np.isfinite(flux)]
         fluxes["normalized"] = (fluxes["flux"] / fluxes["coefficient"])
         for name, group in fluxes.groupby("name"):
             med = group["normalized"].median()

@@ -197,9 +197,14 @@ def identify_and_eliminate_bad_pointings():
 
 
 def get_angle_wcs(wcs_object):
-    """Angle to North ("North up, East left") in degrees, from the CD matrix.
+    """Angle to North ("North up, East left") in degrees.
 
-    (reference utilities/footprint.py:202-224)
+    (reference utilities/footprint.py:202-224).  Delegates to the exact
+    finite-difference TanWCS.north_angle_deg (SIP-aware, same convention
+    — verified identical on pure-rotation CD matrices); the CD-only
+    formula remains as a fallback for duck-typed WCS objects.
     """
+    if hasattr(wcs_object, "north_angle_deg"):
+        return float(wcs_object.north_angle_deg())
     cd = wcs_object.cd
     return float(np.arctan2(-cd[0, 1], cd[1, 1]) * 180.0 / np.pi)

@@ -80,7 +80,14 @@ class SimplePolygon:
                 prev = cur
         if len(output) < 3:
             return None
-        return SimplePolygon(output)
+        result = SimplePolygon(output)
+        # edge-touching inputs clip to a degenerate (collinear) polygon
+        # with ~zero area; returning it would let a valid-looking but
+        # empty "common footprint" sail past the 'frames share NO
+        # common footprint' guards and reach the Gaia ADQL emitter
+        if result.area <= 1e-12 * max(self.area, other.area, 1e-30):
+            return None
+        return result
 
     def union(self, other):
         """Convex-hull union (see module docstring)."""

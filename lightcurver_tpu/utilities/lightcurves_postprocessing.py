@@ -121,21 +121,24 @@ def convert_flux_to_magnitude(df):
                  for ps in sorted(_point_source_names(df.columns))]
 
     with np.errstate(invalid="ignore", divide="ignore"):
-        for prefix in ("d", "scatter"):
-            for flux_col in flux_cols:
-                ps = flux_col[:-len("_flux")]  # underscore-safe labels
+        for flux_col in flux_cols:
+            ps = flux_col[:-len("_flux")]  # underscore-safe labels
+            flux = np.asarray(df[flux_col], dtype=float)
+            # the magnitude itself needs no error column — a df missing
+            # {ps}_d_flux still gets {ps}_mag (as the docstring promises),
+            # so downstream find_sources(suffix='_mag') keeps working
+            mag = -2.5 * np.log10(flux) + zp
+            df[f"{ps}_mag"] = mag
+            for prefix in ("d", "scatter"):
                 err_col = f"{ps}_{prefix}_flux"
                 if err_col not in df.columns:
                     continue
-                flux = np.asarray(df[flux_col], dtype=float)
                 err = np.asarray(df[err_col], dtype=float)
-                mag = -2.5 * np.log10(flux) + zp
                 up, down = flux + err, flux - err
                 mag_down = np.where(up > 0, -2.5 * np.log10(
                     np.where(up > 0, up, 1.0)) + zp, np.nan)
                 mag_up = np.where(down > 0, -2.5 * np.log10(
                     np.where(down > 0, down, 1.0)) + zp, np.nan)
-                df[f"{ps}_mag"] = mag
                 df[f"{ps}_{prefix}_mag_down"] = mag - mag_down
                 df[f"{ps}_{prefix}_mag_up"] = mag_up - mag
                 df[f"{ps}_{prefix}_mag"] = 2.5 / np.log(10) * np.abs(

@@ -41,7 +41,9 @@ def sigmaclip(data, low=4.0, high=4.0):
     arr = np.asarray(data, dtype=float).ravel()
     prev = -1
     lo = hi = np.nan
-    while arr.size != prev:
+    # size-0 input (e.g. an all-NaN night after the caller's finite
+    # filter) would spam 'Mean of empty slice' RuntimeWarnings below
+    while arr.size != prev and arr.size > 0:
         prev = arr.size
         mean, std = arr.mean(), arr.std()
         lo, hi = mean - low * std, mean + high * std

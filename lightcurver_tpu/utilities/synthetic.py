@@ -64,6 +64,8 @@ def render_epochs_np(psf, a, px, py, s, h=None):
     c = (m - 1) / 2.0
     center_phase = np.exp(1j * 2 * np.pi * (fy + fx) * c)
 
+    h_hat = None if h is None \
+        else np.fft.rfft2(h, s=(L, L)) * center_phase
     out = np.empty((N, n, n), dtype=np.float32)
     for e in range(N):
         t = psf[e] / psf[e].sum()
@@ -73,8 +75,8 @@ def render_epochs_np(psf, a, px, py, s, h=None):
             ang = -2 * np.pi * (fy * s * py[e, j] + fx * s * px[e, j])
             spec += a[e, j] * np.exp(1j * ang)
         total = spec * t_hat * r_hat
-        if h is not None:
-            total += np.fft.rfft2(h, s=(L, L)) * t_hat * center_phase
+        if h_hat is not None:
+            total += h_hat * t_hat
         fine = np.fft.irfft2(total, s=(L, L))[:m, :m]
         out[e] = fine.reshape(n, s, n, s).sum(axis=(1, 3)).astype(np.float32)
     return out

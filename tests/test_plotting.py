@@ -181,3 +181,49 @@ def test_photometry_plot_degenerate_inputs(tmp_path):
     df_bad["mjd"] = np.nan
     with pytest.raises(ValueError, match="mjd"):
         plot_photometry(df_bad)
+
+
+def test_joint_modelling_diagnostic_without_chi2(stamps, tmp_path):
+    """No chi2 ranking -> the third panel must NOT claim epoch 0 is the
+    'worst epoch' (there is no ranking to say so)."""
+    from lightcurver_tpu.plotting.joint_modelling_plotting import \
+        plot_joint_modelling_diagnostic
+
+    data, noise = stamps
+    fig = plot_joint_modelling_diagnostic(
+        datas=data, noisemaps=noise, residuals=0.1 * data)
+    titles = [ax.get_title() for ax in fig.axes]
+    assert "epoch 0" in titles
+    assert not any("worst" in t for t in titles)
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_normalization_plot_survives_zero_coefficient(tmp_path,
+                                                      monkeypatch):
+    """One degenerate frame (coefficient 0) must not blow the normalized
+    panel's autoscale to infinity."""
+    from lightcurver_tpu.plotting import normalization_plotting as npl
+
+    coeffs = pd.DataFrame({
+        "frame_id": [1, 2, 3],
+        "mjd": [60000.0, 60001.0, 60002.0],
+        "coefficient": [1.0, 0.0, 1.1],
+        "coefficient_uncertainty": [0.01, 0.01, 0.01],
+    })
+    fluxes = pd.DataFrame({
+        "name": ["s1"] * 3 + ["s2"] * 3,
+        "mjd": [60000.0, 60001.0, 60002.0] * 2,
+        "flux": [100.0, 100.0, 110.0, 50.0, 55.0, 52.0],
+        "flux_uncertainty": [1.0] * 6,
+        "coefficient": [1.0, 0.0, 1.1] * 2,
+    })
+    results = [coeffs, fluxes]
+    monkeypatch.setattr(npl, "execute_sqlite_query",
+                        lambda *a, **k: results.pop(0))
+    out = tmp_path / "norm.jpg"
+    fig = npl.plot_normalized_star_curves("hash", save_path=out)
+    assert out.exists() and out.stat().st_size > 0
+    ax2 = fig.axes[1]
+    lo, hi = ax2.get_ylim()
+    assert np.isfinite(lo) and np.isfinite(hi)

@@ -397,3 +397,70 @@ class TestReferenceGroupingContracts:
                     assert np.isnan(got), (col, i)
                 else:
                     assert got == pytest.approx(v, abs=1e-2), (col, i)
+
+
+def test_edge_touching_footprints_have_no_common_area():
+    """Two abutting pointings share only an edge: intersection() must
+    return None (not a degenerate zero-area polygon), so the pipeline's
+    purpose-built 'frames share NO common footprint' error fires instead
+    of a collinear POLYGON reaching the Gaia ADQL emitter."""
+    from lightcurver_tpu.utilities.geometry import SimplePolygon
+
+    a = SimplePolygon([(10, 0), (11, 0), (11, 1), (10, 1)])
+    b = SimplePolygon([(11, 0), (12, 0), (12, 1), (11, 1)])
+    assert a.intersection(b) is None
+    assert b.intersection(a) is None
+    # corner-touching only
+    c = SimplePolygon([(11, 1), (12, 1), (12, 2), (11, 2)])
+    assert a.intersection(c) is None
+    # ... while a genuine sliver of overlap still counts
+    d = SimplePolygon([(10.9, 0), (12, 0), (12, 1), (10.9, 1)])
+    inter = a.intersection(d)
+    assert inter is not None
+    assert inter.area == pytest.approx(0.1, rel=1e-9)
+
+
+def test_sigmaclip_empty_input_is_silent():
+    """An all-NaN night hands sigmaclip an empty array: no numpy
+    RuntimeWarnings, NaN bounds back."""
+    import warnings
+
+    from lightcurver_tpu.utilities.stats import sigmaclip
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        out, lo, hi = sigmaclip(np.array([]))
+    assert out.size == 0
+    assert np.isnan(lo) and np.isnan(hi)
+
+
+def test_magnitude_column_without_error_column():
+    """A source with a flux column but no d_flux column still gets its
+    {ps}_mag column (the docstring's promise); error columns are
+    simply absent."""
+    from lightcurver_tpu.utilities.lightcurves_postprocessing import \
+        convert_flux_to_magnitude
+
+    df = pd.DataFrame({"mjd": [1.0], "zeropoint": [25.0],
+                       "A_flux": [100.0]})
+    out = convert_flux_to_magnitude(df)
+    assert out["A_mag"][0] == pytest.approx(20.0)
+    assert "A_d_mag" not in out.columns
+
+
+def test_get_angle_wcs_is_sip_aware_and_convention_stable():
+    """get_angle_wcs routes through TanWCS.north_angle_deg; both agree
+    with the CD-only formula on pure-rotation matrices."""
+    from lightcurver_tpu.io.wcs import TanWCS
+    from lightcurver_tpu.utilities.footprint import get_angle_wcs
+
+    for rot in (0.0, 17.0, -33.0, 178.0):
+        th = np.deg2rad(rot)
+        scale = 0.2 / 3600.0
+        rotm = np.array([[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]])
+        cd = rotm @ np.array([[-scale, 0.0], [0.0, scale]])
+        w = TanWCS(crval1=150.0, crval2=2.2, crpix1=512.0, crpix2=512.0,
+                   cd=cd)
+        cd_only = float(np.arctan2(-cd[0, 1], cd[1, 1]) * 180.0 / np.pi)
+        assert get_angle_wcs(w) == pytest.approx(cd_only, abs=1e-6)
