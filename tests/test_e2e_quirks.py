@@ -19,6 +19,14 @@ rays hit.  The reference exercises this on 2 bundled OmegaCAM frames
   whole cutout — so its flux only comes out right if cutout extraction
   PM-corrects positions to the frame epoch
   (processes/cutout_making.py, utilities/coordinates.apply_proper_motion).
+- every source is rendered with a NON-MOFFAT PSF: an analytic Moffat
+  core carrying only 88% of the flux, plus a broad halo (8%) and
+  spider diffraction spikes (4%) — real optics, which a pure-Moffat
+  model cannot represent.  The narrow-PSF fit's pixelated grid
+  correction (core/psf/build.py, the reference's STARRED build_psf
+  phase 2) must absorb the extra structure, and because PSF photometry
+  measures flux through the SAME fitted PSF, star and ROI fluxes must
+  still come out at the injected totals.
 
 The pipeline must complete and stay quantitatively correct: PSFs on
 every frame, unaffected star fluxes within 10%, ROI fluxes within the
@@ -50,6 +58,14 @@ PS_OFFSETS = {"A": (-0.8, 0.5), "B": (0.7, -0.6)}
 PS_FLUXES = {"A": [300.0, 360.0, 330.0], "B": [150.0, 120.0, 135.0]}
 FRAME_FWHM_PX = [2.6, 3.1, 2.8]
 FRAME_DITHER_PX = [(0.0, 0.0), (1.4, -0.8), (-1.1, 0.6)]
+
+# non-Moffat PSF composition (flux fractions): Moffat core + broad
+# Moffat halo (3x fwhm) + spider diffraction spikes along x/y
+# (elongated Gaussians).  With 16 px stamps the analytic out-of-stamp
+# loss is ~1.3% (halo tail) — well inside the 10% flux tolerance.
+CORE_FRAC, HALO_FRAC, SPIKE_FRAC = 0.87, 0.08, 0.05
+SPIKE_SIGMA_ALONG_PX = 6.0
+SPIKE_SIGMA_ACROSS_PX = 0.7
 
 # a high-proper-motion reference star: catalog position at Gaia epoch
 # 2016.0, but RENDERED at the observing-epoch position (the ~7.7 yr
@@ -95,13 +111,24 @@ def _render_frame(frame_idx, star_world, wcs):
     img = np.zeros((FRAME_SIZE, FRAME_SIZE))
     yy, xx = np.mgrid[0:FRAME_SIZE, 0:FRAME_SIZE]
 
-    def add_source(x, y, flux):
-        beta = 2.8
+    def moffat(x, y, flux, fwhm_px, beta):
         root = np.sqrt(2.0 ** (1.0 / beta) - 1.0)
-        alpha = fwhm / (2 * root)
+        alpha = fwhm_px / (2 * root)
         rr2 = (xx - x) ** 2 + (yy - y) ** 2
         norm = (beta - 1.0) / (np.pi * alpha**2)
         img[:] += flux * norm * (1.0 + rr2 / alpha**2) ** (-beta)
+
+    def add_source(x, y, flux):
+        moffat(x, y, flux * CORE_FRAC, fwhm, 2.8)
+        moffat(x, y, flux * HALO_FRAC, 3.0 * fwhm, 2.5)
+        # spider spikes: one horizontal + one vertical elongated
+        # Gaussian bar, each half the spike flux, unit-normalized 2-D
+        sa, sc = SPIKE_SIGMA_ALONG_PX, SPIKE_SIGMA_ACROSS_PX
+        bar = flux * SPIKE_FRAC / 2.0 / (2.0 * np.pi * sa * sc)
+        img[:] += bar * np.exp(-(xx - x) ** 2 / (2 * sa**2)
+                               - (yy - y) ** 2 / (2 * sc**2))
+        img[:] += bar * np.exp(-(xx - x) ** 2 / (2 * sc**2)
+                               - (yy - y) ** 2 / (2 * sa**2))
 
     star_px = []
     for (ra, dec), flux in star_world:
@@ -325,6 +352,43 @@ def test_high_proper_motion_star_followed(pipeline_run):
     assert len(fluxes) == N_FRAMES
     assert fluxes["flux"].median() == pytest.approx(PM_STAR["flux"],
                                                     rel=0.1)
+
+
+def test_pixel_grid_absorbs_diffraction_spikes(pipeline_run, workdir):
+    """Every source carries pixel-axis spider spikes (SPIKE_FRAC of the
+    flux) that a pure Moffat cannot represent.  The fitted FULL PSF
+    stored in regions.h5 must show the anisotropy: past the Moffat
+    core, flux along the pixel axes exceeds flux along the diagonals.
+    (The flux assertions elsewhere then prove photometry through that
+    PSF still recovers the injected totals.)"""
+    import h5py
+
+    frames = _query("SELECT id, image_relpath FROM frames ORDER BY mjd")
+    psfs = _query("SELECT frame_id, psf_ref, subsampling_factor "
+                  "FROM PSFs")
+    ratios = []
+    with h5py.File(workdir / "regions.h5", "r") as f:
+        for _, frame in frames.iterrows():
+            row = psfs[psfs["frame_id"] == frame["id"]].iloc[0]
+            psf = f[f"{frame['image_relpath']}/{row['psf_ref']}"
+                    "/full_psf"][...]
+            s = int(row["subsampling_factor"])
+            cy, cx = np.unravel_index(np.argmax(psf), psf.shape)
+            yy, xx = np.mgrid[0:psf.shape[0], 0:psf.shape[1]]
+            dy, dx = yy - cy, xx - cx
+            r = np.hypot(dx, dy)
+            # band: 5-8 DATA pixels from the core — outside the Moffat
+            # core, inside the stamp, where the spikes dominate the
+            # (isotropic) halo
+            band = (r >= 5 * s) & (r <= 8 * s)
+            on_axis = band & ((np.abs(dx) < 1.5 * s)
+                              | (np.abs(dy) < 1.5 * s))
+            diagonal = band & (np.abs(np.abs(dx) - np.abs(dy)) < 1.5 * s)
+            ratios.append(float(psf[on_axis].mean()
+                                / psf[diagonal].mean()))
+    # a radially symmetric (Moffat-only) PSF would give ratio ~1
+    assert min(ratios) > 1.15, ratios
+    assert np.median(ratios) > 1.3, ratios
 
 
 def test_roi_fluxes_including_rotated_frame(pipeline_run, workdir):
