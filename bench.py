@@ -399,6 +399,38 @@ def run_starlet_micro(n_rep=200, m=128):
     return t_xla, t_pal
 
 
+def run_cosmics_micro(n=32, repeats=10):
+    """Host-preproc micro-bench: C++ L.A.Cosmic vs the scipy twin at the
+    production ROI stamp size (they are bit-exact; see
+    tests/test_processes.py::TestCosmics).  Returns (native_ms, scipy_ms);
+    native_ms is NaN when the toolchain is unavailable."""
+    import numpy as np
+    from lightcurver_tpu import native
+    from lightcurver_tpu.processes.cosmics import detect_cosmics_numpy
+    rng = np.random.default_rng(0)
+    img = rng.normal(100.0, 5.0, (n, n))
+    img[n // 2, n // 2] += 4000.0
+    var = np.abs(img) + 25.0
+    t_py = min(_time_host(lambda: detect_cosmics_numpy(img, invar=var),
+                          repeats))
+    if native.load() is None:
+        return float("nan"), t_py * 1e3
+    t_cc = min(_time_host(lambda: native.detect_cosmics(img, invar=var),
+                          repeats))
+    return t_cc * 1e3, t_py * 1e3
+
+
+def _time_host(fn, repeats):
+    import time
+    samples = []
+    fn()  # warm (first native call may compile the .so)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return samples
+
+
 def _optional(fn, what, default):
     """Extras must never kill the primary JSON line the driver records."""
     try:
@@ -495,6 +527,11 @@ def main():
     t_xla, t_pal = (nan, nan) if degraded else _optional(
         lambda: run_starlet_micro(), "starlet", (nan, nan))
 
+    # host-preprocessing evidence: the C++ cosmic-ray kernel vs its
+    # bit-exact scipy twin (pure host CPU — immune to tunnel state)
+    cosmics_cc_ms, cosmics_py_ms = _optional(
+        lambda: run_cosmics_micro(), "cosmics", (nan, nan))
+
     # roofline evidence (VERDICT r2 #4): per-iteration XLA cost of the
     # two hot fits, driver-verifiable each round.  ms/iter from the
     # measured walls over the known iteration budgets (2000 ROI its;
@@ -571,6 +608,8 @@ def main():
         "starlet_xla_us": _num(round(t_xla * 1e6, 1)),
         "starlet_pallas_us": _num(round(t_pal * 1e6, 1)),
         "starlet_backend_selected": ops.get_backend(),
+        "cosmics_native_ms": _num(round(cosmics_cc_ms, 3)),
+        "cosmics_scipy_ms": _num(round(cosmics_py_ms, 3)),
         # every per-repeat wall behind the best-of-N minima: the min
         # shields against tenant contention; the spread exposes an
         # intermittent real regression the min alone would hide

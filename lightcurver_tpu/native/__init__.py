@@ -28,10 +28,20 @@ def _compile():
     # a sibling worker dlopens mid-write (or that poisons every later
     # run with a fresh mtime)
     tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(tmp), str(_SRC)]
+    # -march=native is safe here: the library is (re)compiled on first
+    # use on the machine that runs it, never shipped.  It matters: the
+    # cosmic-ray kernel's branchless rank scans only vectorize with the
+    # host's full SIMD set.  Retried without the flag for exotic
+    # toolchains that reject it.
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        for extra in (["-march=native"], []):
+            cmd = base + extra + ["-o", str(tmp), str(_SRC)]
+            result = subprocess.run(cmd, capture_output=True, timeout=120)
+            if result.returncode == 0:
+                break
+        else:
+            result.check_returncode()
         os.replace(tmp, _LIB)
     finally:
         tmp.unlink(missing_ok=True)
@@ -60,6 +70,14 @@ def load():
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_void_p]
         lib.lc_extract_sources.restype = ctypes.c_int
+        lib.lc_detect_cosmics.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
     except Exception as e:  # toolchain missing, compile error, ...
         logging.getLogger("lightcurver.native").info(
@@ -109,3 +127,35 @@ def extract_sources(image, variance, threshold, min_area,
                                float(threshold), int(min_area),
                                _fptr(out), max_sources, None)
     return out[:n].copy()
+
+
+def detect_cosmics(data, invar=None, sigclip=4.5, sigfrac=0.3,
+                   objlim=5.0, niter=2):
+    """Native L.A.Cosmic detection; (mask, cleaned) or None.
+
+    Same contract as processes/cosmics.detect_cosmics (which is the
+    numpy/scipy twin this kernel is cross-fuzzed against); `invar` is
+    the per-pixel noise VARIANCE despite the name, matching the
+    reference's astroscrappy call signature
+    (reference lightcurver/processes/cutout_making.py:85).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.float64)
+    ny, nx = data.shape
+    if invar is not None:
+        invar = np.ascontiguousarray(
+            np.broadcast_to(invar, data.shape), dtype=np.float64)
+        var_ptr = invar.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    else:
+        var_ptr = None
+    mask = np.empty(data.shape, dtype=np.uint8)
+    cleaned = np.empty(data.shape, dtype=np.float64)
+    lib.lc_detect_cosmics(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), var_ptr,
+        ny, nx, float(sigclip), float(sigfrac), float(objlim),
+        int(niter),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cleaned.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return mask.astype(bool), cleaned

@@ -1,10 +1,16 @@
 """Cosmic-ray detection: Laplacian signal-to-noise (L.A.Cosmic family).
 
 Replaces astroscrappy.detect_cosmics (reference
-lightcurver/processes/cutout_making.py:85) with a numpy/scipy
-implementation of van Dokkum (2001)'s method: cosmics are identified by
-the significance of the sub-pixel-scale Laplacian relative to the noise,
-with a fine-structure contrast test to protect sharp PSF cores.
+lightcurver/processes/cutout_making.py:85) with van Dokkum (2001)'s
+method: cosmics are identified by the significance of the
+sub-pixel-scale Laplacian relative to the noise, with a fine-structure
+contrast test to protect sharp PSF cores.
+
+Two twin implementations, cross-fuzzed in tests/test_processes.py:
+the hot path is the C++ kernel in native/lightcurver_native.cpp
+(astroscrappy is itself compiled Cython — the reference never runs
+this in Python either), with this module's numpy/scipy version as the
+always-available fallback and the fuzz oracle.
 """
 
 import numpy as np
@@ -27,6 +33,24 @@ def _supersampled_laplacian(image):
 
 def detect_cosmics(data, invar=None, sigclip=4.5, sigfrac=0.3, objlim=5.0,
                    niter=2, **_ignored):
+    """Mask cosmic rays (native C++ kernel, numpy fallback).
+
+    See detect_cosmics_numpy for the argument/return contract; this
+    dispatcher only picks the backend.
+    """
+    from .. import native
+    result = native.detect_cosmics(data, invar=invar, sigclip=sigclip,
+                                   sigfrac=sigfrac, objlim=objlim,
+                                   niter=niter)
+    if result is not None:
+        return result
+    return detect_cosmics_numpy(data, invar=invar, sigclip=sigclip,
+                                sigfrac=sigfrac, objlim=objlim,
+                                niter=niter)
+
+
+def detect_cosmics_numpy(data, invar=None, sigclip=4.5, sigfrac=0.3,
+                         objlim=5.0, niter=2, **_ignored):
     """Mask cosmic rays.
 
     Args:

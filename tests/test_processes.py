@@ -188,6 +188,61 @@ class TestCosmics:
         assert not mask[20, 20]            # star core protected
         assert abs(cleaned[45, 45]) < 10
 
+    def test_native_matches_fallback_fuzz(self):
+        """The C++ L.A.Cosmic kernel is a bit-exact twin of the scipy
+        fallback: medians are element selections, so every intermediate
+        (and hence the mask AND the cleaned image) must agree exactly."""
+        import lightcurver_tpu.native as nat
+        from lightcurver_tpu.processes.cosmics import detect_cosmics_numpy
+
+        if nat.load() is None:
+            pytest.skip("native backend unavailable (no toolchain)")
+
+        rng = np.random.default_rng(11)
+        for _ in range(6):
+            n = int(rng.integers(8, 90))
+            image = rng.normal(100.0, 5.0, (n, n))
+            for _ in range(3):
+                cy, cx = rng.uniform(2, n - 2, 2)
+                _gaussian(image, cy, cx, float(rng.uniform(300, 3000)))
+            for _ in range(int(rng.integers(0, 6))):
+                y, x = rng.integers(1, n - 1, 2)
+                image[y, x] += rng.uniform(300, 6000)
+            var = np.abs(image) + 25.0
+            m_py, c_py = detect_cosmics_numpy(image, invar=var)
+            m_cc, c_cc = nat.detect_cosmics(image, invar=var)
+            np.testing.assert_array_equal(m_py, m_cc)
+            np.testing.assert_array_equal(c_py, c_cc)
+        # no-variance branch (invar=None -> |data| + 1)
+        m_py, c_py = detect_cosmics_numpy(image)
+        m_cc, c_cc = nat.detect_cosmics(image)
+        np.testing.assert_array_equal(m_py, m_cc)
+        np.testing.assert_array_equal(c_py, c_cc)
+
+    def test_dispatcher_uses_native_when_available(self, monkeypatch):
+        """detect_cosmics routes through the native kernel (and falls
+        back cleanly when it reports unavailable)."""
+        import lightcurver_tpu.native as nat
+        from lightcurver_tpu.processes import cosmics
+
+        calls = []
+        real = nat.detect_cosmics
+
+        def spy(data, **kw):
+            calls.append("native")
+            return real(data, **kw)
+
+        monkeypatch.setattr(nat, "detect_cosmics", spy)
+        img = np.random.default_rng(0).normal(0, 1, (16, 16))
+        cosmics.detect_cosmics(img, invar=np.ones_like(img))
+        assert calls == ["native"]
+
+        monkeypatch.setattr(nat, "detect_cosmics",
+                            lambda *a, **k: None)
+        mask, cleaned = cosmics.detect_cosmics(
+            img, invar=np.ones_like(img))
+        assert mask.shape == img.shape and cleaned.shape == img.shape
+
 
 class TestCutout:
     def test_extract_stamp_centering_and_noise(self):
