@@ -18,14 +18,34 @@ import time
 
 import numpy as np
 
-# metrics recorded incrementally by main(); the watchdog prints these
-# (as the final JSON line) if the backend wedges mid-run
+# metrics recorded incrementally by main(); _emit() prints the current
+# snapshot as a COMPLETE JSON line after every finished metric, so the
+# driver (which parses the last JSON line of the tail) records whatever
+# completed even if the process is killed mid-run.  Round 3 lost ALL
+# perf evidence to a wedged tunnel because metrics were only printed at
+# the very end — never again.
 _METRICS = {}
 # per-repeat wall samples of the best-of-N metrics: the min shields
 # against tenant contention, but ONLY the min would hide an
 # intermittent real regression (e.g. an every-other-run recompile) —
 # the spread makes bimodality visible in the recorded JSON
 _SAMPLES = {}
+
+
+def _emit():
+    """Print the full metrics snapshot as one JSON line (last line wins)."""
+    out = {"metric": "roi_deconv_100epoch_wall_s", "value": None,
+           "unit": "s", "vs_baseline": None}
+    out.update(_METRICS)
+    out["wall_samples"] = _SAMPLES
+    print(json.dumps(out), flush=True)
+
+
+def _put(**kv):
+    """Record metrics (NaN -> null) and emit the updated snapshot."""
+    for k, v in kv.items():
+        _METRICS[k] = None if isinstance(v, float) and v != v else v
+    _emit()
 
 
 def _probe_backend():
@@ -39,7 +59,7 @@ def _probe_backend():
     import subprocess
     import sys
 
-    deadline = float(os.environ.get("LIGHTCURVER_BENCH_PROBE_S", 300))
+    deadline = float(os.environ.get("LIGHTCURVER_BENCH_PROBE_S", 90))
     # the canonical probe (64 MB h2d + 4k matmul): sized to catch the
     # OBSERVED wedge mode — large transfers stalling while tiny ops
     # still succeed
@@ -63,18 +83,21 @@ def _start_watchdog():
 
     The driver records bench.py's output once per round; a wedged
     backend must degrade that to partial metrics, never to nothing.
+    With incremental emission (_emit after every metric) the watchdog
+    is a belt-and-braces second line of defence — a kill between
+    emissions loses only the in-flight metric.
     """
     import threading
 
-    deadline = float(os.environ.get("LIGHTCURVER_BENCH_DEADLINE_S", 3300))
+    # with incremental emission the watchdog no longer protects capture
+    # integrity (every completed metric is already on stdout) — it only
+    # bounds a WEDGED in-flight metric, so it can afford to be generous
+    # enough never to curtail a healthy-but-slow cold-compile run
+    deadline = float(os.environ.get("LIGHTCURVER_BENCH_DEADLINE_S", 1800))
 
     def fire():
-        out = {"metric": "roi_deconv_100epoch_wall_s", "value": None,
-               "unit": "s", "vs_baseline": None}
-        out.update(_METRICS)
-        out["wall_samples"] = _SAMPLES
-        out["watchdog_timeout_s"] = deadline
-        print(json.dumps(out), flush=True)
+        _METRICS["watchdog_timeout_s"] = deadline
+        _emit()
         os._exit(3)
 
     t = threading.Timer(deadline, fire)
@@ -91,9 +114,11 @@ def _setup_jax():
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if (os.environ.get("LIGHTCURVER_BENCH_NO_PROBE") != "1"
-            and not _probe_backend() and not _probe_backend()):
-        # unresponsive accelerator: a degraded CPU line beats a hang
-        print("# backend probe unresponsive twice; falling back to CPU",
+            and not _probe_backend()):
+        # unresponsive accelerator: a degraded CPU line beats a hang.
+        # ONE probe attempt only: round 3 burned 600 s on two 300 s
+        # probes and the driver killed the run before any JSON line.
+        print("# backend probe unresponsive; falling back to CPU",
               flush=True)
         jax.config.update("jax_platforms", "cpu")
         # drop the persistent cache: its entries were compiled for the
@@ -440,38 +465,143 @@ def _optional(fn, what, default):
         return default
 
 
+def run_sharded_overhead():
+    """Sharded-vs-unsharded ROI step efficiency (VERDICT r3 #4).
+
+    Runs tools/sharded_overhead.py in a fresh subprocess on a virtual
+    8-device CPU mesh (the bench box has ONE real chip, so sharding
+    efficiency can only be measured against virtual devices) and
+    returns its JSON dict, or None.
+    """
+    import subprocess
+    import sys
+
+    tool = pathlib.Path(__file__).parent / "tools" / "sharded_overhead.py"
+    r = subprocess.run([sys.executable, str(tool)], timeout=600,
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        print(f"# sharded_overhead rc={r.returncode}: "
+              f"{(r.stderr or r.stdout)[-300:]}", flush=True)
+        return None
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def _degraded_lane(watchdog):
+    """Wedged-tunnel fallback: tiny CPU workloads under DISTINCT keys.
+
+    A BENCH_r*.json carrying "backend_fallback" documents an
+    unreachable accelerator at record time, NOT a regression — the
+    headline keys stay null so a degraded capture can never be read as
+    a throughput number.  Workloads are sized to THIS 1-core box
+    (measured 2026-08-19: roi 20ep/32px/500it = 66 s incl. compile,
+    psf 2f/32px = 90 s, star 2x20/500it = 17 s — ~3 min total), so the
+    line completes far inside the watchdog deadline.
+    """
+    from lightcurver_tpu.utilities.synthetic import make_roi_scene
+
+    nan = float("nan")
+    scene = make_roi_scene(n_epochs=20, n_pix=32, s=2, n_sources=4)
+    roi_wall, red_chi2, _ = _retry(
+        lambda: run_roi_deconv(scene, n_iter=500, repeats=1,
+                               samples_key="roi20_degraded"),
+        "roi20deg")
+    _put(roi_deconv_degraded_20epoch_wall_s=round(roi_wall, 3),
+         roi_degraded_reduced_chi2=round(red_chi2, 4))
+
+    fps, psf_chi2 = _optional(
+        lambda: run_psf_bench(n_frames=2, n_stars=4, n_pix=32,
+                              n_iter_analytic=50, n_iter_adabelief=500,
+                              repeats=1, samples_key="psf2_degraded"),
+        "psf2deg", (nan, nan))
+    _put(psf_fits_per_sec_degraded_small=round(fps, 3),
+         psf_chi2_degraded=round(psf_chi2, 4))
+
+    star_fps, star_chi2 = _optional(
+        lambda: run_star_photometry_bench(
+            n_stars=2, n_epochs=20, n_iter=500, repeats=1,
+            samples_key="star2_degraded"),
+        "star2deg", (nan, nan))
+    _put(star_fits_per_sec_degraded_small=round(star_fps, 3),
+         star_phot_chi2_degraded=round(star_chi2, 4))
+
+    cc_ms, py_ms = _optional(lambda: run_cosmics_micro(), "cosmics",
+                             (nan, nan))
+    _put(cosmics_native_ms=round(cc_ms, 3),
+         cosmics_scipy_ms=round(py_ms, 3))
+    watchdog.cancel()
+    _emit()
+
+
 def main():
     watchdog = _start_watchdog()
     jax = _setup_jax()
     from lightcurver_tpu import ops
     from lightcurver_tpu.utilities.synthetic import make_roi_scene
 
-    # degraded lane (unresponsive accelerator): primary metrics only,
-    # at full iteration budgets but reduced batch/repeat counts, so the
-    # line lands well inside the watchdog deadline on one CPU
-    degraded = "backend_fallback" in _METRICS
     nan = float("nan")
+    baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
+    baseline_psf_fps = 1.0 / 2.5  # reference: 2-3 s/frame on a GPU
+    _put(backend=jax.default_backend(), n_devices=jax.device_count(),
+         starlet_backend_selected=ops.get_backend())
 
+    if "backend_fallback" in _METRICS:
+        _degraded_lane(watchdog)
+        return
+
+    # headline: 100-epoch joint ROI deconvolution, full 2000-iter budget
     scene = make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4)
     roi_wall, red_chi2, _ = _retry(
-        lambda: run_roi_deconv(scene, repeats=1 if degraded else 2,
-                               samples_key="roi100"),
+        lambda: run_roi_deconv(scene, repeats=2, samples_key="roi100"),
         "roi100")
-    _METRICS.update({"metric": "roi_deconv_100epoch_wall_s",
-                     "value": round(roi_wall, 3), "unit": "s",
-                     "vs_baseline": round(180.0 / roi_wall, 2),
-                     "roi_reduced_chi2": round(red_chi2, 4)})
+    _put(metric="roi_deconv_100epoch_wall_s", value=round(roi_wall, 3),
+         unit="s", vs_baseline=round(baseline_roi_s / roi_wall, 2),
+         roi_reduced_chi2=round(red_chi2, 4))
+
+    # PSF throughput SECOND (VERDICT r3: round-3's tail keys never
+    # reached a driver capture — record the headline trio before
+    # anything optional)
+    fits_per_sec, psf_chi2 = _retry(
+        lambda: run_psf_bench(n_frames=16, repeats=3,
+                              samples_key="psf16"), "psf16")
+    # wall/iterations upper bound: folds the 0.1 s L-BFGS phase +
+    # prep/fetch overhead into the AdaBelief per-iter figure
+    _put(psf_fits_per_sec=round(fits_per_sec, 3),
+         psf_chi2=round(psf_chi2, 4),
+         psf_fits_per_sec_vs_baseline=round(
+             fits_per_sec / baseline_psf_fps, 2),
+         psf_ms_per_iter_upper=round(
+             (16.0 / fits_per_sec) * 1e3 / 3100, 4))
+
+    # the third hot task: batched joint star photometry (stars/s at
+    # the reference's 2000-iteration per-star budget, 50 epochs each)
+    star_fps, star_chi2 = _optional(
+        lambda: run_star_photometry_bench(n_stars=8, repeats=3,
+                                          samples_key="star8"),
+        "starphot", (nan, nan))
+    _put(star_fits_per_sec=round(star_fps, 3),
+         star_phot_chi2=round(star_chi2, 4))
+    if star_fps == star_fps:
+        _put(star_ms_per_iter_upper=round(
+            (8.0 / star_fps) * 1e3 / 2000, 4))
+
+    # host-preprocessing evidence: the C++ cosmic-ray kernel vs its
+    # bit-exact scipy twin (pure host CPU — immune to tunnel state)
+    cosmics_cc_ms, cosmics_py_ms = _optional(
+        lambda: run_cosmics_micro(), "cosmics", (nan, nan))
+    _put(cosmics_native_ms=round(cosmics_cc_ms, 3),
+         cosmics_scipy_ms=round(cosmics_py_ms, 3))
 
     # the flagship survey-scale configuration (BASELINE.json north star:
     # 1000 epochs < 60 s on v5e-8; epoch-sharded when devices allow)
-    scene1000 = None if degraded else make_roi_scene(
-        n_epochs=1000, n_pix=64, s=2, n_sources=4)
-    roi1000_wall, roi1000_chi2, _ = (nan, nan, None) if degraded else \
-        _optional(lambda: run_roi_deconv(scene1000,
-                                         samples_key="roi1000"),
-                  "roi1000", (nan, nan, None))
-    _METRICS["roi_deconv_1000epoch_wall_s"] = (
-        None if roi1000_wall != roi1000_wall else round(roi1000_wall, 3))
+    scene1000 = make_roi_scene(n_epochs=1000, n_pix=64, s=2, n_sources=4)
+    roi1000_wall, roi1000_chi2, _ = _optional(
+        lambda: run_roi_deconv(scene1000, samples_key="roi1000"),
+        "roi1000", (nan, nan, None))
+    _put(roi_deconv_1000epoch_wall_s=round(roi1000_wall, 3),
+         roi_1000epoch_reduced_chi2=round(roi1000_chi2, 4),
+         # wall/iterations: GLS polish + host fetch folded in — an
+         # UPPER bound like the psf/star per-iter figures
+         roi1000_ms_per_iter=round(roi1000_wall * 1e3 / 2000, 3))
 
     # accelerated budget: the model is linear in the fluxes, so a short
     # AdaBelief run for positions/background + the exact GLS flux
@@ -479,144 +609,69 @@ def main():
     # Measured sweep: 250 iters + polish (chi2 1.0041, 1.6 s) already
     # beats 2000 iters unpolished (1.0056); the SHIPPED metric runs 500
     # iters (~3.2 s) as margin for harder position/background starts.
-    accel_wall, accel_chi2, _ = (nan, nan, None) if degraded else \
-        _optional(lambda: run_roi_deconv(scene1000, n_iter=500),
-                  "roi1000accel", (nan, nan, None))
+    accel_wall, accel_chi2, _ = _optional(
+        lambda: run_roi_deconv(scene1000, n_iter=500),
+        "roi1000accel", (nan, nan, None))
+    _put(roi_deconv_1000epoch_accel_wall_s=round(accel_wall, 3),
+         roi_1000epoch_accel_reduced_chi2=round(accel_chi2, 4))
 
-    # REDUCED workloads in the degraded lane land under DISTINCT keys
-    # (batch-4 throughput is intrinsically below batch-16 on any
-    # machine; reusing the headline key would read as a regression
-    # across rounds)
-    psf_key = "psf_fits_per_sec_degraded_batch4" if degraded \
-        else "psf_fits_per_sec"
-    fits_per_sec, psf_chi2 = _retry(
-        lambda: run_psf_bench(n_frames=4 if degraded else 16,
-                              repeats=1 if degraded else 3,
-                              samples_key="psf4_degraded" if degraded
-                              else "psf16"), "psf16")
-    _METRICS.update({psf_key: round(fits_per_sec, 3),
-                     "psf_chi2": round(psf_chi2, 4)})
-    # the third hot task: batched joint star photometry (stars/s at
-    # the reference's 2000-iteration per-star budget, 50 epochs each)
-    star_key = "star_fits_per_sec_degraded_2stars" if degraded \
-        else "star_fits_per_sec"
-    star_fps, star_chi2 = _optional(
-        lambda: run_star_photometry_bench(
-            n_stars=2 if degraded else 8,
-            repeats=1 if degraded else 3,
-            samples_key="star2_degraded" if degraded else "star8"),
-        "starphot", (nan, nan))
-    _METRICS[star_key] = (
-        None if star_fps != star_fps else round(star_fps, 3))
     # the production-loop throughput (pipelined buckets, the
     # model_all_psfs pattern) — transfers overlap device compute
-    fits_pipelined, _ = (nan, nan) if degraded else _optional(
+    fits_pipelined, _ = _optional(
         lambda: run_psf_bench_pipelined(), "psfpipe", (nan, nan))
-    # vmap amortization curve (fits/sec at batch 1 / 32, full budget;
-    # 16 is the headline above — throughput peaks there, batch 64
-    # measured slower)
-    psf_scaling = {}
-    for bs in () if degraded else (1, 32):
-        fps, _ = _optional(lambda b=bs: run_psf_bench(n_frames=b),
-                           f"psf{bs}", (nan, None))
-        psf_scaling[f"psf_fits_per_sec_batch{bs}"] = round(fps, 3)
-
-    # starlet backend measurement (the Pallas kernel wins standalone but
-    # not inside the fused losses; auto_select keeps 'xla' — see
-    # ops/starlet_op.py)
-    t_xla, t_pal = (nan, nan) if degraded else _optional(
-        lambda: run_starlet_micro(), "starlet", (nan, nan))
-
-    # host-preprocessing evidence: the C++ cosmic-ray kernel vs its
-    # bit-exact scipy twin (pure host CPU — immune to tunnel state)
-    cosmics_cc_ms, cosmics_py_ms = _optional(
-        lambda: run_cosmics_micro(), "cosmics", (nan, nan))
+    _put(psf_fits_per_sec_pipelined=round(fits_pipelined, 3))
 
     # roofline evidence (VERDICT r2 #4): per-iteration XLA cost of the
-    # two hot fits, driver-verifiable each round.  ms/iter from the
-    # measured walls over the known iteration budgets (2000 ROI its;
-    # the PSF fit's 0.1 s L-BFGS + overhead share is folded in — a
-    # conservative upper bound on the Ada per-iter time).
-    from lightcurver_tpu.utilities.benchmarking import \
-        psf_pixel_phase_cost
+    # hot fits, driver-verifiable each round
+    from lightcurver_tpu.utilities.benchmarking import (
+        psf_pixel_phase_cost, star_fit_phase_cost)
 
-    roi_vg = (nan, nan) if degraded else _optional(
-        lambda: run_roi_cost(scene1000), "roi1000cost", (nan, nan))
-    psf_vg = (nan, nan) if degraded else _optional(
-        lambda: psf_pixel_phase_cost(16, 8, 64, 2)[0], "psfcost",
-        (nan, nan))
-    from lightcurver_tpu.utilities.benchmarking import star_fit_phase_cost
-
-    star_vg = (nan, nan) if degraded else _optional(
-        lambda: star_fit_phase_cost(8, 50, 16, 2)[0], "starcost",
-        (nan, nan))
-    # wall/iterations: folds the GLS polish + host fetch into the
-    # per-iteration figure — an UPPER bound like the psf/star ones.
-    # Not emitted from the degraded lane: a batch-4/2-star CPU program
-    # is not the per-iteration figure these keys document.
-    roi_ms_iter = roi1000_wall * 1e3 / 2000
-    psf_ms_iter = nan if degraded else (16.0 / fits_per_sec) * 1e3 / 3100
-    # batched star fit wall over its 2000 iterations (prep + GLS
-    # polish folded in — an upper bound, like the PSF figure)
-    star_ms_iter = nan if degraded else (8.0 / star_fps) * 1e3 / 2000
-
-    baseline_roi_s = 180.0  # reference: "a few minutes at least" on CPU
-    baseline_psf_fits_per_sec = 1.0 / 2.5  # reference: 2-3 s/frame on GPU
-
-    def _num(value):
-        # NaN (a failed optional metric) -> JSON null, never 'NaN'
-        return None if value != value else value
-
-    watchdog.cancel()
-    print(json.dumps({
-        **({"backend_fallback": _METRICS["backend_fallback"]}
-           if degraded else {}),
-        "metric": "roi_deconv_100epoch_wall_s",
-        "value": round(roi_wall, 3),
-        "unit": "s",
-        "vs_baseline": round(baseline_roi_s / roi_wall, 2),
-        "roi_reduced_chi2": round(red_chi2, 4),
-        "roi_deconv_1000epoch_wall_s": _num(round(roi1000_wall, 3)),
-        "roi_1000epoch_reduced_chi2": _num(round(roi1000_chi2, 4)),
-        "roi_deconv_1000epoch_accel_wall_s": _num(round(accel_wall, 3)),
-        "roi_1000epoch_accel_reduced_chi2": _num(round(accel_chi2, 4)),
-        psf_key: round(fits_per_sec, 3),
-        **({} if degraded else {
-            "psf_fits_per_sec_vs_baseline": round(
-                fits_per_sec / baseline_psf_fits_per_sec, 2)}),
-        "psf_fits_per_sec_pipelined": _num(round(fits_pipelined, 3)),
-        "psf_chi2": round(psf_chi2, 4),
-        star_key: _num(round(star_fps, 3)),
-        "star_phot_chi2": _num(round(star_chi2, 4)),
-        **{k: _num(v) for k, v in psf_scaling.items()},
-        "roi1000_ms_per_iter": _num(round(roi_ms_iter, 3)),
-        "roi1000_vg_bytes_per_iter": _num(roi_vg[0]),
+    roi_vg = _optional(lambda: run_roi_cost(scene1000), "roi1000cost",
+                       (nan, nan))
+    implied = nan
+    if roi_vg[0] == roi_vg[0] and roi1000_wall == roi1000_wall:
         # PER-CHIP: the cost analysis lowers the UNSHARDED program
         # (total bytes) while the wall is epoch-sharded over
         # device_count chips, each streaming ~bytes/N — without the /N
         # a multi-chip run would report an N-chip aggregate against
         # the single chip's ~526 GB/s roofline
-        "roi1000_implied_gbps_per_chip": _num(round(
-            roi_vg[0] / jax.device_count()
-            / (roi_ms_iter / 1e3) / 1e9, 1))
-        if roi_vg[0] == roi_vg[0] and roi_ms_iter == roi_ms_iter
-        else None,
-        "psf_ms_per_iter_upper": _num(round(psf_ms_iter, 4)),
-        "psf_pixel_vg_bytes_per_iter": _num(psf_vg[0]),
-        "star_ms_per_iter_upper": _num(round(star_ms_iter, 4)),
-        "star_vg_bytes_per_iter": _num(star_vg[0]),
-        "starlet_xla_us": _num(round(t_xla * 1e6, 1)),
-        "starlet_pallas_us": _num(round(t_pal * 1e6, 1)),
-        "starlet_backend_selected": ops.get_backend(),
-        "cosmics_native_ms": _num(round(cosmics_cc_ms, 3)),
-        "cosmics_scipy_ms": _num(round(cosmics_py_ms, 3)),
-        # every per-repeat wall behind the best-of-N minima: the min
-        # shields against tenant contention; the spread exposes an
-        # intermittent real regression the min alone would hide
-        "wall_samples": _SAMPLES,
-        "backend": jax.default_backend(),
-        "n_devices": jax.device_count(),
-    }))
+        implied = round(roi_vg[0] / jax.device_count()
+                        / (roi1000_wall / 2000) / 1e9, 1)
+    _put(roi1000_vg_bytes_per_iter=roi_vg[0],
+         roi1000_implied_gbps_per_chip=implied)
+    psf_vg = _optional(lambda: psf_pixel_phase_cost(16, 8, 64, 2)[0],
+                       "psfcost", (nan, nan))
+    star_vg = _optional(lambda: star_fit_phase_cost(8, 50, 16, 2)[0],
+                        "starcost", (nan, nan))
+    _put(psf_pixel_vg_bytes_per_iter=psf_vg[0],
+         star_vg_bytes_per_iter=star_vg[0])
+
+    # vmap amortization curve (fits/sec at batch 1 / 32, full budget;
+    # 16 is the headline above — throughput peaks there, batch 64
+    # measured slower)
+    for bs in (1, 32):
+        fps, _ = _optional(lambda b=bs: run_psf_bench(n_frames=b),
+                           f"psf{bs}", (nan, None))
+        _put(**{f"psf_fits_per_sec_batch{bs}": round(fps, 3)})
+
+    # starlet backend measurement (the Pallas kernel wins standalone but
+    # not inside the fused losses; auto_select keeps 'xla' — see
+    # ops/starlet_op.py)
+    t_xla, t_pal = _optional(lambda: run_starlet_micro(), "starlet",
+                             (nan, nan))
+    _put(starlet_xla_us=round(t_xla * 1e6, 1),
+         starlet_pallas_us=round(t_pal * 1e6, 1))
+
+    # sharded-step efficiency on a virtual 8-device CPU mesh (fresh
+    # subprocess — the bench box has one real chip)
+    sh = _optional(lambda: run_sharded_overhead(), "shardedoverhead",
+                   None)
+    if sh:
+        _put(**{k: v for k, v in sh.items()
+                if k.startswith("roi_sharded")})
+
+    watchdog.cancel()
+    _emit()
 
 
 def run_config(n):

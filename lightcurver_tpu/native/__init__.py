@@ -6,33 +6,62 @@ implementations when the toolchain or binary is unavailable.
 """
 
 import ctypes
+import hashlib
 import logging
 import os
+import platform
 import subprocess
+import sys
 from pathlib import Path
 
 import numpy as np
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "lightcurver_native.cpp"
-_LIB = _HERE / "liblightcurver_native.so"
 
 _lib = None
 _tried = False
 
 
-def _compile():
+def _isa_tag():
+    """Short tag identifying this host's ISA (machine + CPU-flag hash).
+
+    The cached .so is built with -march=native, so a library compiled
+    on one host may use instructions another host lacks.  Keying the
+    cache filename by the ISA means a shared package dir (NFS conda
+    env, container image reused across heterogeneous hosts) never
+    dlopens a sibling host's binary — each ISA compiles its own.
+    """
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"{platform.machine()}-{digest}"
+
+
+def _lib_path():
+    return _HERE / f"liblightcurver_native-{_isa_tag()}.so"
+
+
+def _compile(lib_path):
     # compile to a per-process temp path and os.replace (atomic): Pool
     # workers all hit first-use compilation concurrently, and g++
     # writing the final .so directly could leave a corrupt library that
     # a sibling worker dlopens mid-write (or that poisons every later
     # run with a fresh mtime)
-    tmp = _LIB.with_suffix(f".so.tmp{os.getpid()}")
+    tmp = lib_path.with_suffix(f".so.tmp{os.getpid()}")
     # -march=native is safe here: the library is (re)compiled on first
-    # use on the machine that runs it, never shipped.  It matters: the
-    # cosmic-ray kernel's branchless rank scans only vectorize with the
-    # host's full SIMD set.  Retried without the flag for exotic
-    # toolchains that reject it.
+    # use on the machine that runs it and the cache filename is keyed
+    # by the host ISA (_isa_tag), never shared across ISAs.  It
+    # matters: the cosmic-ray kernel's branchless rank scans only
+    # vectorize with the host's full SIMD set.  Retried without the
+    # flag for exotic toolchains that reject it.
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17"]
     try:
         for extra in (["-march=native"], []):
@@ -42,9 +71,37 @@ def _compile():
                 break
         else:
             result.check_returncode()
-        os.replace(tmp, _LIB)
+        os.replace(tmp, lib_path)
     finally:
         tmp.unlink(missing_ok=True)
+
+
+def _selftest(lib_path):
+    """True if the cached .so survives one real call in a subprocess.
+
+    A pre-existing cache could still carry instructions this host
+    cannot execute (ISA-flag hash collision, partial CPU-flag
+    reporting): dlopen+call would then SIGILL and kill the process.
+    Probing in a throwaway subprocess turns that crash into a rebuild.
+    """
+    code = (
+        "import ctypes, numpy as np\n"
+        f"lib = ctypes.CDLL({str(lib_path)!r})\n"
+        "d = np.zeros((8, 8)); m = np.zeros((8, 8), np.uint8)\n"
+        "c = np.zeros((8, 8))\n"
+        "lib.lc_detect_cosmics("
+        "d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), None, 8, 8,"
+        "ctypes.c_double(4.5), ctypes.c_double(0.3),"
+        "ctypes.c_double(5.0), 2,"
+        "m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),"
+        "c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=60)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def load():
@@ -56,9 +113,15 @@ def load():
     if os.environ.get("LIGHTCURVER_DISABLE_NATIVE"):
         return None
     try:
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            _compile()
-        lib = ctypes.CDLL(str(_LIB))
+        lib_path = _lib_path()
+        cached = (lib_path.exists()
+                  and lib_path.stat().st_mtime >= _SRC.stat().st_mtime)
+        if cached and not _selftest(lib_path):
+            # stale/foreign binary: rebuild rather than trust it
+            cached = False
+        if not cached:
+            _compile(lib_path)
+        lib = ctypes.CDLL(str(lib_path))
         lib.lc_background_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -209,9 +209,15 @@ void supersampled_laplacian(const double* img, double* lap, int ny,
       for (int sy = 0; sy < 2; ++sy) {
         for (int sx = 0; sx < 2; ++sx) {
           const int i = 2 * y + sy, j = 2 * x + sx;
-          const double v = 0.25 * (4.0 * up(i, j) - up(i - 1, j)
-                                   - up(i + 1, j) - up(i, j - 1)
-                                   - up(i, j + 1));
+          // accumulation order matches scipy ndimage.convolve
+          // bit-for-bit (verified on random doubles): the -0.25
+          // weights multiply each neighbour BEFORE summing, in
+          // top, left, centre, right, bottom order
+          const double v = (-0.25 * up(i - 1, j)
+                            + -0.25 * up(i, j - 1))
+                           + up(i, j)
+                           + -0.25 * up(i, j + 1)
+                           + -0.25 * up(i + 1, j);
           acc += std::max(v, 0.0);
         }
       }

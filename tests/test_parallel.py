@@ -302,3 +302,27 @@ def test_loss_irfft_backend_override(toy):
         assert unforced.loss_fn is not default.loss_fn
     finally:
         ops.set_backend("xla")
+
+
+def test_sharded_overhead_tool_hlo_parser():
+    """tools/sharded_overhead.py feeds BENCH_r*.json — pin its parser.
+
+    The wall-overhead bench field is only trustworthy if the tool's
+    all-reduce byte accounting reads compiled HLO correctly; exercise
+    scalar-shaped, tuple-shaped and non-f32 result forms.
+    """
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from sharded_overhead import allreduce_bytes
+
+    hlo = "\n".join([
+        "%ar0 = f32[4225]{0} all-reduce(f32[4225]{0} %x), replica_groups",
+        "%ar1 = (f32[64]{0}, f32[64]{0}) all-reduce(%a, %b), to_apply",
+        "%ar2 = bf16[2,8]{1,0} all-reduce(bf16[2,8]{1,0} %y)",
+        "%add = f32[10]{0} add(f32[10]{0} %p, f32[10]{0} %q)",
+    ])
+    expected = 4225 * 4 + 2 * 64 * 4 + 16 * 2
+    assert allreduce_bytes(hlo) == expected
+    assert allreduce_bytes("%add = f32[10] add(%p, %q)") == 0

@@ -190,8 +190,12 @@ class TestCosmics:
 
     def test_native_matches_fallback_fuzz(self):
         """The C++ L.A.Cosmic kernel is a bit-exact twin of the scipy
-        fallback: medians are element selections, so every intermediate
-        (and hence the mask AND the cleaned image) must agree exactly."""
+        fallback: medians are element selections, and the supersampled
+        Laplacian replicates ndimage.convolve's accumulation order
+        term by term (weights applied before summing, in top, left,
+        centre, right, bottom order — verified bitwise against
+        ndimage on random doubles), so every intermediate (and hence
+        the mask AND the cleaned image) agrees exactly."""
         import lightcurver_tpu.native as nat
         from lightcurver_tpu.processes.cosmics import detect_cosmics_numpy
 

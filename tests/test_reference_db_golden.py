@@ -1,0 +1,89 @@
+"""Reference-computed golden parity for the DB-query semantics.
+
+The committed fixture (tests/fixtures/reference_db_golden.json) was
+produced by running the REFERENCE's own query functions — `select_stars`
+/ `select_stars_for_a_frame` / `query_all_stars_for_frame_and_footprint`
+(reference lightcurver/structure/database.py:84-248) and the best-PSF
+ROW_NUMBER window (reference
+lightcurver/processes/roi_file_preparation.py:34-63) — over a
+deterministic synthetic database (tools/record_reference_db_golden.py).
+Here the SAME database is rebuilt with OUR `initialize_database` + the
+same `populate()` rows, OUR query functions run the same scenario
+battery, and the outputs must agree row for row — real
+reference-computed parity pins, not self-goldens.
+
+One intentional divergence is pinned explicitly: our best-PSF window
+partitions WITHIN the requested footprint hash
+(processes/roi_file_preparation.py:30-35), so a stale-footprint PSF
+with a marginally lower chi2 cannot steal rn=1 and silently drop the
+frame.  The fixture records the reference DROPPING frame 1 to the
+stale HASH_OTHER chi2-0.7 PSF; we assert our query keeps it with the
+correct in-footprint best PSF.
+"""
+
+import json
+import pathlib
+import sqlite3
+import sys
+
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+# the row our footprint-scoped window must restore: frame 1, mjd
+# 60003.3, in-footprint best PSF chi2 1.1 / psf_ref 'abcd', coeff 1.02
+FRAME1_FIXED_ROW = [1, 60003.3, 1.1, "abcd", 1.02]
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return json.loads((FIXTURES / "reference_db_golden.json").read_text())
+
+
+@pytest.fixture()
+def ours(tmp_path, monkeypatch):
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    import record_reference_db_golden as rec
+    from lightcurver_tpu.processes import roi_file_preparation as roi
+    from lightcurver_tpu.structure import database as db
+
+    db_path = tmp_path / "database.sqlite3"
+    db.initialize_database(db_path)
+    conn = sqlite3.connect(db_path)
+    rec.populate(conn)
+    conn.close()
+    monkeypatch.setattr(db, "get_user_config",
+                        lambda: {"database_path": str(db_path)})
+    return rec.run_scenarios(db.select_stars, db.select_stars_for_a_frame,
+                             db.query_all_stars_for_frame_and_footprint,
+                             roi.get_frames_for_roi)
+
+
+def test_star_selection_matches_reference(golden, ours):
+    """Every top-N / name-list / exclusion / join branch agrees."""
+    keys = [k for k in golden if k.startswith(("ss_", "sf_", "qa_"))]
+    assert len(keys) == 15
+    for key in keys:
+        assert ours[key] == golden[key], key
+
+
+def test_roi_window_matches_reference_outside_divergence(golden, ours):
+    """ROW_NUMBER selection agrees on every frame the reference keeps."""
+    for key in ("roi_basic", "roi_seeing_constraint",
+                "roi_coeff_constraint", "roi_wide_chi2"):
+        ours_minus_fix = [r for r in ours[key] if r[0] != 1]
+        assert ours_minus_fix == golden[key], key
+
+
+def test_stale_hash_divergence_is_pinned(golden, ours):
+    """The reference drops frame 1 (stale-hash PSF steals rn=1); our
+    footprint-scoped window keeps it with the in-footprint best PSF."""
+    for ref_rows in (golden["roi_basic"], golden["roi_wide_chi2"]):
+        assert all(row[0] != 1 for row in ref_rows)
+    for key in ("roi_basic", "roi_seeing_constraint",
+                "roi_coeff_constraint", "roi_wide_chi2"):
+        frame1 = [r for r in ours[key] if r[0] == 1]
+        assert frame1 == [FRAME1_FIXED_ROW], key
+    # and rows stay mjd-ordered with the restored frame in place
+    mjds = [r[1] for r in ours["roi_basic"]]
+    assert mjds == sorted(mjds)

@@ -1,0 +1,244 @@
+"""Golden-pin the reference's DB-QUERY semantics with its own code.
+
+VERDICT r3 #2: the reference's SQL selection logic — `select_stars` /
+`select_stars_for_a_frame` / `query_all_stars_for_frame_and_footprint`
+(reference lightcurver/structure/database.py:84-248: top-N-closest,
+named-list and exclusion branches) and the best-PSF ROW_NUMBER window
+(reference lightcurver/processes/roi_file_preparation.py:34-63) —
+imports with only sqlite3 + pandas once astropy/shapely/starred are
+stubbed.  This script builds a deterministic synthetic database with
+the REFERENCE's own `initialize_database`, runs the REFERENCE's query
+functions over a battery of scenarios, and commits the outputs.
+
+The matching test (tests/test_reference_db_golden.py) rebuilds the same
+database with OUR `initialize_database` + the same `populate()` rows,
+runs OUR query functions, and asserts agreement — plus pins the ONE
+documented intentional divergence: our best-PSF window partitions
+WITHIN the requested footprint hash, so a marginally-lower-chi2 PSF
+left over from a stale footprint hash cannot steal rn=1 and silently
+drop the frame (processes/roi_file_preparation.py:30-35 in this repo).
+The fixture records the reference dropping that frame; the test asserts
+we keep it.
+
+Usage:  python tools/record_reference_db_golden.py [reference_dir]
+Writes: tests/fixtures/reference_db_golden.json
+"""
+
+import json
+import os
+import pathlib
+import sqlite3
+import sys
+import tempfile
+
+FIXTURE = (pathlib.Path(__file__).resolve().parents[1] / "tests"
+           / "fixtures" / "reference_db_golden.json")
+
+# stale-footprint hash used to pin the ROW_NUMBER divergence
+HASH_MAIN = 111
+HASH_OTHER = 222
+
+_STUBS = [
+    "astropy", "astropy.coordinates", "astropy.units", "astropy.stats",
+    "astropy.time", "astropy.io", "astropy.io.fits", "astropy.wcs",
+    "astropy.table", "astropy.visualization", "shapely",
+    "shapely.geometry", "shapely.ops", "ephem", "ruamel", "ruamel.yaml",
+    "astroquery", "astroquery.gaia", "widefield_plate_solver",
+    "starred", "starred.psf", "starred.psf.psf",
+]
+
+
+def populate(conn):
+    """Deterministic synthetic rows shared by recorder and test.
+
+    Covers every selection branch: two footprint hashes, unsorted
+    ROI distances, variable star membership per frame, multiple PSFs
+    per (frame, footprint) with distinct chi2, a STALE-hash PSF with
+    the lowest chi2 of all (frame 1 / HASH_OTHER, chi2 0.7), missing
+    PSFs and missing normalization coefficients.
+    """
+    cur = conn.cursor()
+    cur.execute("INSERT INTO combined_footprint (id, hash) VALUES (1, ?)",
+                (HASH_MAIN,))
+    cur.execute("INSERT INTO combined_footprint (id, hash) VALUES (2, ?)",
+                (HASH_OTHER,))
+
+    # 8 stars in the main footprint, distances deliberately unsorted
+    names = list("abcdefgh")
+    dists = [12.5, 3.2, 45.0, 7.7, 21.1, 5.5, 30.3, 15.9]
+    for i, (name, dist) in enumerate(zip(names, dists)):
+        cur.execute(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec,"
+            " gmag, rmag, bmag, pmra, pmdec, ref_epoch, gaia_id,"
+            " distance_to_roi_arcsec) VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
+            (HASH_MAIN, name, 150.0 + 0.01 * i, 2.0 - 0.01 * i,
+             17.0 + 0.1 * i, 16.5 + 0.1 * i, 17.5 + 0.1 * i,
+             1.0 * i, -0.5 * i, 2016.0, f"g{i + 1}", dist))
+    # 3 stars in the other footprint (overlapping ids g1, g2 + new g9)
+    for name, gid, dist in (("a", "g1", 9.9), ("b", "g2", 2.2),
+                            ("c", "g9", 6.6)):
+        cur.execute(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec,"
+            " gmag, gaia_id, distance_to_roi_arcsec)"
+            " VALUES (?,?,?,?,?,?,?)",
+            (HASH_OTHER, name, 151.0, 2.5, 18.0, gid, dist))
+
+    # 5 frames, mjd deliberately out of id order
+    frames = [(1, 60003.3, 1.2), (2, 60001.1, 0.8), (3, 60002.2, 2.5),
+              (4, 60000.5, 1.0), (5, 60004.4, 1.6)]
+    for fid, mjd, seeing in frames:
+        cur.execute(
+            "INSERT INTO frames (id, mjd, exptime, gain, image_relpath,"
+            " seeing_arcseconds, plate_solved, eliminated,"
+            " roi_in_footprint) VALUES (?,?,?,?,?,?,1,0,1)",
+            (fid, mjd, 120.0, 1.6, f"frames/f{fid}.fits", seeing))
+
+    membership = {1: ["g1", "g2", "g3", "g4", "g5", "g6"],
+                  2: ["g2", "g3", "g5", "g7", "g8"],
+                  3: ["g1", "g2", "g3", "g4", "g5", "g6", "g7", "g8"]}
+    for fid, gids in membership.items():
+        for gid in gids:
+            cur.execute(
+                "INSERT INTO stars_in_frames (frame_id, star_gaia_id,"
+                " combined_footprint_hash) VALUES (?,?,?)",
+                (fid, gid, HASH_MAIN))
+    for gid in ("g1", "g2", "g9"):
+        cur.execute(
+            "INSERT INTO stars_in_frames (frame_id, star_gaia_id,"
+            " combined_footprint_hash) VALUES (1,?,?)", (gid, HASH_OTHER))
+
+    # PSFs: two candidates for frame 1 (best chi2 1.1), one each for
+    # frames 2-4 (frame 3 fails the chi2<=2 gate), none for frame 5.
+    # The HASH_OTHER row for frame 1 has the LOWEST chi2 of all (0.7):
+    # the reference's un-scoped window lets it steal rn=1.
+    psfs = [(HASH_MAIN, 1, 1.3, "abc"), (HASH_MAIN, 1, 1.1, "abcd"),
+            (HASH_MAIN, 2, 0.9, "abc"), (HASH_MAIN, 3, 3.5, "abc"),
+            (HASH_MAIN, 4, 1.05, "abc"), (HASH_OTHER, 1, 0.7, "ab")]
+    for h, fid, chi2, ref in psfs:
+        cur.execute(
+            "INSERT INTO PSFs (combined_footprint_hash, frame_id, chi2,"
+            " psf_ref, subsampling_factor, relative_loss_differential,"
+            " fwhm_moffat_arcseconds) VALUES (?,?,?,?,2,0.001,1.1)",
+            (h, fid, chi2, ref))
+
+    coeffs = [(HASH_MAIN, 1, 1.02, 0.010), (HASH_MAIN, 2, 0.97, 0.012),
+              (HASH_MAIN, 3, 1.10, 0.011), (HASH_MAIN, 4, 0.97, 0.009),
+              (HASH_OTHER, 1, 0.50, 0.050)]
+    for h, fid, c, u in coeffs:
+        cur.execute(
+            "INSERT INTO normalization_coefficients (frame_id,"
+            " combined_footprint_hash, coefficient,"
+            " coefficient_uncertainty) VALUES (?,?,?,?)", (fid, h, c, u))
+    conn.commit()
+
+
+def _stars_record(df, ordered):
+    """Canonical JSON form of a star-selection result.
+
+    Ordered queries (top-N closest) keep row order; name-list / join
+    queries carry no ORDER BY, so rows are canonicalized by gaia_id to
+    stay independent of the SQL engine's join order.
+    """
+    rows = [[str(r["gaia_id"]), str(r["name"]), float(r["ra"]),
+             float(r["dec"]), float(r["distance_to_roi_arcsec"])]
+            for _, r in df.iterrows()]
+    if not ordered:
+        rows.sort()
+    return rows
+
+
+def _roi_record(df):
+    """Canonical rows of a get_frames_for_roi result (kept in order:
+    the query ends with ORDER BY f.mjd)."""
+    return [[int(r["id"]), float(r["mjd"]), float(r["chi2"]),
+             str(r["psf_ref"]), float(r["coefficient"])]
+            for _, r in df.iterrows()]
+
+
+def run_scenarios(select_stars, select_stars_for_a_frame,
+                  query_all_stars, get_frames_for_roi):
+    """The scenario battery, shared verbatim by recorder and test."""
+    out = {}
+    out["ss_default_top10"] = _stars_record(
+        select_stars(HASH_MAIN), ordered=True)
+    out["ss_top3"] = _stars_record(
+        select_stars(HASH_MAIN, stars_to_use=3), ordered=True)
+    out["ss_top3_excl_list"] = _stars_record(
+        select_stars(HASH_MAIN, stars_to_use=3, stars_to_exclude=["b"]),
+        ordered=True)
+    out["ss_namelist"] = _stars_record(
+        select_stars(HASH_MAIN, stars_to_use=["a", "c", "f"]),
+        ordered=False)
+    out["ss_namelist_excl_str"] = _stars_record(
+        select_stars(HASH_MAIN, stars_to_use=["a", "c", "f"],
+                     stars_to_exclude="ac"), ordered=False)
+    out["ss_other_hash"] = _stars_record(
+        select_stars(HASH_OTHER), ordered=True)
+
+    out["sf_f1_default"] = _stars_record(
+        select_stars_for_a_frame(1, HASH_MAIN), ordered=True)
+    out["sf_f1_top2"] = _stars_record(
+        select_stars_for_a_frame(1, HASH_MAIN, stars_to_use=2),
+        ordered=True)
+    out["sf_f1_namelist"] = _stars_record(
+        select_stars_for_a_frame(1, HASH_MAIN, stars_to_use=["a", "d"]),
+        ordered=False)
+    out["sf_f1_excl_str"] = _stars_record(
+        select_stars_for_a_frame(1, HASH_MAIN, stars_to_exclude="ab"),
+        ordered=True)
+    out["sf_f2_default"] = _stars_record(
+        select_stars_for_a_frame(2, HASH_MAIN), ordered=True)
+    out["sf_f1_other_hash"] = _stars_record(
+        select_stars_for_a_frame(1, HASH_OTHER), ordered=True)
+
+    out["qa_f1_main"] = _stars_record(
+        query_all_stars(1, HASH_MAIN), ordered=False)
+    out["qa_f1_nohash"] = _stars_record(
+        query_all_stars(1), ordered=False)
+    out["qa_f2_main"] = _stars_record(
+        query_all_stars(2, HASH_MAIN), ordered=False)
+
+    out["roi_basic"] = _roi_record(
+        get_frames_for_roi(HASH_MAIN, 0.0, 2.0, {}, {}))
+    out["roi_seeing_constraint"] = _roi_record(
+        get_frames_for_roi(HASH_MAIN, 0.0, 2.0,
+                           {"seeing_arcseconds": (0.0, 1.3)}, {}))
+    out["roi_coeff_constraint"] = _roi_record(
+        get_frames_for_roi(HASH_MAIN, 0.0, 2.0, {},
+                           {"coefficient": (0.9, 1.05)}))
+    out["roi_wide_chi2"] = _roi_record(
+        get_frames_for_roi(HASH_MAIN, 0.0, 10.0, {}, {}))
+    return out
+
+
+def main(reference_dir="/root/reference"):
+    from unittest import mock
+
+    sys.path.insert(0, str(reference_dir))
+    for name in _STUBS:
+        sys.modules.setdefault(name, mock.MagicMock())
+
+    import lightcurver.processes.roi_file_preparation as refroi
+    import lightcurver.structure.database as refdb
+
+    with tempfile.TemporaryDirectory() as td:
+        db = os.path.join(td, "database.sqlite3")
+        refdb.initialize_database(db)
+        conn = sqlite3.connect(db)
+        populate(conn)
+        conn.close()
+        refdb.get_user_config = lambda: {"database_path": db}
+        out = run_scenarios(refdb.select_stars,
+                            refdb.select_stars_for_a_frame,
+                            refdb.query_all_stars_for_frame_and_footprint,
+                            refroi.get_frames_for_roi)
+    out["_provenance"] = ("computed by the reference implementation at "
+                          f"{reference_dir} (astropy/shapely/starred "
+                          "stubbed; sqlite3+pandas only)")
+    FIXTURE.parent.mkdir(parents=True, exist_ok=True)
+    FIXTURE.write_text(json.dumps(out, indent=1))
+    print(f"wrote {FIXTURE}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
