@@ -8,10 +8,22 @@ extensions, BITPIX in {8, 16, 32, -32, -64}, BSCALE/BZERO, big-endian
 data.  Unsupported features raise rather than mis-read.
 """
 
+import gzip
+
 import numpy as np
 
 BLOCK = 2880
 CARD = 80
+
+
+class UnsupportedFitsFeature(IOError):
+    """A structurally valid FITS feature this reader refuses to guess at.
+
+    Raised for tile-compressed images (RICE/GZIP/HCOMPRESS in a BINTABLE
+    with ZIMAGE=T — decompress with `funpack` first) and table
+    extensions requested as image data.  A typed refusal beats silently
+    mis-reading compressed bytes as pixels (the reference inherits
+    astropy's transparent handling; see docs/formats matrix)."""
 
 _BITPIX_DTYPES = {
     8: np.dtype(">u1"),
@@ -285,8 +297,16 @@ def read_fits(path, hdu_index=0, header_only=False, memmap=False):
     (mirrors the reference's memmap import path, reference
     processes/frame_importation.py:33-60).  Scaled/integer data needs a
     full-array conversion anyway, so it falls back to an eager read.
+
+    Whole-file gzip (``.fits.gz``, detected by magic bytes regardless of
+    extension) is decompressed transparently; memmap is then impossible
+    and falls back to an eager read.  Tile-compressed images (RICE etc.)
+    raise :class:`UnsupportedFitsFeature` — see its docstring.
     """
-    with open(path, "rb") as fh:
+    with open(path, "rb") as raw_fh:
+        gzipped = raw_fh.read(2) == b"\x1f\x8b"
+        raw_fh.seek(0)
+        fh = gzip.open(raw_fh, "rb") if gzipped else raw_fh
         idx = 0
         while True:
             header, _ = _read_header(fh)
@@ -296,11 +316,29 @@ def read_fits(path, hdu_index=0, header_only=False, memmap=False):
             if idx == hdu_index:
                 if header_only or not shape:
                     return None, header
-                dtype = _BITPIX_DTYPES[int(header["BITPIX"])]
+                xtension = str(header.get("XTENSION", "IMAGE")).strip()
+                if header.get("ZIMAGE", False):
+                    raise UnsupportedFitsFeature(
+                        f"HDU {hdu_index} of {path} is a tile-compressed "
+                        f"image ({header.get('ZCMPTYPE', 'unknown')!s}); "
+                        "decompress with `funpack` (cfitsio) before "
+                        "importation")
+                if xtension not in ("IMAGE", "IUEIMAGE"):
+                    raise UnsupportedFitsFeature(
+                        f"HDU {hdu_index} of {path} is a {xtension} "
+                        "extension, not image data")
+                bitpix = int(header["BITPIX"])
+                if bitpix not in _BITPIX_DTYPES:
+                    raise UnsupportedFitsFeature(
+                        f"BITPIX={bitpix} in {path} is not a standard "
+                        "FITS image type")
+                dtype = _BITPIX_DTYPES[bitpix]
                 needs_scaling = (dtype.kind in "iu"
                                  or header.get("BSCALE", 1) != 1
                                  or header.get("BZERO", 0) != 0)
-                if memmap and not needs_scaling:
+                if memmap and not needs_scaling and not gzipped:
+                    # (gzipped: file offsets are compressed-stream
+                    # positions — memmap is impossible, read eagerly)
                     data = np.memmap(path, dtype=dtype, mode="r",
                                      offset=fh.tell(), shape=shape)
                     return data, header

@@ -460,3 +460,127 @@ def test_nonfinite_float_card_written_as_legal_string(tmp_path):
     assert np.isnan(float(back["FOCUSPOS"]))
     assert np.isinf(float(back["SPEED"]))
     assert back["GOOD"] == 1.25
+
+
+class TestFitsFormatDiversity:
+    """Real-world FITS diversity (VERDICT r3 #6): whole-file gzip,
+    tile-compressed HDU refusal, table-extension refusal, nonstandard
+    BITPIX refusal, and CD vs PC+CDELT vs CROTA2 WCS equivalence."""
+
+    def test_gzip_fits_transparent_read(self, tmp_path):
+        import gzip
+
+        from lightcurver_tpu.io.fits import Header, read_fits, write_fits
+
+        img = np.arange(48, dtype=np.float32).reshape(6, 8) / 7.0
+        h = Header()
+        h["MJD-OBS"] = 60001.25
+        plain = tmp_path / "f.fits"
+        write_fits(plain, img, h)
+        gz = tmp_path / "f.fits.gz"
+        gz.write_bytes(gzip.compress(plain.read_bytes()))
+
+        data, header = read_fits(gz)
+        np.testing.assert_array_equal(data, img)
+        assert header["MJD-OBS"] == 60001.25
+        # memmap on a gzipped file must fall back to an eager read,
+        # never map compressed bytes as pixels
+        data2, _ = read_fits(gz, memmap=True)
+        np.testing.assert_array_equal(np.asarray(data2), img)
+        assert not isinstance(data2, np.memmap)
+
+    @staticmethod
+    def _hdu_bytes(cards):
+        from lightcurver_tpu.io.fits import BLOCK, CARD, _format_card
+
+        text = "".join(_format_card(k, v) for k, v in cards)
+        text += "END".ljust(CARD)
+        text += " " * (-len(text) % BLOCK)
+        return text.encode("latin-1")
+
+    def test_tile_compressed_hdu_typed_refusal(self, tmp_path):
+        from lightcurver_tpu.io.fits import (BLOCK, UnsupportedFitsFeature,
+                                             read_fits)
+
+        primary = self._hdu_bytes([("SIMPLE", True), ("BITPIX", 8),
+                                   ("NAXIS", 0), ("EXTEND", True)])
+        nrows, rowlen, heap = 4, 16, 64
+        comp = self._hdu_bytes([
+            ("XTENSION", "BINTABLE"), ("BITPIX", 8), ("NAXIS", 2),
+            ("NAXIS1", rowlen), ("NAXIS2", nrows), ("PCOUNT", heap),
+            ("GCOUNT", 1), ("TFIELDS", 1), ("ZIMAGE", True),
+            ("ZCMPTYPE", "RICE_1"), ("ZBITPIX", 16),
+        ])
+        payload = bytes(nrows * rowlen + heap)
+        payload += b"\0" * (-len(payload) % BLOCK)
+        path = tmp_path / "rice.fits"
+        path.write_bytes(primary + comp + payload)
+
+        with pytest.raises(UnsupportedFitsFeature, match="RICE_1.*funpack"):
+            read_fits(path, hdu_index=1)
+        # header-only access still works (e.g. for diagnostics)
+        _, h = read_fits(path, hdu_index=1, header_only=True)
+        assert h["ZCMPTYPE"] == "RICE_1"
+
+    def test_table_extension_refused_as_image(self, tmp_path):
+        from lightcurver_tpu.io.fits import (BLOCK, UnsupportedFitsFeature,
+                                             read_fits)
+
+        primary = self._hdu_bytes([("SIMPLE", True), ("BITPIX", 8),
+                                   ("NAXIS", 0), ("EXTEND", True)])
+        table = self._hdu_bytes([
+            ("XTENSION", "BINTABLE"), ("BITPIX", 8), ("NAXIS", 2),
+            ("NAXIS1", 8), ("NAXIS2", 2), ("PCOUNT", 0), ("GCOUNT", 1),
+            ("TFIELDS", 1),
+        ])
+        payload = bytes(16)
+        payload += b"\0" * (-len(payload) % BLOCK)
+        path = tmp_path / "table.fits"
+        path.write_bytes(primary + table + payload)
+        with pytest.raises(UnsupportedFitsFeature, match="BINTABLE"):
+            read_fits(path, hdu_index=1)
+
+    def test_nonstandard_bitpix_refused(self, tmp_path):
+        from lightcurver_tpu.io.fits import (BLOCK, UnsupportedFitsFeature,
+                                             read_fits)
+
+        hdu = self._hdu_bytes([("SIMPLE", True), ("BITPIX", 24),
+                               ("NAXIS", 2), ("NAXIS1", 4), ("NAXIS2", 4)])
+        payload = bytes(48)
+        payload += b"\0" * (-len(payload) % BLOCK)
+        path = tmp_path / "weird.fits"
+        path.write_bytes(hdu + payload)
+        with pytest.raises(UnsupportedFitsFeature, match="BITPIX=24"):
+            read_fits(path)
+
+    def test_cd_pc_crota_wcs_equivalence(self):
+        """The three header conventions describe the SAME transform."""
+        import math
+
+        from lightcurver_tpu.io.wcs import TanWCS
+
+        scale, rho = 0.2 / 3600.0, math.radians(23.0)
+        c, s_ = math.cos(rho), math.sin(rho)
+        # the classic AIPS CROTA2 matrix with cdelt = (-scale, +scale):
+        # CD = [[cdelt1 c, -cdelt2 s], [cdelt1 s, cdelt2 c]]
+        cd = [[-scale * c, -scale * s_], [-scale * s_, scale * c]]
+        base = {"CTYPE1": "RA---TAN", "CTYPE2": "DEC--TAN",
+                "CRVAL1": 42.2, "CRVAL2": 19.2, "CRPIX1": 40.5,
+                "CRPIX2": 38.5}
+        w_cd = TanWCS.from_header({
+            **base, "CD1_1": cd[0][0], "CD1_2": cd[0][1],
+            "CD2_1": cd[1][0], "CD2_2": cd[1][1]})
+        # PC + CDELT: cd = diag(cdelt) @ pc -> pc = diag(1/cdelt) @ cd
+        w_pc = TanWCS.from_header({
+            **base, "CDELT1": -scale, "CDELT2": scale,
+            "PC1_1": c, "PC1_2": s_, "PC2_1": -s_, "PC2_2": c})
+        # CROTA2 convention (no skew)
+        w_rot = TanWCS.from_header({
+            **base, "CDELT1": -scale, "CDELT2": scale, "CROTA2": 23.0})
+        xs = np.array([0.0, 17.3, 71.9])
+        ys = np.array([0.0, 64.2, 8.8])
+        ra_cd, dec_cd = w_cd.pixel_to_world(xs, ys)
+        for w in (w_pc, w_rot):
+            ra, dec = w.pixel_to_world(xs, ys)
+            np.testing.assert_allclose(ra, ra_cd, atol=1e-10)
+            np.testing.assert_allclose(dec, dec_cd, atol=1e-10)
