@@ -52,11 +52,20 @@ def ours(tmp_path, monkeypatch):
     conn = sqlite3.connect(db_path)
     rec.populate(conn)
     conn.close()
-    monkeypatch.setattr(db, "get_user_config",
-                        lambda: {"database_path": str(db_path)})
-    return rec.run_scenarios(db.select_stars, db.select_stars_for_a_frame,
-                             db.query_all_stars_for_frame_and_footprint,
-                             roi.get_frames_for_roi)
+    from lightcurver_tpu.processes import absolute_zeropoint_calculation \
+        as zp
+    from lightcurver_tpu.utilities import absolute_magnitudes_from_gaia \
+        as gaia_mags
+
+    cfg = rec.zp_config(str(db_path))
+    for mod in (db, zp, gaia_mags):
+        monkeypatch.setattr(mod, "get_user_config", lambda: cfg)
+    out = rec.run_scenarios(db.select_stars, db.select_stars_for_a_frame,
+                            db.query_all_stars_for_frame_and_footprint,
+                            roi.get_frames_for_roi)
+    out["zeropoints"] = rec.run_zeropoint_scenario(
+        zp.calculate_zeropoints, str(db_path))
+    return out
 
 
 def test_star_selection_matches_reference(golden, ours):
@@ -87,3 +96,23 @@ def test_stale_hash_divergence_is_pinned(golden, ours):
     # and rows stay mjd-ordered with the restored frame in place
     mjds = [r[1] for r in ours["roi_basic"]]
     assert mjds == sorted(mjds)
+
+
+def test_zeropoint_task_matches_reference(golden, ours):
+    """The FULL zeropoint chain — Gaia colour-polynomial magnitudes,
+    per-frame median/std zeropoints, upserts — reproduces the outputs of
+    the reference's own code on the same database (reference
+    processes/absolute_zeropoint_calculation.py:40-119,
+    utilities/absolute_magnitudes_from_gaia.py:5-66)."""
+    import numpy as np
+
+    ref = golden["zeropoints"]
+    got = ours["zeropoints"]
+    for table in ("catalog_star_photometry", "absolute_zeropoints"):
+        assert len(got[table]) == len(ref[table]), table
+        for row_got, row_ref in zip(got[table], ref[table]):
+            for a, b in zip(row_got, row_ref):
+                if isinstance(b, float):
+                    np.testing.assert_allclose(a, b, rtol=1e-12)
+                else:
+                    assert a == b, (table, row_got, row_ref)

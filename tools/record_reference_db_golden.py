@@ -43,8 +43,8 @@ _STUBS = [
     "astropy.time", "astropy.io", "astropy.io.fits", "astropy.wcs",
     "astropy.table", "astropy.visualization", "shapely",
     "shapely.geometry", "shapely.ops", "ephem", "ruamel", "ruamel.yaml",
-    "astroquery", "astroquery.gaia", "widefield_plate_solver",
-    "starred", "starred.psf", "starred.psf.psf",
+    "astroquery", "astroquery.gaia", "astroquery.mast",
+    "widefield_plate_solver", "starred", "starred.psf", "starred.psf.psf",
 ]
 
 
@@ -72,7 +72,10 @@ def populate(conn):
             " gmag, rmag, bmag, pmra, pmdec, ref_epoch, gaia_id,"
             " distance_to_roi_arcsec) VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
             (HASH_MAIN, name, 150.0 + 0.01 * i, 2.0 - 0.01 * i,
-             17.0 + 0.1 * i, 16.5 + 0.1 * i, 17.5 + 0.1 * i,
+             # colours vary per star (bp_rp = 0.65 + 0.17 i) so the
+             # zeropoint pin exercises the Gaia colour polynomial away
+             # from a single point
+             17.0 + 0.1 * i, 16.5 + 0.05 * i, 17.15 + 0.22 * i,
              1.0 * i, -0.5 * i, 2016.0, f"g{i + 1}", dist))
     # 3 stars in the other footprint (overlapping ids g1, g2 + new g9)
     for name, gid, dist in (("a", "g1", 9.9), ("b", "g2", 2.2),
@@ -129,7 +132,67 @@ def populate(conn):
             "INSERT INTO normalization_coefficients (frame_id,"
             " combined_footprint_hash, coefficient,"
             " coefficient_uncertainty) VALUES (?,?,?,?)", (fid, h, c, u))
+
+    # star fluxes for the zeropoint scenario: 4 stars x frames {1,2,4},
+    # g4 missing from frame 4 (variable membership), deterministic values
+    for si, gid in enumerate(("g1", "g2", "g3", "g4")):
+        for fid in (1, 2, 4):
+            if gid == "g4" and fid == 4:
+                continue
+            flux = 900.0 / (si + 1) * (1.0 + 0.04 * fid) \
+                * (1.0 + 0.01 * si * fid)
+            cur.execute(
+                "INSERT INTO star_flux_in_frame (frame_id, star_gaia_id,"
+                " combined_footprint_hash, flux, flux_uncertainty, chi2,"
+                " relative_loss_differential) VALUES (?,?,?,?,?,?,?)",
+                (fid, gid, HASH_MAIN, flux, 0.01 * flux, 1.0, 1e-4))
     conn.commit()
+
+
+# config for the zeropoint scenario: ROI_disk with radius == HASH_MAIN
+# makes get_combined_footprint_hash return hash(HASH_MAIN) == HASH_MAIN
+# (python int hash identity) in both implementations, matching the
+# populated rows without any footprint machinery
+def zp_config(db_path):
+    return {"database_path": db_path,
+            "star_selection_strategy": "ROI_disk",
+            "ROI_disk_radius_arcseconds": HASH_MAIN,
+            "reference_absolute_photometric_survey": "gaia",
+            "photometric_band": "r_sdss"}
+
+
+def run_zeropoint_scenario(calculate_zeropoints, db_path):
+    """Run the FULL zeropoint task (Gaia colour transforms -> per-frame
+    median/std zeropoints -> upsert) and read back what it wrote.
+
+    Pins reference processes/absolute_zeropoint_calculation.py:40-119
+    and utilities/absolute_magnitudes_from_gaia.py:5-66.
+
+    Note: the reference calls ``pd.unique(<list>)``
+    (absolute_zeropoint_calculation.py:59), which pandas >= 2 rejects
+    with a TypeError — a latent reference crash on modern pandas, shimmed
+    here ONLY so its numeric semantics can be recorded (the shim wraps
+    lists in a Series; dedup semantics are unchanged)."""
+    import pandas as pd
+
+    orig_unique = pd.unique
+    pd.unique = (lambda v: orig_unique(pd.Series(v))
+                 if isinstance(v, list) else orig_unique(v))
+    try:
+        calculate_zeropoints()
+    finally:
+        pd.unique = orig_unique
+    conn = sqlite3.connect(db_path)
+    csp = conn.execute(
+        "SELECT star_gaia_id, catalog, band, mag, mag_err"
+        " FROM catalog_star_photometry ORDER BY star_gaia_id").fetchall()
+    az = conn.execute(
+        "SELECT frame_id, combined_footprint_hash, zeropoint,"
+        " zeropoint_uncertainty, source_catalog"
+        " FROM absolute_zeropoints ORDER BY frame_id").fetchall()
+    conn.close()
+    return {"catalog_star_photometry": [list(r) for r in csp],
+            "absolute_zeropoints": [list(r) for r in az]}
 
 
 def _stars_record(df, ordered):
@@ -218,8 +281,10 @@ def main(reference_dir="/root/reference"):
     for name in _STUBS:
         sys.modules.setdefault(name, mock.MagicMock())
 
+    import lightcurver.processes.absolute_zeropoint_calculation as refzp
     import lightcurver.processes.roi_file_preparation as refroi
     import lightcurver.structure.database as refdb
+    import lightcurver.utilities.absolute_magnitudes_from_gaia as refgaia
 
     with tempfile.TemporaryDirectory() as td:
         db = os.path.join(td, "database.sqlite3")
@@ -227,11 +292,16 @@ def main(reference_dir="/root/reference"):
         conn = sqlite3.connect(db)
         populate(conn)
         conn.close()
-        refdb.get_user_config = lambda: {"database_path": db}
+        cfg = zp_config(db)
+        refdb.get_user_config = lambda: cfg
+        refzp.get_user_config = lambda: cfg
+        refgaia.get_user_config = lambda: cfg
         out = run_scenarios(refdb.select_stars,
                             refdb.select_stars_for_a_frame,
                             refdb.query_all_stars_for_frame_and_footprint,
                             refroi.get_frames_for_roi)
+        out["zeropoints"] = run_zeropoint_scenario(
+            refzp.calculate_zeropoints, db)
     out["_provenance"] = ("computed by the reference implementation at "
                           f"{reference_dir} (astropy/shapely/starred "
                           "stubbed; sqlite3+pandas only)")
