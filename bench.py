@@ -264,7 +264,7 @@ def run_roi_cost(scene, n_iter=2000):
 
 def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
                   n_iter_analytic=100, n_iter_adabelief=3000,
-                  repeats=3, samples_key=None):
+                  repeats=3, samples_key=None, dft_pad=None):
     """Batched per-frame PSF fits; returns (fits/sec, mean chi2)."""
     from lightcurver_tpu.core.psf.batched import build_psf_batched
     from lightcurver_tpu.utilities.synthetic import make_star_stamps
@@ -280,7 +280,8 @@ def run_psf_bench(n_frames=16, n_stars=8, n_pix=64, s=2,
         # completion (honest timing on the tunneled backend)
         return build_psf_batched(d, sigma, s,
                                  n_iter_analytic=n_iter_analytic,
-                                 n_iter_adabelief=n_iter_adabelief)
+                                 n_iter_adabelief=n_iter_adabelief,
+                                 dft_pad=dft_pad)
 
     fit(data)                    # compile + first run
     # best-of-N (see run_roi_deconv: transient backend contention).
@@ -571,6 +572,17 @@ def main():
              fits_per_sec / baseline_psf_fps, 2),
          psf_ms_per_iter_upper=round(
              (16.0 / fits_per_sec) * 1e3 / 3100, 4))
+
+    # reduced-DFT-padding A/B: star positions are centre-pinned in the
+    # PSF fit, so L = m + 32 instead of 2m cuts the modulated-matmul
+    # FLOPs ~3x at a model change below f32 noise (core/psf/build
+    # dft_pad; CPU measured 2.46x on the render value_and_grad —
+    # tools/exp_psf_mxu.py).  Distinct key until it becomes the default.
+    fps_pad, chi2_pad = _optional(
+        lambda: run_psf_bench(dft_pad=16, samples_key="psf16pad"),
+        "psfpad16", (nan, nan))
+    _put(psf_fits_per_sec_dftpad16=round(fps_pad, 3),
+         psf_chi2_dftpad16=round(chi2_pad, 4))
 
     # the third hot task: batched joint star photometry (stars/s at
     # the reference's 2000-iteration per-star budget, 50 epochs each)

@@ -43,19 +43,22 @@ def pad_len(m):
     return 2 * m
 
 
-def freq_grids(m, dtype=jnp.float32):
-    """Return (fy, fx) frequency grids (cycles / fine pixel) for rfft2 at L=2m.
+def freq_grids(m, dtype=jnp.float32, L=None):
+    """Return (fy, fx) frequency grids (cycles / fine pixel) for rfft2 at L.
 
     fy has shape (L, 1); fx has shape (1, L // 2 + 1): they broadcast to the
-    rfft2 output shape.
+    rfft2 output shape.  ``L`` defaults to :func:`pad_len` (= 2m, exact for
+    arbitrary in-stamp placement); center-pinned fits (the PSF fit, where
+    |shift| <= 3 data px by bound) may pass a reduced L — see
+    ops/dft.make_irfft2_pool_mats and core/psf/build.build_psf(dft_pad=...).
     """
-    L = pad_len(m)
+    L = pad_len(m) if L is None else int(L)
     fy = jnp.fft.fftfreq(L).astype(dtype).reshape(L, 1)
     fx = jnp.fft.rfftfreq(L).astype(dtype).reshape(1, L // 2 + 1)
     return fy, fx
 
 
-def r_kernel_fft(m, s, dtype=jnp.float32):
+def r_kernel_fft(m, s, dtype=jnp.float32, L=None):
     """Analytic rfft2 of the unit-integral target Gaussian ``r`` at the origin.
 
     ``r`` has FWHM = TARGET_FWHM_FINE_PIX fine pixels; its transform is the
@@ -64,11 +67,11 @@ def r_kernel_fft(m, s, dtype=jnp.float32):
     """
     del s
     sigma_f = fwhm_to_sigma(TARGET_FWHM_FINE_PIX)
-    fy, fx = freq_grids(m, dtype=dtype)
+    fy, fx = freq_grids(m, dtype=dtype, L=L)
     return jnp.exp(-2.0 * jnp.pi**2 * sigma_f**2 * (fy**2 + fx**2))
 
 
-def r_kernel_fft_1d(m, s, dtype=jnp.float32):
+def r_kernel_fft_1d(m, s, dtype=jnp.float32, L=None):
     """The SEPARABLE 1-D factors of :func:`r_kernel_fft`.
 
     ``r_kernel_fft = ry[:, None] * rx[None, :]`` (a Gaussian factorizes
@@ -77,7 +80,7 @@ def r_kernel_fft_1d(m, s, dtype=jnp.float32):
     """
     del s
     sigma_f = fwhm_to_sigma(TARGET_FWHM_FINE_PIX)
-    L = pad_len(m)
+    L = pad_len(m) if L is None else int(L)
     fy = jnp.fft.fftfreq(L).astype(dtype)
     fx = jnp.fft.rfftfreq(L).astype(dtype)
     c = -2.0 * jnp.pi**2 * sigma_f**2
@@ -163,7 +166,7 @@ def render_from_fft(total_hat, m):
 
 
 def point_source_ramps(m, s, a, px, py, dtype=jnp.float32, ry=None,
-                       rx=None):
+                       rx=None, L=None):
     """1-D factors of the separable point-source phase ramps.
 
     The spectrum of ``a * r(. - p)`` relative to a PSF transform is the
@@ -181,7 +184,7 @@ def point_source_ramps(m, s, a, px, py, dtype=jnp.float32, ry=None,
     which renders single-source models WITHOUT materializing the
     (..., L, L//2+1) spectrum.
     """
-    L = pad_len(m)
+    L = pad_len(m) if L is None else int(L)
     fy = jnp.fft.fftfreq(L).astype(dtype)                  # (L,)
     fx = jnp.fft.rfftfreq(L).astype(dtype)                 # (L/2+1,)
     ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
@@ -194,7 +197,7 @@ def point_source_ramps(m, s, a, px, py, dtype=jnp.float32, ry=None,
 
 
 def point_source_ramp_stacks(m, s, a, px, py, dtype=jnp.float32, ry=None,
-                             rx=None):
+                             rx=None, L=None):
     """Stacked rank-1 factors of the point-source spectrum.
 
     Returns ``(u_re, u_im, v)`` with shapes (..., 2M, L), (..., 2M, L),
@@ -209,7 +212,7 @@ def point_source_ramp_stacks(m, s, a, px, py, dtype=jnp.float32, ry=None,
     :func:`point_source_spectrum_parts` and the fused Pallas renderer
     (ops/experimental/fused_render.py).
     """
-    L = pad_len(m)
+    L = pad_len(m) if L is None else int(L)
     fy = jnp.fft.fftfreq(L).astype(dtype)
     fx = jnp.fft.rfftfreq(L).astype(dtype)
     ay = -2.0 * jnp.pi * fy * (s * jnp.asarray(py, dtype=dtype))[..., None]
@@ -227,7 +230,7 @@ def point_source_ramp_stacks(m, s, a, px, py, dtype=jnp.float32, ry=None,
 
 
 def point_source_spectrum_parts(m, s, a, px, py, dtype=jnp.float32,
-                                ry=None, rx=None):
+                                ry=None, rx=None, L=None):
     """(re, im) of :func:`point_source_spectrum` as separate REAL arrays.
 
     The hot fits are HBM-bound; keeping the spectrum as an explicit
@@ -237,7 +240,7 @@ def point_source_spectrum_parts(m, s, a, px, py, dtype=jnp.float32,
     separable r-kernel in (then multiply with the RAW PSF spectrum).
     """
     u_re, u_im, v = point_source_ramp_stacks(m, s, a, px, py, dtype=dtype,
-                                             ry=ry, rx=rx)
+                                             ry=ry, rx=rx, L=L)
     re = jnp.einsum("...jy,...jx->...yx", u_re, v,
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=dtype)
@@ -247,7 +250,7 @@ def point_source_spectrum_parts(m, s, a, px, py, dtype=jnp.float32,
     return re, im
 
 
-def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
+def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32, L=None):
     """Fourier spectrum of a sum of unit-'r' point sources, RELATIVE to a PSF.
 
     Multiplying the result with ``psf_fft(t) * r_kernel_fft(m, s)``'s... —
@@ -278,7 +281,7 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     if jnp.asarray(a).shape[-1] == 1:
         # single source: plain outer product (the GEMM detour measurably
         # hurts the per-star PSF/photometry fits)
-        L = pad_len(m)
+        L = pad_len(m) if L is None else int(L)
         fy = jnp.fft.fftfreq(L).astype(dtype)
         fx = jnp.fft.rfftfreq(L).astype(dtype)
         ay = -2.0 * jnp.pi * fy \
@@ -296,4 +299,4 @@ def point_source_spectrum(m, s, a, px, py, dtype=jnp.float32):
     # one authoritative implementation of the sign-sensitive stacking:
     # the complex path is the all-real parts path plus an assembly
     return jax.lax.complex(
-        *point_source_spectrum_parts(m, s, a, px, py, dtype=dtype))
+        *point_source_spectrum_parts(m, s, a, px, py, dtype=dtype, L=L))

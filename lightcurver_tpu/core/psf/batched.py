@@ -60,7 +60,8 @@ def _subset(tree, spec):
 def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
                    n_stars, n_pix, s, field_distortion, n_iter_analytic,
                    n_iter_adabelief, regularization_strength,
-                   adabelief_lr, irfft_backend, dft_precision):
+                   adabelief_lr, irfft_backend, dft_precision,
+                   dft_pad=None):
     """Pure single-frame two-phase PSF fit (fully traceable).
 
     ``irfft_backend`` / ``dft_precision`` arrive as STATIC arguments
@@ -106,7 +107,10 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     if irfft_backend == "mxu":
         from ...ops.dft import make_dft_mats
 
-        base_consts["dft_mats"] = make_dft_mats(2 * m, m, pool=s)
+        from .build import psf_fft_length
+
+        base_consts["dft_mats"] = make_dft_mats(
+            psf_fft_length(m, s, dft_pad), m, pool=s)
 
     # ---- phase 1: Moffat (grid + distortion fixed) ----------------------
     fixed1_spec = {"kwargs_background": {"background": None},
@@ -192,11 +196,11 @@ def _fit_one_frame(data, noisemap, masks, stamp_coords, fwhm0, key,
     jax.jit,
     static_argnames=("n_stars", "n_pix", "s", "field_distortion",
                      "n_iter_analytic", "n_iter_adabelief",
-                     "irfft_backend", "dft_precision"))
+                     "irfft_backend", "dft_precision", "dft_pad"))
 def _fit_frames(data, noisemap, masks, stamp_coords, fwhm0, keys, n_stars,
                 n_pix, s, field_distortion, n_iter_analytic,
                 n_iter_adabelief, regularization_strength, adabelief_lr,
-                irfft_backend, dft_precision):
+                irfft_backend, dft_precision, dft_pad=None):
     fit = functools.partial(
         _fit_one_frame, n_stars=n_stars, n_pix=n_pix, s=s,
         field_distortion=field_distortion,
@@ -204,7 +208,7 @@ def _fit_frames(data, noisemap, masks, stamp_coords, fwhm0, keys, n_stars,
         n_iter_adabelief=n_iter_adabelief,
         regularization_strength=regularization_strength,
         adabelief_lr=adabelief_lr, irfft_backend=irfft_backend,
-        dft_precision=dft_precision)
+        dft_precision=dft_precision, dft_pad=dft_pad)
     return jax.vmap(fit)(data, noisemap, masks, stamp_coords, fwhm0, keys)
 
 
@@ -213,7 +217,7 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
                       n_iter_analytic=100, n_iter_adabelief=3000,
                       field_distortion=False, regularization_strength=1.0,
                       adabelief_lr=5e-4, seed=0, mesh="auto",
-                      fetch="numpy"):
+                      fetch="numpy", dft_pad=None):
     """Fit the narrow PSFs of many frames in one compiled program.
 
     Args:
@@ -283,7 +287,8 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
         *arrays, keys, n_stars, int(n_pix), int(subsampling_factor),
         bool(field_distortion), int(n_iter_analytic),
         int(n_iter_adabelief), float(regularization_strength),
-        float(adabelief_lr), irfft_backend, get_dft_precision())
+        float(adabelief_lr), irfft_backend, get_dft_precision(),
+        None if dft_pad is None else int(dft_pad))
     # multi-host: every process must gather before it can materialize
     # (fetch="device" callers also need addressable leaves)
     out = strip_batch(gather_to_host(mesh, out), n_pad)

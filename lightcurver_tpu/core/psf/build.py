@@ -103,8 +103,9 @@ def _grid_noise_weights_impl(sigma, m, s, num_samples, n_scales, key,
     r-adjoint convolution runs as MXU matmuls (this backend's FFT is
     slow; the Monte-Carlo pass was ~25% of the batched PSF fit).
     """
-    L = conv.pad_len(m)
-    r_hat = conv.r_kernel_fft(m, s)
+    L = conv.pad_len(m) if dft_mats is None \
+        else dft_mats["Ay"].shape[-1]
+    r_hat = conv.r_kernel_fft(m, s, L=L)
     # a pixel with NaN noise (in all stars) would spread NaN through the
     # starlet smoothing into every weight and silently disable the
     # pixel-grid fit (NaN loss -> init returned); contribute zero there
@@ -183,8 +184,9 @@ def _grid_noise_weights_closed(sigma, m, s, n_scales, dft_mats=None,
     none); coarse scales deviate near the borders where the boundary
     models differ (bounded by tests/test_noise_and_metrics.py).
     """
-    L = conv.pad_len(m)
-    r_hat = conv.r_kernel_fft(m, s)
+    L = conv.pad_len(m) if dft_mats is None \
+        else dft_mats["Ay"].shape[-1]
+    r_hat = conv.r_kernel_fft(m, s, L=L)
     sigma = jnp.where(jnp.isfinite(sigma), sigma, 0.0)
 
     # frame-invariant squared-kernel spectra (n_scales+1, L, L//2+1)
@@ -242,6 +244,19 @@ def _propagate_noise_to_grid_weights(model, noisemap, mean_amp,
                                           dft_precision=dft_precision)
 
 
+def psf_fft_length(m, s, dft_pad=None):
+    """FFT length of the PSF fit's DFT matrices (see build_psf dft_pad)."""
+    if dft_pad is None:
+        return 2 * m
+    pad = int(dft_pad)
+    if pad < 4 * s:
+        raise ValueError(
+            f"dft_pad={pad} is below the safe minimum 4*s={4 * s}: the "
+            "position bound is 3 data px = 3*s fine px and the wrap-free "
+            "margin must exceed it")
+    return m + 2 * pad
+
+
 def psf_bound_values(n_pix):
     """(kwargs_up, kwargs_down) scalar bound values of the PSF fit.
 
@@ -271,7 +286,8 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
               n_iter_adabelief=3000, masks=None,
               guess_method_star_position="center", guess_fwhm_pixels=None,
               field_distortion=False, stamp_coordinates=None,
-              regularization_strength=1.0, adabelief_lr=5e-4):
+              regularization_strength=1.0, adabelief_lr=5e-4,
+              dft_pad=None):
     """Fit a narrow PSF on a stack of star stamps.
 
     Args:
@@ -289,6 +305,14 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
             frame (required when field_distortion).
         regularization_strength: starlet-l1 strength for the pixel grid.
         adabelief_lr: learning rate of the pixel phase.
+        dft_pad: fine-pixel zero-padding margin of the DFT matrices
+            (MXU backend only).  None keeps the general L = 2m (exact
+            for arbitrary placement); the PSF fit pins positions at the
+            stamp centre (|x0| <= 3 data px by bound), so a reduced
+            L = m + 2*dft_pad cuts the modulated-matmul FLOPs ~3x with
+            wrap leakage <= ~1e-5 relative flux at the position bound
+            (measured in float64; see tools/exp_psf_mxu.py).  Must be
+            >= 4*s (covers the position bound with margin).
 
     Returns:
         dict with narrow_psf, full_psf, psf_kernel_list, chi2, residuals,
@@ -364,7 +388,8 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     if get_irfft_backend() == "mxu":
         from ...ops.dft import make_dft_mats
 
-        base_consts["dft_mats"] = make_dft_mats(2 * m, m, pool=s)
+        base_consts["dft_mats"] = make_dft_mats(
+            psf_fft_length(m, s, dft_pad), m, pool=s)
     consts1 = {**base_consts, "fixed": params1.fixed}
     best1, _, hist1 = run_lbfgsb(loss_moffat, params1.free0, params1.lower,
                                  params1.upper, n_iter_analytic,

@@ -52,11 +52,22 @@ class PSFModel:
             jnp.asarray(stamp_coordinates, dtype=jnp.float32)
             if stamp_coordinates is not None else None)
 
-    def _r_hat(self):
+    def _r_hat(self, L=None):
         # computed IN-GRAPH on every call: cheap (elementwise exp over the
         # half-spectrum) and keeps large constants out of traced programs
         # (see core/deconv/model.py module docstring)
-        return conv.r_kernel_fft(self.m, self.s)
+        return conv.r_kernel_fft(self.m, self.s, L=L)
+
+    @staticmethod
+    def _mats_L(dft_mats):
+        """FFT length of a dft_mats dict (None -> default 2m padding).
+
+        The PSF fit may run at REDUCED zero-padding (star positions are
+        centre-pinned, |x0| <= 3 data px by bound — build_psf(dft_pad)),
+        so every frequency-domain helper must follow the matrices'
+        actual L instead of assuming pad_len(m).
+        """
+        return None if dft_mats is None else dft_mats["Ay"].shape[-1]
 
     def narrow_psf(self, kwargs):
         """The normalized narrow PSF t on the fine grid (field center)."""
@@ -72,7 +83,8 @@ class PSFModel:
         if dft_mats is not None:
             from ...ops.dft import irfft2_crop_matmul
 
-            t_hat = _forward_fft(t, dft_mats) * self._r_hat()
+            t_hat = _forward_fft(t, dft_mats) \
+                * self._r_hat(L=self._mats_L(dft_mats))
             return irfft2_crop_matmul(t_hat, dft_mats)
         t_hat = conv.psf_fft(t) * self._r_hat()
         L = conv.pad_len(self.m)
@@ -116,18 +128,19 @@ class PSFModel:
 
                 t_re, t_im = rfft2_pad_matmul_parts(
                     self.narrow_psf(kwargs), dft_mats)
-                ry, rx = conv.r_kernel_fft_1d(self.m, self.s)
+                L = self._mats_L(dft_mats)
+                ry, rx = conv.r_kernel_fft_1d(self.m, self.s, L=L)
                 u_re, u_im, v_re, v_im = conv.point_source_ramps(
                     self.m, self.s, kg["a"], kg["x0"], kg["y0"],
-                    ry=ry, rx=rx)
+                    ry=ry, rx=rx, L=L)
                 return irfft2_pool_shift_matmul(
                     t_re, t_im, u_re, u_im, v_re, v_im, dft_mats)
             # one shared PSF: one forward FFT instead of N identical ones
             t_hat = _forward_fft(self.narrow_psf(kwargs), dft_mats)
         spec = conv.point_source_spectrum(
             self.m, self.s, kg["a"][:, None], kg["x0"][:, None],
-            kg["y0"][:, None])
-        total_hat = spec * t_hat * self._r_hat()
+            kg["y0"][:, None], L=self._mats_L(dft_mats))
+        total_hat = spec * t_hat * self._r_hat(L=self._mats_L(dft_mats))
         if dft_mats is not None and "Ayp" in dft_mats:
             # crop + sum-pool folded into the inverse matmuls: stamps
             # land directly on the data grid (ops/dft.py)

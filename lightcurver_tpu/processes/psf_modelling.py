@@ -174,7 +174,8 @@ def _dispatch_fit_jobs(user_config, jobs, fetch="device"):
         stamp_coordinates=coords, guess_fwhm_pixels=fwhm0,
         n_iter_analytic=user_config["psf_n_iter_analytic"],
         n_iter_adabelief=user_config["psf_n_iter_pixels"],
-        field_distortion=user_config["field_distortion"], fetch=fetch)
+        field_distortion=user_config["field_distortion"], fetch=fetch,
+        dft_pad=user_config.get("psf_dft_pad"))
 
 
 def _collect_fit_results(out, jobs):

@@ -99,6 +99,7 @@ def get_user_config():
     # themselves (a missing key otherwise KeyErrors at the LAST two
     # pipeline stages for notebook users bypassing the template check)
     config.setdefault("prepared_roi_cutouts_path", None)
+    config.setdefault("psf_dft_pad", None)
     config["checkpoints_dir"] = workdir / "checkpoints"
     return config
 

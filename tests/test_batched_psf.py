@@ -62,3 +62,98 @@ def test_padded_dummy_stars_are_ignored(frames):
     np.testing.assert_allclose(padded["narrow_psf"],
                                ref["narrow_psf"], atol=3e-4)
     assert (padded["chi2_per_star"][:, -1] == 0.0).all()
+
+
+def test_reduced_dft_padding_matches_full(frames):
+    """dft_pad: the PSF fit at L = m + 2*pad reproduces the L = 2m fit.
+
+    Star positions are centre-pinned (|x0| <= 3 data px by bound), so
+    the reduced padding changes the model only by periodic-shift
+    leakage measured <= ~1e-5 relative flux (tools/exp_psf_mxu.py) —
+    the fitted PSF, chi2 and Moffat parameters must agree far inside
+    the fit's own noise.
+    """
+    from lightcurver_tpu import ops
+    from lightcurver_tpu.core.psf.batched import build_psf_batched
+
+    data = np.stack([f["data"] for f in frames])
+    sigma = np.stack([f["sigma"] for f in frames])
+    prev = ops.get_irfft_backend()
+    ops.set_irfft_backend("mxu")
+    try:
+        full = build_psf_batched(data, sigma, 2, n_iter_analytic=30,
+                                 n_iter_adabelief=120)
+        red = build_psf_batched(data, sigma, 2, n_iter_analytic=30,
+                                n_iter_adabelief=120, dft_pad=16)
+    finally:
+        ops.set_irfft_backend(prev)
+    # convergence-level agreement: at 120 iterations the two programs
+    # are on slightly different optimization TRAJECTORIES (noise
+    # weights at different L, different f32 fusion orders), same class
+    # of difference as batched-vs-single above — the model change
+    # itself is ~1e-5 (tools/exp_psf_mxu.py)
+    np.testing.assert_allclose(red["chi2"], full["chi2"], rtol=2e-2)
+    np.testing.assert_allclose(red["kwargs_moffat"]["fwhm_x"],
+                               full["kwargs_moffat"]["fwhm_x"], rtol=1e-2)
+    # fit outputs agree at trajectory level (same caveat and scale as
+    # test_batched_matches_single: two different f32 programs after 120
+    # unconverged iterations)
+    peak = np.abs(full["full_psf"]).max(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(red["full_psf"] / peak,
+                               full["full_psf"] / peak, atol=3e-2)
+    np.testing.assert_allclose(red["chi2_per_star"],
+                               full["chi2_per_star"], rtol=8e-2)
+
+
+def test_reduced_dft_padding_rejects_unsafe_margin():
+    from lightcurver_tpu.core.psf.build import psf_fft_length
+
+    with pytest.raises(ValueError, match="safe minimum"):
+        psf_fft_length(64, 2, dft_pad=4)
+    assert psf_fft_length(64, 2, dft_pad=8) == 80
+    assert psf_fft_length(64, 2) == 128
+
+
+def test_reduced_dft_padding_model_operator_exact():
+    """SAME kwargs, both paddings: the model OPERATOR itself agrees to
+    ~f32 noise even with positions at the +-3 px bound — the tight pin
+    behind the loose fit-trajectory comparison above."""
+    import jax.numpy as jnp
+
+    from lightcurver_tpu.core.psf.build import psf_fft_length
+    from lightcurver_tpu.core.psf.model import PSFModel
+    from lightcurver_tpu.ops.dft import make_dft_mats
+
+    n_pix, s, n_stars = 24, 2, 4
+    m = n_pix * s
+    model = PSFModel(n_stars, n_pix, s)
+    rng = np.random.default_rng(5)
+    g = 1e-3 * rng.normal(0, 1, (m * m,)).astype(np.float32)
+    kwargs = {
+        "kwargs_moffat": {"fwhm_x": jnp.float32(5.0),
+                          "fwhm_y": jnp.float32(4.4),
+                          "beta": jnp.float32(2.6)},
+        "kwargs_gaussian": {
+            "a": jnp.asarray([1.0, 2.0, 0.5, 1.5], jnp.float32),
+            "x0": jnp.asarray([3.0, -2.937, 0.251, -0.5], jnp.float32),
+            "y0": jnp.asarray([-3.0, 2.713, -0.117, 0.5], jnp.float32)},
+        "kwargs_background": {"background": jnp.asarray(g)},
+        "kwargs_distortion": {"dilation_x": jnp.zeros(3, jnp.float32),
+                              "dilation_y": jnp.zeros(3, jnp.float32),
+                              "shear": jnp.zeros(3, jnp.float32)},
+    }
+    mats_full = make_dft_mats(2 * m, m, pool=s)
+    mats_red = make_dft_mats(psf_fft_length(m, s, 8), m, pool=s)
+    out_full = np.asarray(model.model(kwargs, dft_mats=mats_full))
+    out_red = np.asarray(model.model(kwargs, dft_mats=mats_red))
+    peak = np.abs(out_full).max()
+    assert np.abs(out_red - out_full).max() < 3e-5 * peak
+    # flux conservation per star render
+    np.testing.assert_allclose(out_red.sum((-1, -2)),
+                               out_full.sum((-1, -2)), rtol=3e-5)
+    # the full_psf product too
+    fp_full = np.asarray(model.full_psf(kwargs, dft_mats=mats_full))
+    fp_red = np.asarray(model.full_psf(kwargs, dft_mats=mats_red))
+    # the unit-sum PSF peaks near 6e-3, so scale the f32-noise bound
+    # by the peak with a 1e-4 factor (absolute delta measured ~3e-7)
+    assert np.abs(fp_red - fp_full).max() < 1e-4 * np.abs(fp_full).max()

@@ -91,8 +91,8 @@ def main():
         # the inline bare-ramp builder below, so ry/rx are only read by
         # the L = 2m variants
         ry, rx = conv.r_kernel_fft_1d(m, S)
+        del Lh
         return {
-            "L": L, "Lh": Lh,
             "Ayp": mats["Ayp"], "Byp": mats["Byp"],
             "Cxp": mats["Cxp"], "Sxp": mats["Sxp"],
             "CS2": jnp.concatenate([mats["Cxp"], mats["Sxp"]], axis=1),
@@ -137,7 +137,10 @@ def main():
         u_re, u_im, v_re, v_im = ramps(free, c)
         R1 = c["Ayp"] * u_re[..., None, :] - c["Byp"] * u_im[..., None, :]
         I1 = c["Ayp"] * u_im[..., None, :] + c["Byp"] * u_re[..., None, :]
-        L, Lh = c["L"], c["Lh"]
+        # static shapes derived from the matrices (ints in the traced
+        # consts dict would become tracers and break reshape)
+        L = c["Ayp"].shape[-1]
+        Lh = c["Cxp"].shape[0]
         # per-frame spectra block against flattened per-star rows:
         # fold (stars, n) into M via one 2-D GEMM per part through a
         # batched reshape (B stays: spectra differ per frame)
@@ -192,6 +195,7 @@ def main():
         c2 = build_consts(L2)
         # ramps must be built at the reduced L: inline ramp builder
         def ramps_l(free, c=c2, L=L2):
+            del c
             # bare separable shift ramps at padding L, matching
             # conv.point_source_ramps' fftfreq/rfftfreq convention
             fy = jnp.fft.fftfreq(L).astype(jnp.float32)
