@@ -54,17 +54,21 @@ def ours(tmp_path, monkeypatch):
     conn.close()
     from lightcurver_tpu.processes import absolute_zeropoint_calculation \
         as zp
+    from lightcurver_tpu.processes import normalization_calculation as norm
     from lightcurver_tpu.utilities import absolute_magnitudes_from_gaia \
         as gaia_mags
+    from lightcurver_tpu.utilities import chi2_selector
 
-    cfg = rec.zp_config(str(db_path))
-    for mod in (db, zp, gaia_mags):
+    cfg = rec.zp_config(str(db_path), plots_dir=tmp_path / "plots")
+    for mod in (db, zp, gaia_mags, norm, chi2_selector):
         monkeypatch.setattr(mod, "get_user_config", lambda: cfg)
     out = rec.run_scenarios(db.select_stars, db.select_stars_for_a_frame,
                             db.query_all_stars_for_frame_and_footprint,
                             roi.get_frames_for_roi)
     out["zeropoints"] = rec.run_zeropoint_scenario(
         zp.calculate_zeropoints, str(db_path))
+    out["normalization"] = rec.run_normalization_scenario(
+        norm.calculate_coefficient, str(db_path))
     return out
 
 
@@ -116,3 +120,25 @@ def test_zeropoint_task_matches_reference(golden, ours):
                     np.testing.assert_allclose(a, b, rtol=1e-12)
                 else:
                     assert a == b, (table, row_got, row_ref)
+
+
+def test_normalization_task_matches_reference(golden, ours):
+    """The FULL normalization chain — chi2-gated membership-joined flux
+    matrix, SLSQP scatter alignment, inverse-variance coefficients with
+    the single-star uncertainty fallback, upserts leaving fluxless
+    frames untouched — reproduces the reference's own outputs
+    (reference processes/normalization_calculation.py:14-223)."""
+    import numpy as np
+
+    ref = golden["normalization"]
+    got = ours["normalization"]
+    assert len(got) == len(ref) == 4
+    for row_got, row_ref in zip(got, ref):
+        assert row_got[:2] == row_ref[:2]
+        np.testing.assert_allclose(row_got[2:], row_ref[2:], rtol=1e-9)
+    # the scenario exercised the branches it claims to: frame 2 hit the
+    # single-star fallback (err = 0.1 * coeff) and frame 3 (no fluxes)
+    # kept its pre-populated row
+    frame2 = next(r for r in ref if r[0] == 2)
+    assert frame2[3] == pytest.approx(0.1 * frame2[2])
+    assert next(r for r in ref if r[0] == 3)[2:] == [1.1, 0.011]

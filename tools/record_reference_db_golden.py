@@ -98,7 +98,10 @@ def populate(conn):
 
     membership = {1: ["g1", "g2", "g3", "g4", "g5", "g6"],
                   2: ["g2", "g3", "g5", "g7", "g8"],
-                  3: ["g1", "g2", "g3", "g4", "g5", "g6", "g7", "g8"]}
+                  3: ["g1", "g2", "g3", "g4", "g5", "g6", "g7", "g8"],
+                  # frame 4 lacks g3: the normalization scenario pins the
+                  # stars_in_frames join dropping fluxes of non-members
+                  4: ["g1", "g2", "g4"]}
     for fid, gids in membership.items():
         for gid in gids:
             cur.execute(
@@ -133,19 +136,23 @@ def populate(conn):
             " combined_footprint_hash, coefficient,"
             " coefficient_uncertainty) VALUES (?,?,?,?)", (fid, h, c, u))
 
-    # star fluxes for the zeropoint scenario: 4 stars x frames {1,2,4},
-    # g4 missing from frame 4 (variable membership), deterministic values
+    # star fluxes for the zeropoint + normalization scenarios:
+    # 4 stars x frames {1,2,4}, g4 missing from frame 4 (variable
+    # membership), deterministic values; (g3, frame 2) carries a bad
+    # fit chi2 = 3.0 so the normalization's chi2 threshold gate has
+    # real work (zeropoints ignore chi2 — unaffected)
     for si, gid in enumerate(("g1", "g2", "g3", "g4")):
         for fid in (1, 2, 4):
             if gid == "g4" and fid == 4:
                 continue
             flux = 900.0 / (si + 1) * (1.0 + 0.04 * fid) \
                 * (1.0 + 0.01 * si * fid)
+            chi2 = 3.0 if (gid == "g3" and fid == 2) else 1.0
             cur.execute(
                 "INSERT INTO star_flux_in_frame (frame_id, star_gaia_id,"
                 " combined_footprint_hash, flux, flux_uncertainty, chi2,"
                 " relative_loss_differential) VALUES (?,?,?,?,?,?,?)",
-                (fid, gid, HASH_MAIN, flux, 0.01 * flux, 1.0, 1e-4))
+                (fid, gid, HASH_MAIN, flux, 0.01 * flux, chi2, 1e-4))
     conn.commit()
 
 
@@ -153,12 +160,25 @@ def populate(conn):
 # makes get_combined_footprint_hash return hash(HASH_MAIN) == HASH_MAIN
 # (python int hash identity) in both implementations, matching the
 # populated rows without any footprint machinery
-def zp_config(db_path):
+def zp_config(db_path, plots_dir=None):
+    import pathlib
+    import tempfile
+
+    if plots_dir is None:
+        plots_dir = tempfile.mkdtemp(prefix="lc_golden_plots")
     return {"database_path": db_path,
             "star_selection_strategy": "ROI_disk",
             "ROI_disk_radius_arcseconds": HASH_MAIN,
             "reference_absolute_photometric_survey": "gaia",
-            "photometric_band": "r_sdss"}
+            "photometric_band": "r_sdss",
+            # normalization-task keys (reference
+            # processes/normalization_calculation.py:133-223): no star
+            # name filter, chi2 threshold gate [0, 1.5] (drops the
+            # injected bad (g3, frame 2) fit)
+            "stars_to_use_norm": None,
+            "stars_to_exclude_norm": None,
+            "fluxes_fit_exclude_strategy": {"threshold": [0.0, 1.5]},
+            "plots_dir": pathlib.Path(plots_dir)}
 
 
 def run_zeropoint_scenario(calculate_zeropoints, db_path):
@@ -193,6 +213,30 @@ def run_zeropoint_scenario(calculate_zeropoints, db_path):
     conn.close()
     return {"catalog_star_photometry": [list(r) for r in csp],
             "absolute_zeropoints": [list(r) for r in az]}
+
+
+def run_normalization_scenario(calculate_coefficient, db_path):
+    """Run the FULL normalization task (chi2-gated flux matrix query ->
+    per-star median normalization -> SLSQP scatter alignment ->
+    inverse-variance frame coefficients -> upsert) and read back the
+    coefficients table.
+
+    Pins reference processes/normalization_calculation.py:14-223 on the
+    real SQL path (the in-memory arithmetic is already pinned by
+    reference_utilities_golden.json).  The injected (g3, frame 2)
+    chi2 = 3.0 flux must be dropped by the threshold gate, and frame 4
+    (whose stars_in_frames membership excludes g3) exercises the
+    join-based filtering.  Frame 3's pre-existing coefficient row has
+    no fluxes and must survive untouched (upsert semantics)."""
+    calculate_coefficient()
+    conn = sqlite3.connect(db_path)
+    rows = conn.execute(
+        "SELECT frame_id, combined_footprint_hash, coefficient,"
+        " coefficient_uncertainty FROM normalization_coefficients"
+        " WHERE combined_footprint_hash = ? ORDER BY frame_id",
+        (HASH_MAIN,)).fetchall()
+    conn.close()
+    return [list(r) for r in rows]
 
 
 def _stars_record(df, ordered):
@@ -282,9 +326,11 @@ def main(reference_dir="/root/reference"):
         sys.modules.setdefault(name, mock.MagicMock())
 
     import lightcurver.processes.absolute_zeropoint_calculation as refzp
+    import lightcurver.processes.normalization_calculation as refnorm
     import lightcurver.processes.roi_file_preparation as refroi
     import lightcurver.structure.database as refdb
     import lightcurver.utilities.absolute_magnitudes_from_gaia as refgaia
+    import lightcurver.utilities.chi2_selector as refchi2
 
     with tempfile.TemporaryDirectory() as td:
         db = os.path.join(td, "database.sqlite3")
@@ -296,12 +342,16 @@ def main(reference_dir="/root/reference"):
         refdb.get_user_config = lambda: cfg
         refzp.get_user_config = lambda: cfg
         refgaia.get_user_config = lambda: cfg
+        refnorm.get_user_config = lambda: cfg
+        refchi2.get_user_config = lambda: cfg
         out = run_scenarios(refdb.select_stars,
                             refdb.select_stars_for_a_frame,
                             refdb.query_all_stars_for_frame_and_footprint,
                             refroi.get_frames_for_roi)
         out["zeropoints"] = run_zeropoint_scenario(
             refzp.calculate_zeropoints, db)
+        out["normalization"] = run_normalization_scenario(
+            refnorm.calculate_coefficient, db)
     out["_provenance"] = ("computed by the reference implementation at "
                           f"{reference_dir} (astropy/shapely/starred "
                           "stubbed; sqlite3+pandas only)")
