@@ -1,15 +1,18 @@
 """Differentiable starlet op with selectable backend (XLA / Pallas).
 
-Measured on a TPU v5e chip (tools/bench_starlet_tpu.py, round 2, with a
-hoisting-proof timing loop — the first naive measurement let XLA hoist
-the loop-invariant body and exaggerated the gap): standalone the Pallas
-cascade (starlet_pallas.py) is 13.8x faster at m=32 (156 us vs 2.15 ms;
-the XLA version is dispatch-bound at small sizes) and 1.23x at m=128
-(191 vs 234 us).  END-TO-END the production fits are unchanged or
-slightly slower (full 2000-iteration ROI fit: 1.055 s XLA vs 1.111 s
-Pallas; 16-frame PSF batch 1.00x), so auto_select_backends() leaves the
-backend at 'xla'.  The kernel is kept (and parity-tested on-chip to
-1e-4) for workloads dominated by many SMALL standalone transforms.
+DECISION (final, round 4): the XLA backend wins and stays the
+production default.  Measured on a TPU v5e chip 2026-08-19 with the
+DCE-fixed full-sum timing loop (bench.py run_starlet_micro, 200-rep
+compiled loop): standalone at m=128 XLA 142.3 us vs Pallas 188.4 us —
+the earlier "Pallas 1.23x faster at m=128" (round 2) came from a
+timing loop that kept only one output element live, so XLA dead-code
+-eliminated unused scales on ONE side of the A/B.  With all scales
+live, XLA's fused shifted-slice cascade wins at the production shape
+both standalone AND end-to-end (full 2000-iteration ROI fit: 1.055 s
+XLA vs 1.111 s Pallas; 16-frame PSF batch 1.00x), so
+auto_select_backends() keeps 'xla' unconditionally.  The kernel is
+retained as an on-chip parity-tested (1e-4) reference implementation
+and a worked Pallas example — not as a selectable fast path.
 
 pallas_call has no automatic AD; the transform is LINEAR, so a
 custom_vjp delegates the backward pass to the vjp of the jnp reference
