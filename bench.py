@@ -344,7 +344,7 @@ def run_star_photometry_bench(n_stars=8, n_epochs=50, n_pix=16, s=2,
 
 def run_psf_bench_pipelined(n_buckets=3, n_frames=16, n_stars=8,
                             n_pix=64, s=2, n_iter_analytic=100,
-                            n_iter_adabelief=3000):
+                            n_iter_adabelief=3000, dft_pad=16):
     """Production-loop PSF throughput: buckets pipelined.
 
     Mirrors processes/psf_modelling.model_all_psfs: each bucket's fit
@@ -363,7 +363,7 @@ def run_psf_bench_pipelined(n_buckets=3, n_frames=16, n_stars=8,
     data = np.stack([f["data"] for f in frames])
     sigma = np.stack([f["sigma"] for f in frames])
     kw = dict(n_iter_analytic=n_iter_analytic,
-              n_iter_adabelief=n_iter_adabelief)
+              n_iter_adabelief=n_iter_adabelief, dft_pad=dft_pad)
 
     build_psf_batched(data, sigma, s, **kw)     # compile + warm
     chi2s = []
@@ -512,7 +512,8 @@ def _degraded_lane(watchdog):
     fps, psf_chi2 = _optional(
         lambda: run_psf_bench(n_frames=2, n_stars=4, n_pix=32,
                               n_iter_analytic=50, n_iter_adabelief=500,
-                              repeats=1, samples_key="psf2_degraded"),
+                              repeats=1, dft_pad=16,
+                              samples_key="psf2_degraded"),
         "psf2deg", (nan, nan))
     _put(psf_fits_per_sec_degraded_small=round(fps, 3),
          psf_chi2_degraded=round(psf_chi2, 4))
@@ -561,8 +562,12 @@ def main():
     # PSF throughput SECOND (VERDICT r3: round-3's tail keys never
     # reached a driver capture — record the headline trio before
     # anything optional)
+    # dft_pad=16 is the PRODUCTION default since round 4
+    # (structure/user_config.py): the headline measures what the
+    # pipeline ships.  The full-padding lane keeps its own key below
+    # for continuity with rounds 1-3.
     fits_per_sec, psf_chi2 = _retry(
-        lambda: run_psf_bench(n_frames=16, repeats=3,
+        lambda: run_psf_bench(n_frames=16, repeats=3, dft_pad=16,
                               samples_key="psf16"), "psf16")
     # wall/iterations upper bound: folds the 0.1 s L-BFGS phase +
     # prep/fetch overhead into the AdaBelief per-iter figure
@@ -573,16 +578,16 @@ def main():
          psf_ms_per_iter_upper=round(
              (16.0 / fits_per_sec) * 1e3 / 3100, 4))
 
-    # reduced-DFT-padding A/B: star positions are centre-pinned in the
-    # PSF fit, so L = m + 32 instead of 2m cuts the modulated-matmul
-    # FLOPs ~3x at a model change below f32 noise (core/psf/build
-    # dft_pad; CPU measured 2.46x on the render value_and_grad —
-    # tools/exp_psf_mxu.py).  Distinct key until it becomes the default.
-    fps_pad, chi2_pad = _optional(
-        lambda: run_psf_bench(dft_pad=16, samples_key="psf16pad"),
-        "psfpad16", (nan, nan))
-    _put(psf_fits_per_sec_dftpad16=round(fps_pad, 3),
-         psf_chi2_dftpad16=round(chi2_pad, 4))
+    # full-padding A/B lane: L = 2m exact-for-any-placement padding,
+    # the rounds-1-3 headline configuration (the production default is
+    # now dft_pad=16 — star positions are centre-pinned, so the
+    # reduced padding's model cost is <= 1.8e-5 relative flux,
+    # float64-quantified in tools/exp_psf_mxu.py)
+    fps_full, chi2_full = _optional(
+        lambda: run_psf_bench(dft_pad=None, samples_key="psf16full"),
+        "psffull", (nan, nan))
+    _put(psf_fits_per_sec_fullpad=round(fps_full, 3),
+         psf_chi2_fullpad=round(chi2_full, 4))
 
     # the third hot task: batched joint star photometry (stars/s at
     # the reference's 2000-iteration per-star budget, 50 epochs each)
@@ -662,8 +667,9 @@ def main():
     # 16 is the headline above — throughput peaks there, batch 64
     # measured slower)
     for bs in (1, 32):
-        fps, _ = _optional(lambda b=bs: run_psf_bench(n_frames=b),
-                           f"psf{bs}", (nan, None))
+        fps, _ = _optional(
+            lambda b=bs: run_psf_bench(n_frames=b, dft_pad=16),
+            f"psf{bs}", (nan, None))
         _put(**{f"psf_fits_per_sec_batch{bs}": round(fps, 3)})
 
     # starlet backend measurement (the Pallas kernel wins standalone but
@@ -708,7 +714,8 @@ def run_config(n):
 
     if n == 1:
         fps, chi2 = run_psf_bench(n_frames=5, n_stars=1, n_pix=64,
-                                  n_iter_analytic=100, n_iter_adabelief=0)
+                                  n_iter_analytic=100, n_iter_adabelief=0,
+                                  dft_pad=16)
         out = {"config": 1, "metric": "moffat_fits_per_sec", "value": fps,
                "chi2": chi2}
     elif n == 2:
@@ -721,12 +728,13 @@ def run_config(n):
                   for i in range(16)]
         data = np.stack([f["data"] for f in frames])
         sigma = np.stack([f["sigma"] for f in frames])
-        build_psf_batched(data, sigma, 2)  # compile
+        build_psf_batched(data, sigma, 2, dft_pad=16)  # compile
         t0 = time.perf_counter()
         chi2s = []
         for chunk in range(6):
             out_c = build_psf_batched(
-                data * np.float32(1 + 1e-6 * (chunk + 1)), sigma, 2)
+                data * np.float32(1 + 1e-6 * (chunk + 1)), sigma, 2,
+                dft_pad=16)
             chi2s.append(out_c["chi2"].mean())
         wall = time.perf_counter() - t0
         out = {"config": 2, "metric": "psf_fits_per_sec_96frames",

@@ -99,7 +99,14 @@ def get_user_config():
     # themselves (a missing key otherwise KeyErrors at the LAST two
     # pipeline stages for notebook users bypassing the template check)
     config.setdefault("prepared_roi_cutouts_path", None)
-    config.setdefault("psf_dft_pad", None)
+    # production default 16 (round-4 decision): the PSF fit pins star
+    # positions at the stamp centre (|x0| <= 3 data px by bound), so
+    # the reduced L = m + 2*16 DFT padding is exact up to <= 1.8e-5
+    # relative flux (float64-quantified, tools/exp_psf_mxu.py) while
+    # cutting the fit's modulated-matmul FLOPs ~3x (measured on-chip:
+    # 7.58 -> 9.26 fits/s at equal chi2).  Set null for the full L=2m
+    # padding (bit-exact for arbitrary in-stamp placement).
+    config.setdefault("psf_dft_pad", 16)
     config["checkpoints_dir"] = workdir / "checkpoints"
     return config
 

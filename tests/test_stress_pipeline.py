@@ -238,7 +238,8 @@ def test_bucketed_psfs_match_unbatched_build_psf(pipeline_run, workdir):
             stamp_coordinates=job["stamp_coords"],
             guess_fwhm_pixels=frame["seeing_pixels"],
             n_iter_analytic=user_config["psf_n_iter_analytic"],
-            n_iter_adabelief=user_config["psf_n_iter_pixels"])
+            n_iter_adabelief=user_config["psf_n_iter_pixels"],
+            dft_pad=user_config.get("psf_dft_pad"))
         row = psfs[psfs.frame_id == frame_id].iloc[0]
         with h5py.File(user_config["regions_path"], "r") as f:
             stored = f[f"{frame['image_relpath']}/{row['psf_ref']}/"
