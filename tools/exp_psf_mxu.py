@@ -274,6 +274,60 @@ def main():
                           "semantic_max_abs_delta": delta,
                           "flux_rel_delta_max": flux_rel}), flush=True)
 
+        # composed variants: reduced padding + the stage-2 rewrites that
+        # measured ~6% faster on-chip at full padding (fullw, transp) —
+        # do the scheduling wins survive the smaller (K=81, N=64) shape?
+        def stage1_low(free, c=c2):
+            u_re, u_im, v_re, v_im = ramps_l(free, c)
+            R1 = c["Ayp"] * u_re[..., None, :] \
+                - c["Byp"] * u_im[..., None, :]
+            I1 = c["Ayp"] * u_im[..., None, :] \
+                + c["Byp"] * u_re[..., None, :]
+            S_re = c["t_re"][:, None]
+            S_im = c["t_im"][:, None]
+            Tr = jnp.einsum("...yk,...kj->...yj", R1, S_re,
+                            precision=prec) \
+                - jnp.einsum("...yk,...kj->...yj", I1, S_im,
+                             precision=prec)
+            Ti = jnp.einsum("...yk,...kj->...yj", R1, S_im,
+                            precision=prec) \
+                + jnp.einsum("...yk,...kj->...yj", I1, S_re,
+                             precision=prec)
+            U = Tr * v_re[..., None, :] - Ti * v_im[..., None, :]
+            V = Tr * v_im[..., None, :] + Ti * v_re[..., None, :]
+            return U, V
+
+        def render_low_fullw(free, c=c2):
+            U, V = stage1_low(free, c)
+            UV = jnp.concatenate([U, V], axis=-2)
+            P = jnp.einsum("...yj,jx->...yx", UV, c["CS2"],
+                           precision=prec)
+            return P[..., :n, :n] - P[..., n:, n:]
+
+        def render_low_transp(free, c=c2):
+            U, V = stage1_low(free, c)
+            outT = jnp.einsum("jx,...yj->...xy", c["Cxp"], U,
+                              precision=prec) \
+                - jnp.einsum("jx,...yj->...xy", c["Sxp"], V,
+                             precision=prec)
+            return jnp.swapaxes(outT, -1, -2)
+
+        for cname, cfn in (("fullw", render_low_fullw),
+                           ("transp", render_low_transp)):
+            out_c = np.asarray(jax.jit(cfn)(free0, c2))
+            cdelta = float(np.max(np.abs(out_c - out_low)))
+
+            def loss_c(free, c=c2, cfn=cfn):
+                out = cfn(free, c)
+                return jnp.sum(out * out)
+
+            cms = 1e3 * time_vg_loop(jax.value_and_grad(loss_c), free0,
+                                     c2, n_rep=200)
+            print(json.dumps({"variant": f"lowpad{pad}+{cname}",
+                              "vg_ms": round(cms, 4),
+                              "max_abs_delta_vs_lowpad": cdelta}),
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
