@@ -35,13 +35,20 @@ def main():
         return (np.stack([f["data"] for f in frames]),
                 np.stack([f["sigma"] for f in frames]))
 
+    # measure the PRODUCTION configuration (psf_dft_pad: 16 is the
+    # shipped default since round 4, structure/user_config.py:109);
+    # override with LIGHTCURVER_PROFILE_FULLPAD=1 for the L=2m lane
+    import os
+    dft_pad = None if os.environ.get("LIGHTCURVER_PROFILE_FULLPAD") else 16
+
     def timed(n_frames, n_lbfgs, n_ada):
         data, sigma = dataset(n_frames)
         build_psf_batched(data, sigma, 2, n_iter_analytic=n_lbfgs,
-                          n_iter_adabelief=n_ada)
+                          n_iter_adabelief=n_ada, dft_pad=dft_pad)
         t0 = time.perf_counter()
         build_psf_batched(data * np.float32(1 + 1e-6), sigma, 2,
-                          n_iter_analytic=n_lbfgs, n_iter_adabelief=n_ada)
+                          n_iter_analytic=n_lbfgs, n_iter_adabelief=n_ada,
+                          dft_pad=dft_pad)
         return time.perf_counter() - t0
 
     # phase split at the full reference budget, batch 16
