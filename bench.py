@@ -48,7 +48,7 @@ def _put(**kv):
     _emit()
 
 
-def _probe_backend():
+def _probe_backend(deadline=None):
     """True if the default backend completes a tiny jit under a deadline.
 
     The tunneled TPU backend can wedge INDEFINITELY (measured
@@ -59,7 +59,8 @@ def _probe_backend():
     import subprocess
     import sys
 
-    deadline = float(os.environ.get("LIGHTCURVER_BENCH_PROBE_S", 90))
+    if deadline is None:
+        deadline = float(os.environ.get("LIGHTCURVER_BENCH_PROBE_S", 90))
     # the canonical probe (64 MB h2d + 4k matmul): sized to catch the
     # OBSERVED wedge mode — large transfers stalling while tiny ops
     # still succeed
@@ -530,8 +531,85 @@ def _degraded_lane(watchdog):
                              (nan, nan))
     _put(cosmics_native_ms=round(cc_ms, 3),
          cosmics_scipy_ms=round(py_ms, 3))
+    _recovery_handoff(watchdog)
     watchdog.cancel()
     _emit()
+
+
+def _recovery_handoff(watchdog=None):
+    """Re-probe a wedged tunnel and hand off to a full TPU run.
+
+    Measured 2026-08-19 19:42-19:48: the tunnel wedged for ~3 minutes
+    between two healthy checks — a one-shot probe verdict can strand a
+    whole round's numbers in the degraded lane over a TRANSIENT stall.
+    After the degraded metrics are safely emitted, keep probing (every
+    ~45 s, within LIGHTCURVER_BENCH_RECOVER_S of wall); on the first
+    healthy probe, re-run bench.py in a child process (probe disabled)
+    and merge every JSON line the child prints into THIS process's
+    snapshot, so each emitted line carries the union of degraded +
+    recovered metrics and the driver's last-line parse can never lose
+    either.  The wedged client cannot recover in-process — the child
+    gets a fresh PJRT plugin.
+    """
+    import subprocess
+    import sys
+    import time as _time
+
+    budget = float(os.environ.get("LIGHTCURVER_BENCH_RECOVER_S", 480))
+    if budget <= 0 or os.environ.get("LIGHTCURVER_BENCH_CHILD") == "1":
+        return
+    interval = float(os.environ.get("LIGHTCURVER_BENCH_REPROBE_INTERVAL_S",
+                                    45))
+    t0 = _time.time()
+    recovered = False
+    while _time.time() - t0 < budget:
+        _time.sleep(interval)
+        print(f"# re-probing backend ({_time.time() - t0:.0f}s "
+              "after degraded lane)", flush=True)
+        reprobe_s = os.environ.get("LIGHTCURVER_BENCH_REPROBE_S")
+        if _probe_backend(None if reprobe_s is None else float(reprobe_s)):
+            recovered = True
+            break
+    if not recovered:
+        _put(recover_probe_window_s=round(_time.time() - t0, 0))
+        return
+    wait_s = round(_time.time() - t0, 0)
+    env = dict(os.environ,
+               LIGHTCURVER_BENCH_NO_PROBE="1",
+               LIGHTCURVER_BENCH_CHILD="1")
+    # the child arms its own watchdog; bound it by what remains of a
+    # typical driver budget rather than the full default
+    env.setdefault("LIGHTCURVER_BENCH_DEADLINE_S", "1500")
+    print("# tunnel recovered: handing off to a full run", flush=True)
+    # the child arms its own watchdog against a re-wedge; the parent's
+    # (armed ~degraded-lane ago) must not cut the stream mid-child
+    if watchdog is not None:
+        watchdog.cancel()
+    # test hook: the suite substitutes a tiny child that prints canned
+    # JSON lines (tests/test_bench_recovery.py)
+    cmd_override = os.environ.get("LIGHTCURVER_BENCH_CHILD_CMD")
+    cmd = ([sys.executable, "-c", cmd_override] if cmd_override
+           else [sys.executable, os.path.abspath(__file__)])
+    with subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
+                          env=env) as child:
+        for line in child.stdout:
+            line = line.rstrip("\n")
+            if not line.startswith("{"):
+                print(line, flush=True)
+                continue
+            try:
+                snap = json.loads(line)
+            except ValueError:
+                print(line, flush=True)
+                continue
+            _SAMPLES.update(snap.pop("wall_samples", {}) or {})
+            # child keys overwrite (it measured the real backend);
+            # degraded keys are distinct and survive the merge
+            _METRICS.update({k: v for k, v in snap.items()
+                             if v is not None or k not in _METRICS})
+            _METRICS["probe_wedged_then_recovered_after_s"] = wait_s
+            _METRICS.pop("backend_fallback", None)
+            _emit()
 
 
 def main():
