@@ -110,6 +110,36 @@ def stack_data_diagnostic(data, noisemap, kwargs, model):
     }
 
 
+def stage2_checkpoint_digest(user_config, reg, fix_astrometry, data,
+                             noisemap, psf, initial_c_x, initial_c_y):
+    """Identity of everything the resumable stage-2 objective depends on.
+
+    Beyond the raw input arrays, the digest folds in the loss
+    CONFIGURATION: the regularization scalars, the astrometry handling
+    (fixed / free / Gaussian-prior sigma) together with the point-source
+    positions it pins, and whether the background is free.  A resumed
+    AdaBelief carry is only a valid continuation of the exact objective
+    it was optimizing — e.g. resuming a run made under a different
+    ``regularization_strength_scales`` would silently blend two
+    different backgrounds.  (Mid-fit checkpointing is beyond the
+    reference; the optimizer separately validates the iteration budget
+    and parameter structure, see core/optimize.py.)
+    """
+    from ..core.optimize import arrays_digest
+
+    loss_config = json.dumps(
+        {"reg": reg,
+         "fix_astrometry": fix_astrometry,
+         "further_optimize_background":
+             bool(user_config["further_optimize_background"])},
+        sort_keys=True, default=float)
+    return arrays_digest(
+        np.frombuffer(loss_config.encode("utf-8"), dtype=np.uint8),
+        data, noisemap, psf,
+        np.asarray(initial_c_x, dtype=np.float64),
+        np.asarray(initial_c_y, dtype=np.float64))
+
+
 def _maybe_epoch_mesh(n_epochs):
     """A mesh over all devices whenever more than one is visible.
 
@@ -291,13 +321,12 @@ def do_modelling_of_roi():
     checkpoint_every = int(user_config["deconv_checkpoint_every"] or 0)
     checkpoint_path = checkpoint_digest = None
     if checkpoint_every > 0:
-        from ..core.optimize import arrays_digest
-
         user_config["checkpoints_dir"].mkdir(exist_ok=True, parents=True)
         checkpoint_path = (user_config["checkpoints_dir"]
                            / f"roi_{footprint_hash}_{roi}_stage2.ckpt")
-        # content digest: refuse to resume against changed inputs
-        checkpoint_digest = arrays_digest(data, noisemap, psf)
+        checkpoint_digest = stage2_checkpoint_digest(
+            user_config, reg, fix_astrometry, data, noisemap, psf,
+            initial_c_x, initial_c_y)
 
     def run_fit(kwargs_start, kwargs_fixed, method, n_iter, loss_kwargs,
                 lr, schedule, checkpoint=False):

@@ -316,3 +316,46 @@ def test_corrupted_checkpoint_is_discarded_at_task_level(star_batch,
     out = run_discarding_stale_checkpoint(
         run, ckpt, logging.getLogger("test.garbage_ckpt"))
     assert np.isfinite(out["fluxes"]).all()
+
+
+def test_stage2_digest_covers_loss_configuration():
+    """The ROI stage-2 checkpoint digest must change when the OBJECTIVE
+    changes — regularization scalars, astrometry handling, free/frozen
+    background, point-source positions — not just when the pixel data
+    change.  Resuming a carry against a different objective would
+    silently blend two different fits."""
+    from lightcurver_tpu.processes.roi_modelling import \
+        stage2_checkpoint_digest
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(3, 8, 8))
+    noise = np.abs(rng.normal(size=(3, 8, 8))) + 0.1
+    psf = np.abs(rng.normal(size=(3, 16, 16)))
+    cx, cy = np.array([0.5, -1.0]), np.array([0.2, 1.3])
+    cfg = {"further_optimize_background": True}
+    reg = {"regularization_strength_scales": 1.0,
+           "regularization_strength_hf": 1.0}
+
+    base = stage2_checkpoint_digest(cfg, reg, False, data, noise, psf,
+                                    cx, cy)
+    # deterministic across calls (and across dict insertion order)
+    reg_reordered = dict(reversed(list(reg.items())))
+    assert stage2_checkpoint_digest(cfg, reg_reordered, False, data,
+                                    noise, psf, cx, cy) == base
+
+    # every objective knob perturbs the digest
+    assert stage2_checkpoint_digest(
+        cfg, {**reg, "regularization_strength_scales": 2.0}, False,
+        data, noise, psf, cx, cy) != base
+    assert stage2_checkpoint_digest(cfg, reg, True, data, noise, psf,
+                                    cx, cy) != base
+    assert stage2_checkpoint_digest(cfg, reg, 0.5, data, noise, psf,
+                                    cx, cy) != base
+    assert stage2_checkpoint_digest(
+        {"further_optimize_background": False}, reg, False, data,
+        noise, psf, cx, cy) != base
+    assert stage2_checkpoint_digest(cfg, reg, False, data, noise, psf,
+                                    cx + 0.1, cy) != base
+    # and the data identity still matters
+    assert stage2_checkpoint_digest(cfg, reg, False, data + 1e-3,
+                                    noise, psf, cx, cy) != base
