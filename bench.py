@@ -93,8 +93,12 @@ def _start_watchdog():
     # with incremental emission the watchdog no longer protects capture
     # integrity (every completed metric is already on stdout) — it only
     # bounds a WEDGED in-flight metric, so it can afford to be generous
-    # enough never to curtail a healthy-but-slow cold-compile run
-    deadline = float(os.environ.get("LIGHTCURVER_BENCH_DEADLINE_S", 1800))
+    # enough never to curtail a healthy-but-slow cold-compile run: an
+    # external (driver) kill yields the same last-line capture as the
+    # self-exit, so firing BEFORE the driver's own budget only wastes
+    # measurable time (a cold-cache healthy lane plus the A/B and
+    # sharded stages can legitimately exceed 30 min)
+    deadline = float(os.environ.get("LIGHTCURVER_BENCH_DEADLINE_S", 2700))
 
     def fire():
         _METRICS["watchdog_timeout_s"] = deadline

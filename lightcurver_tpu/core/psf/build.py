@@ -254,7 +254,9 @@ def psf_fft_length(m, s, dft_pad=None):
             f"dft_pad={pad} is below the safe minimum 4*s={4 * s}: the "
             "position bound is 3 data px = 3*s fine px and the wrap-free "
             "margin must exceed it")
-    return m + 2 * pad
+    # a "reduced" length beyond the exact L=2m would cost MORE than full
+    # padding for zero benefit (2m is exact for arbitrary placement)
+    return min(m + 2 * pad, 2 * m)
 
 
 def psf_bound_values(n_pix):

@@ -49,6 +49,55 @@ def _lib_path():
     return _HERE / f"liblightcurver_native-{_isa_tag()}.so"
 
 
+def _host_key():
+    """Full (uncut) identity of this host's CPU, for the selftest stamp.
+
+    Stronger than _isa_tag (which truncates the flag hash for a
+    filename): the stamp must not transfer between hosts whose
+    truncated tags collide, since skipping the selftest on a foreign
+    binary is exactly the SIGILL hole the selftest closes.
+    """
+    ident = {"machine": platform.machine()}
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                for key in ("flags", "Features", "model name"):
+                    if line.startswith(key) and key not in ident:
+                        ident[key] = line.strip()
+                if len(ident) == 4:
+                    break
+    except OSError:
+        pass
+    joined = "|".join(f"{k}={v}" for k, v in sorted(ident.items()))
+    return hashlib.sha256(joined.encode()).hexdigest()
+
+
+def _stamp_path(lib_path):
+    return lib_path.with_suffix(".ok")
+
+
+def _stamp_value(lib_path):
+    so_hash = hashlib.sha256(lib_path.read_bytes()).hexdigest()
+    return f"{so_hash} {_host_key()}\n"
+
+
+def _write_stamp(lib_path):
+    """Record 'this exact .so ran on this host' (atomic, best-effort)."""
+    tmp = _stamp_path(lib_path).with_suffix(f".ok.tmp{os.getpid()}")
+    try:
+        tmp.write_text(_stamp_value(lib_path))
+        os.replace(tmp, _stamp_path(lib_path))
+    except OSError:
+        tmp.unlink(missing_ok=True)
+
+
+def _stamp_valid(lib_path):
+    try:
+        return _stamp_path(lib_path).read_text() == _stamp_value(lib_path)
+    except OSError:
+        return False
+
+
 def _compile(lib_path):
     # compile to a per-process temp path and os.replace (atomic): Pool
     # workers all hit first-use compilation concurrently, and g++
@@ -116,11 +165,20 @@ def load():
         lib_path = _lib_path()
         cached = (lib_path.exists()
                   and lib_path.stat().st_mtime >= _SRC.stat().st_mtime)
-        if cached and not _selftest(lib_path):
-            # stale/foreign binary: rebuild rather than trust it
-            cached = False
+        # the subprocess selftest costs ~0.5-2 s and every Pool worker
+        # calls load() once — a stamp recording "this exact binary ran
+        # on this host" amortizes it to once per build instead of once
+        # per process
+        if cached and not _stamp_valid(lib_path):
+            if _selftest(lib_path):
+                _write_stamp(lib_path)
+            else:
+                # stale/foreign binary: rebuild rather than trust it
+                cached = False
         if not cached:
             _compile(lib_path)
+            # compiled on THIS host just now: trusted by construction
+            _write_stamp(lib_path)
         lib = ctypes.CDLL(str(lib_path))
         lib.lc_background_mesh.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_void_p,

@@ -111,19 +111,25 @@ def stack_data_diagnostic(data, noisemap, kwargs, model):
 
 
 def stage2_checkpoint_digest(user_config, reg, fix_astrometry, data,
-                             noisemap, psf, initial_c_x, initial_c_y):
+                             noisemap, psf, initial_c_x, initial_c_y,
+                             starting_h=None, alpha=None):
     """Identity of everything the resumable stage-2 objective depends on.
 
     Beyond the raw input arrays, the digest folds in the loss
     CONFIGURATION: the regularization scalars, the astrometry handling
     (fixed / free / Gaussian-prior sigma) together with the point-source
-    positions it pins, and whether the background is free.  A resumed
-    AdaBelief carry is only a valid continuation of the exact objective
-    it was optimizing — e.g. resuming a run made under a different
-    ``regularization_strength_scales`` would silently blend two
-    different backgrounds.  (Mid-fit checkpointing is beyond the
-    reference; the optimizer separately validates the iteration budget
-    and parameter structure, see core/optimize.py.)
+    positions it pins, whether the background is free, the starting
+    background pixels (``starting_background`` participates in the
+    stage-2 objective both as the fixed/initial ``h`` and through the
+    starlet noise weights W computed from kwargs_init), and the fixed
+    per-epoch rotations.  A resumed AdaBelief carry is only a valid
+    continuation of the exact objective it was optimizing — e.g.
+    resuming a run made under a different
+    ``regularization_strength_scales`` or a repointed
+    ``starting_background`` would silently blend two different
+    backgrounds.  (Mid-fit checkpointing is beyond the reference; the
+    optimizer separately validates the iteration budget and parameter
+    structure, see core/optimize.py.)
     """
     from ..core.optimize import arrays_digest
 
@@ -137,7 +143,11 @@ def stage2_checkpoint_digest(user_config, reg, fix_astrometry, data,
         np.frombuffer(loss_config.encode("utf-8"), dtype=np.uint8),
         data, noisemap, psf,
         np.asarray(initial_c_x, dtype=np.float64),
-        np.asarray(initial_c_y, dtype=np.float64))
+        np.asarray(initial_c_y, dtype=np.float64),
+        np.zeros(0) if starting_h is None
+        else np.asarray(starting_h, dtype=np.float64),
+        np.zeros(0) if alpha is None
+        else np.asarray(alpha, dtype=np.float64))
 
 
 def _maybe_epoch_mesh(n_epochs):
@@ -326,7 +336,9 @@ def do_modelling_of_roi():
                            / f"roi_{footprint_hash}_{roi}_stage2.ckpt")
         checkpoint_digest = stage2_checkpoint_digest(
             user_config, reg, fix_astrometry, data, noisemap, psf,
-            initial_c_x, initial_c_y)
+            initial_c_x, initial_c_y,
+            starting_h=kwargs_init["kwargs_background"]["h"],
+            alpha=kwargs_init["kwargs_analytic"]["alpha"])
 
     def run_fit(kwargs_start, kwargs_fixed, method, n_iter, loss_kwargs,
                 lr, schedule, checkpoint=False):

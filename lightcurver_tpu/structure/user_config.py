@@ -106,7 +106,12 @@ def get_user_config():
     # cutting the fit's modulated-matmul FLOPs ~3x (measured on-chip:
     # 7.58 -> 9.26 fits/s at equal chi2).  Set null for the full L=2m
     # padding (bit-exact for arbitrary in-stamp placement).
-    config.setdefault("psf_dft_pad", 16)
+    # the default scales with the subsampling factor: psf_fft_length
+    # requires pad >= 4*s (wrap-free margin for the |x0| <= 3 data px
+    # position bound), so a bare 16 would hard-fail previously-working
+    # configs with subsampling_factor > 4
+    config.setdefault(
+        "psf_dft_pad", max(16, 4 * int(config.get("subsampling_factor", 2))))
     config["checkpoints_dir"] = workdir / "checkpoints"
     return config
 

@@ -68,14 +68,18 @@ def compiled_cost(fn, *args):
             float(ca.get("flops", float("nan"))))
 
 
-def psf_pixel_phase_cost(batch, n_stars, n_pix, s):
+def psf_pixel_phase_cost(batch, n_stars, n_pix, s, dft_pad=16):
     """(bytes, flops) of one vmapped pixel-phase PSF value_and_grad.
 
     The per-iteration program of the dominant PSF-fit phase (AdaBelief
     over the pixel grid) at the given batch shape, on the CURRENT ops
     backends — the driver-verifiable roofline evidence emitted by
     bench.py each round (tools/psf_roofline.py adds the wall-clock
-    side).
+    side).  ``dft_pad`` mirrors ``build_psf(dft_pad=...)`` and defaults
+    to the SHIPPED config default so the cost analysis describes the
+    same program as the headline ``psf_fits_per_sec`` wall; pass None
+    for the full L=2m padding (the ``psf_fits_per_sec_fullpad``
+    continuity lane).
     """
     import jax
     import jax.numpy as jnp
@@ -118,9 +122,11 @@ def psf_pixel_phase_cost(batch, n_stars, n_pix, s):
                       "stamp_coordinates": 0, "W": 0, "lam": None,
                       "fixed": 0}
     if ops.get_irfft_backend() == "mxu":
+        from ..core.psf.build import psf_fft_length
         from ..ops.dft import make_dft_mats
 
-        consts["dft_mats"] = make_dft_mats(2 * m, m, pool=s)
+        consts["dft_mats"] = make_dft_mats(
+            psf_fft_length(m, s, dft_pad), m, pool=s)
         in_axes_consts["dft_mats"] = None
 
     vg = jax.vmap(jax.value_and_grad(loss_pixels),

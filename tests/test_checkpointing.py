@@ -359,3 +359,18 @@ def test_stage2_digest_covers_loss_configuration():
     # and the data identity still matters
     assert stage2_checkpoint_digest(cfg, reg, False, data + 1e-3,
                                     noise, psf, cx, cy) != base
+
+    # the starting background and the fixed rotations are part of the
+    # objective too (starting_background file / header angles changed
+    # between runs must refuse the resume)
+    h = np.ones(16)
+    alpha = np.zeros(3)
+    base_h = stage2_checkpoint_digest(cfg, reg, False, data, noise, psf,
+                                      cx, cy, starting_h=h, alpha=alpha)
+    assert base_h != base
+    assert stage2_checkpoint_digest(cfg, reg, False, data, noise, psf,
+                                    cx, cy, starting_h=h + 1e-4,
+                                    alpha=alpha) != base_h
+    assert stage2_checkpoint_digest(cfg, reg, False, data, noise, psf,
+                                    cx, cy, starting_h=h,
+                                    alpha=alpha + 0.1) != base_h

@@ -105,8 +105,13 @@ def workdir(tmp_path_factory):
     os.environ["LIGHTCURVER_CONFIG"] = str(config_path)
     initialize_database(tmp / "database.sqlite3")
     yield tmp, prepared, scene
+    # restore BOTH ways: leaving the var set when it was previously
+    # unset would redirect every later get_user_config() in the session
+    # to this module's (deleted) tmp workdir
     if old is not None:
         os.environ["LIGHTCURVER_CONFIG"] = old
+    else:
+        os.environ.pop("LIGHTCURVER_CONFIG", None)
 
 
 @pytest.fixture(scope="module")

@@ -42,6 +42,25 @@ def test_config_derivations(workdir):
     assert config["plots_dir"].exists()
 
 
+def test_psf_dft_pad_default_scales_with_subsampling(workdir, tmp_path):
+    """The injected psf_dft_pad default must satisfy psf_fft_length's
+    pad >= 4*s validation at ANY subsampling factor — a bare 16 would
+    hard-crash previously-working configs with subsampling_factor 5+
+    the moment the default landed."""
+    from lightcurver_tpu.core.psf.build import psf_fft_length
+    from lightcurver_tpu.structure.user_config import get_user_config
+
+    cfg_path = tmp_path / "config.yaml"
+    base = yaml.safe_load(cfg_path.read_text())
+    for s, expected in [(2, 16), (4, 16), (5, 20), (8, 32)]:
+        base["subsampling_factor"] = s
+        cfg_path.write_text(yaml.dump(base))
+        config = get_user_config()
+        assert config["psf_dft_pad"] == expected
+        # and it must be accepted by the validator (no ValueError)
+        psf_fft_length(32 * s, s, config["psf_dft_pad"])
+
+
 def test_schema_tables(workdir):
     conn = sqlite3.connect(workdir / "database.sqlite3")
     tables = {r[0] for r in conn.execute(
