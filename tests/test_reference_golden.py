@@ -180,3 +180,42 @@ def test_naming_and_coordinates_match_reference(utilities_golden,
                                     utilities_inputs["image_shape"])
     np.testing.assert_allclose(got, utilities_golden["rescaled_xy"],
                                rtol=1e-12)
+
+
+def test_panstarrs_selection_matches_reference(utilities_golden,
+                                               monkeypatch):
+    """PS1 detection-cluster + band selection == the ACTUAL reference.
+
+    Fixture recorded by tools/record_reference_utilities_golden.py
+    running the reference's photometric_selection_heuristic (reference
+    utilities/absolute_magnitudes_from_panstarrs.py:84-149) on
+    masked-Table stand-ins; our implementation consumes the same
+    scenarios as pandas frames (missing cells NaN instead of masked)
+    and must land the identical keep/reject decisions, magnitudes and
+    composite-band combinations.
+    """
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import panstarrs_scenarios
+
+    import lightcurver_tpu.utilities.absolute_magnitudes_from_panstarrs \
+        as ps
+
+    golden = utilities_golden["panstarrs_selection"]
+    for sc in panstarrs_scenarios():
+        monkeypatch.setattr(
+            ps, "get_user_config",
+            lambda band=sc["band"]: {"photometric_band": band})
+        got = ps.photometric_selection_heuristic(pd.DataFrame(sc["rows"]))
+        want = golden[sc["name"]]
+        if want is None:
+            assert got is None, sc["name"]
+            continue
+        assert got is not None, sc["name"]
+        assert got["band"] == want["band"], sc["name"]
+        assert got["mag"] == pytest.approx(want["mag"], rel=1e-12)
+        assert got["mag_err"] == pytest.approx(want["mag_err"], rel=1e-12)
+        assert int(got["catalog_ID"]) == want["catalog_ID"]

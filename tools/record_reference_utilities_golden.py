@@ -16,6 +16,9 @@ pins for:
 - the COSMOULINE histogram-peak seeing estimator (reference
   processes/frame_characterization.py:135)
 - star naming and [-1, 1] image-coordinate rescaling
+- the Pan-STARRS detection-cluster + band selection heuristic
+  (reference utilities/absolute_magnitudes_from_panstarrs.py:84-149),
+  run on masked-Table stand-ins covering every branch
 
 Usage:  python tools/record_reference_utilities_golden.py [reference_dir]
 Writes: tests/fixtures/reference_utilities_golden.json
@@ -43,8 +46,98 @@ _STUBS = [
     "astropy.time", "astropy.io", "astropy.io.fits", "astropy.wcs",
     "astropy.table", "astropy.visualization", "shapely",
     "shapely.geometry", "shapely.ops", "ephem", "ruamel", "ruamel.yaml",
-    "astroquery", "astroquery.gaia", "widefield_plate_solver",
+    "astroquery", "astroquery.gaia", "astroquery.mast",
+    "widefield_plate_solver",
 ]
+
+
+class _FakeRow:
+    """One row of a masked astropy Table: missing cells evaluate falsy.
+
+    astroquery's MAST results are masked Tables; the reference's band
+    availability check is plain truthiness of the cell (reference
+    utilities/absolute_magnitudes_from_panstarrs.py:117), which works
+    because np.ma.masked is falsy.  ``None`` in the scenario rows maps
+    to np.ma.masked here (and to NaN in the pandas frames our own
+    implementation consumes).
+    """
+
+    def __init__(self, row):
+        self._row = row
+
+    def __getitem__(self, key):
+        value = self._row.get(key)
+        return np.ma.masked if value is None else value
+
+
+class _FakeTable:
+    """Minimal astropy-Table stand-in for the selection heuristic:
+    column access -> ndarray, boolean-mask indexing, integer row
+    access."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __len__(self):
+        return len(self._rows)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return np.array([r[key] for r in self._rows])
+        if isinstance(key, (int, np.integer)):
+            return _FakeRow(self._rows[key])
+        return _FakeTable([r for r, keep in zip(self._rows, key) if keep])
+
+
+def _ps_row(obj_id, n_detections, **mags):
+    """A PS1 mean-object row; band kwargs g/r/i/z/y + gerr/rerr/...;
+    unspecified bands are missing (None)."""
+    row = {"objID": obj_id, "nDetections": n_detections}
+    for b in "grizy":
+        row[f"{b}MeanPSFMag"] = mags.get(b)
+        row[f"{b}MeanPSFMagErr"] = mags.get(b + "err")
+    return row
+
+
+def panstarrs_scenarios():
+    """Deterministic Pan-STARRS selection scenarios (recorder + test).
+
+    Covers every branch of the reference's
+    photometric_selection_heuristic (reference
+    utilities/absolute_magnitudes_from_panstarrs.py:84-149): the
+    unmerged-detection nDetections filter, the exactly-one-survivor
+    requirement, per-band availability, and the c/o composite bands.
+    """
+    full = dict(g=16.2, gerr=0.011, r=15.8, rerr=0.012, i=15.5,
+                ierr=0.021, z=15.4, zerr=0.032, y=15.3, yerr=0.054)
+    return [
+        {"name": "single_r", "band": "r_panstarrs",
+         "rows": [_ps_row(101, 50, **full)]},
+        # PS1's unmerged duplicate clusters: nDetections 5 and 2 are
+        # below 0.2 * 120 and must be filtered, leaving one survivor
+        {"name": "unmerged_filter_g", "band": "g_panstarrs",
+         "rows": [_ps_row(201, 120, **full),
+                  _ps_row(202, 5, g=17.0, gerr=0.3),
+                  _ps_row(203, 2, g=17.5, gerr=0.4)]},
+        # two comparable detections survive the filter -> ambiguous
+        {"name": "ambiguous_none", "band": "r_panstarrs",
+         "rows": [_ps_row(301, 100, **full),
+                  _ps_row(302, 80, **full)]},
+        {"name": "empty_none", "band": "r_panstarrs", "rows": []},
+        {"name": "composite_c", "band": "c_panstarrs",
+         "rows": [_ps_row(501, 40, g=16.9, gerr=0.013, r=16.1,
+                          rerr=0.017)]},
+        {"name": "composite_o", "band": "o_panstarrs",
+         "rows": [_ps_row(601, 40, r=16.1, rerr=0.017, i=15.7,
+                          ierr=0.019)]},
+        # requested band not covered by the detection
+        {"name": "missing_band_none", "band": "z_panstarrs",
+         "rows": [_ps_row(701, 40, g=16.2, gerr=0.011, r=15.8,
+                          rerr=0.012)]},
+        # composite needs BOTH constituents
+        {"name": "composite_missing_none", "band": "c_panstarrs",
+         "rows": [_ps_row(801, 40, g=16.2, gerr=0.011)]},
+    ]
 
 
 def make_inputs():
@@ -192,6 +285,22 @@ def main(reference_dir="/root/reference"):
     out["star_names"] = generate_star_names(inp["n_names"])
     out["rescaled_xy"] = rescale_image_coordinates(
         inp["xy"].copy(), inp["image_shape"]).tolist()
+
+    # Pan-STARRS selection heuristic, run by the REFERENCE's own code
+    # on masked-Table stand-ins (astroquery/astropy stubbed)
+    import lightcurver.utilities.absolute_magnitudes_from_panstarrs \
+        as refps
+
+    ps_out = {}
+    for sc in panstarrs_scenarios():
+        refps.get_user_config = (
+            lambda band=sc["band"]: {"photometric_band": band})
+        got = refps.photometric_selection_heuristic(_FakeTable(sc["rows"]))
+        ps_out[sc["name"]] = None if got is None else {
+            "band": got["band"], "mag": float(got["mag"]),
+            "mag_err": float(got["mag_err"]),
+            "catalog_ID": int(got["catalog_ID"])}
+    out["panstarrs_selection"] = ps_out
 
     FIXTURE.parent.mkdir(parents=True, exist_ok=True)
     FIXTURE.write_text(json.dumps(out, indent=1))
