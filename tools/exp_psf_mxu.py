@@ -206,79 +206,12 @@ def main():
             return (amps * jnp.cos(ay), amps * jnp.sin(ay),
                     jnp.cos(ax), jnp.sin(ax))
 
-        def render_low(free, c=c2):
-            u_re, u_im, v_re, v_im = ramps_l(free, c)
-            R1 = c["Ayp"] * u_re[..., None, :] \
-                - c["Byp"] * u_im[..., None, :]
-            I1 = c["Ayp"] * u_im[..., None, :] \
-                + c["Byp"] * u_re[..., None, :]
-            S_re = c["t_re"][:, None]
-            S_im = c["t_im"][:, None]
-            Tr = jnp.einsum("...yk,...kj->...yj", R1, S_re,
-                            precision=prec) \
-                - jnp.einsum("...yk,...kj->...yj", I1, S_im,
-                             precision=prec)
-            Ti = jnp.einsum("...yk,...kj->...yj", R1, S_im,
-                            precision=prec) \
-                + jnp.einsum("...yk,...kj->...yj", I1, S_re,
-                             precision=prec)
-            U = Tr * v_re[..., None, :] - Ti * v_im[..., None, :]
-            V = Tr * v_im[..., None, :] + Ti * v_re[..., None, :]
-            return jnp.einsum("...yj,jx->...yx", U, c["Cxp"],
-                              precision=prec) \
-                - jnp.einsum("...yj,jx->...yx", V, c["Sxp"],
-                             precision=prec)
-
-        def loss_low(free, c=c2):
-            out = render_low(free, c)
-            return jnp.sum(out * out)
-
-        ms = 1e3 * time_vg_loop(jax.value_and_grad(loss_low), free0, c2,
-                                n_rep=200)
-        # semantic delta: this inline ramp builder has no r-kernel /
-        # centre-phase folding, so compare LIKE against LIKE by
-        # rendering the SAME bare-ramp model at L = 2m — pooled renders
-        # of the same Moffat PSFs shifted by the same sub-pixel offsets
-        cb = build_consts(2 * m)
-        out_low = np.asarray(jax.jit(render_low)(free0, c2))
-
-        def render_ref_bare(free):
-            u_re, u_im, v_re, v_im = ramps_l(free, cb, 2 * m)
-            R1 = cb["Ayp"] * u_re[..., None, :] \
-                - cb["Byp"] * u_im[..., None, :]
-            I1 = cb["Ayp"] * u_im[..., None, :] \
-                + cb["Byp"] * u_re[..., None, :]
-            S_re = cb["t_re"][:, None]
-            S_im = cb["t_im"][:, None]
-            Tr = jnp.einsum("...yk,...kj->...yj", R1, S_re,
-                            precision=prec) \
-                - jnp.einsum("...yk,...kj->...yj", I1, S_im,
-                             precision=prec)
-            Ti = jnp.einsum("...yk,...kj->...yj", R1, S_im,
-                            precision=prec) \
-                + jnp.einsum("...yk,...kj->...yj", I1, S_re,
-                             precision=prec)
-            U = Tr * v_re[..., None, :] - Ti * v_im[..., None, :]
-            V = Tr * v_im[..., None, :] + Ti * v_re[..., None, :]
-            return jnp.einsum("...yj,jx->...yx", U, cb["Cxp"],
-                              precision=prec) \
-                - jnp.einsum("...yj,jx->...yx", V, cb["Sxp"],
-                             precision=prec)
-
-        out_ref = np.asarray(jax.jit(render_ref_bare)(free0))
-        delta = float(np.max(np.abs(out_low - out_ref)))
-        flux_rel = float(np.max(np.abs(
-            out_low.sum((-1, -2)) / out_ref.sum((-1, -2)) - 1.0)))
-        print(json.dumps({"variant": f"lowpad{pad}",
-                          "vg_ms": round(ms, 4),
-                          "semantic_max_abs_delta": delta,
-                          "flux_rel_delta_max": flux_rel}), flush=True)
-
-        # composed variants: reduced padding + the stage-2 rewrites that
-        # measured ~6% faster on-chip at full padding (fullw, transp) —
-        # do the scheduling wins survive the smaller (K=81, N=64) shape?
-        def stage1_low(free, c=c2):
-            u_re, u_im, v_re, v_im = ramps_l(free, c)
+        # ONE parameterized stage-1 body (modulate + k-contraction):
+        # every variant below (timed lowpad render, the L=2m semantic
+        # reference, the composed scheduling rewrites) derives from it,
+        # so a fix to the sign-sensitive stacking lands once
+        def stage1_bare(free, c, L):
+            u_re, u_im, v_re, v_im = ramps_l(free, c, L)
             R1 = c["Ayp"] * u_re[..., None, :] \
                 - c["Byp"] * u_im[..., None, :]
             I1 = c["Ayp"] * u_im[..., None, :] \
@@ -296,6 +229,47 @@ def main():
             U = Tr * v_re[..., None, :] - Ti * v_im[..., None, :]
             V = Tr * v_im[..., None, :] + Ti * v_re[..., None, :]
             return U, V
+
+        def render_bare(free, c, L):
+            U, V = stage1_bare(free, c, L)
+            return jnp.einsum("...yj,jx->...yx", U, c["Cxp"],
+                              precision=prec) \
+                - jnp.einsum("...yj,jx->...yx", V, c["Sxp"],
+                             precision=prec)
+
+        def render_low(free, c=c2):
+            return render_bare(free, c, L2)
+
+        def loss_low(free, c=c2):
+            out = render_low(free, c)
+            return jnp.sum(out * out)
+
+        ms = 1e3 * time_vg_loop(jax.value_and_grad(loss_low), free0, c2,
+                                n_rep=200)
+        # semantic delta: this inline ramp builder has no r-kernel /
+        # centre-phase folding, so compare LIKE against LIKE by
+        # rendering the SAME bare-ramp model at L = 2m — pooled renders
+        # of the same Moffat PSFs shifted by the same sub-pixel offsets
+        cb = build_consts(2 * m)
+        out_low = np.asarray(jax.jit(render_low)(free0, c2))
+
+        def render_ref_bare(free, cb=cb):
+            return render_bare(free, cb, 2 * m)
+
+        out_ref = np.asarray(jax.jit(render_ref_bare)(free0))
+        delta = float(np.max(np.abs(out_low - out_ref)))
+        flux_rel = float(np.max(np.abs(
+            out_low.sum((-1, -2)) / out_ref.sum((-1, -2)) - 1.0)))
+        print(json.dumps({"variant": f"lowpad{pad}",
+                          "vg_ms": round(ms, 4),
+                          "semantic_max_abs_delta": delta,
+                          "flux_rel_delta_max": flux_rel}), flush=True)
+
+        # composed variants: reduced padding + the stage-2 rewrites that
+        # measured ~6% faster on-chip at full padding (fullw, transp) —
+        # do the scheduling wins survive the smaller (K=81, N=64) shape?
+        def stage1_low(free, c=c2):
+            return stage1_bare(free, c, L2)
 
         def render_low_fullw(free, c=c2):
             U, V = stage1_low(free, c)
