@@ -247,6 +247,30 @@ class TestCosmics:
             img, invar=np.ones_like(img))
         assert mask.shape == img.shape and cleaned.shape == img.shape
 
+    def test_selftest_stamp_amortizes_and_invalidates(self):
+        """The SIGILL-guard subprocess selftest runs once per build:
+        a valid stamp (so-hash + host CPU identity) skips it, and any
+        change to the cached binary invalidates the stamp."""
+        import lightcurver_tpu.native as nat
+
+        if nat.load() is None:
+            pytest.skip("native backend unavailable (no toolchain)")
+        lib_path = nat._lib_path()
+        # load() stamps after compiling or after one passing selftest
+        assert nat._stamp_path(lib_path).exists()
+        assert nat._stamp_valid(lib_path)
+        # the stamp is bound to the exact binary bytes
+        stamp = nat._stamp_path(lib_path)
+        original = stamp.read_text()
+        try:
+            stamp.write_text(original.replace(original[0],
+                                              "0" if original[0] != "0"
+                                              else "1", 1))
+            assert not nat._stamp_valid(lib_path)
+        finally:
+            stamp.write_text(original)
+        assert nat._stamp_valid(lib_path)
+
 
 class TestCutout:
     def test_extract_stamp_centering_and_noise(self):
