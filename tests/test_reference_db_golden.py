@@ -69,6 +69,9 @@ def ours(tmp_path, monkeypatch):
         zp.calculate_zeropoints, str(db_path))
     out["normalization"] = rec.run_normalization_scenario(
         norm.calculate_coefficient, str(db_path))
+    out["gaia_bands"] = rec.run_gaia_band_scenario(
+        gaia_mags.save_gaia_catalog_photometry_to_database, cfg,
+        str(db_path))
     return out
 
 
@@ -142,3 +145,22 @@ def test_normalization_task_matches_reference(golden, ours):
     frame2 = next(r for r in ref if r[0] == 2)
     assert frame2[3] == pytest.approx(0.1 * frame2[2])
     assert next(r for r in ref if r[0] == 3)[2:] == [1.1, 0.011]
+
+
+def test_gaia_band_polynomials_match_reference(golden, ours):
+    """Every row of the Gaia colour-transform table — all eight bands,
+    not just the configured r_sdss the zeropoint chain exercises —
+    reproduces the reference's own polynomial evaluation (reference
+    utilities/absolute_magnitudes_from_gaia.py:17-26, Gaia EDR3
+    photometric relations tables 5.6/5.7)."""
+    import numpy as np
+
+    ref = golden["gaia_bands"]
+    got = ours["gaia_bands"]
+    assert set(got) == set(ref)
+    for band in ref:
+        assert len(got[band]) == len(ref[band]) == 2, band
+        for row_got, row_ref in zip(got[band], ref[band]):
+            assert row_got[:2] == row_ref[:2], band
+            np.testing.assert_allclose(row_got[2:], row_ref[2:],
+                                       rtol=1e-12, err_msg=band)

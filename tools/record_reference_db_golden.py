@@ -239,6 +239,43 @@ def run_normalization_scenario(calculate_coefficient, db_path):
     return [list(r) for r in rows]
 
 
+# every row of the Gaia colour-transform polynomial table (reference
+# utilities/absolute_magnitudes_from_gaia.py:17-26)
+GAIA_BANDS = ["r_sdss", "i_sdss", "g_sdss", "V", "R", "Ic", "V_T", "B_T"]
+
+
+def run_gaia_band_scenario(save_gaia_fn, cfg, db_path):
+    """Pin the Gaia colour-transform polynomial for EVERY supported band.
+
+    The zeropoint scenario only exercises the configured r_sdss row; a
+    transcription error in any of the other seven coefficient rows
+    (reference utilities/absolute_magnitudes_from_gaia.py:17-26, tables
+    5.6/5.7 of the Gaia EDR3 photometric relations) would go unnoticed.
+    Runs the save function per band on stars g1/g2 (distinct bp-rp
+    colours) and records the stored magnitudes.
+    """
+    conn = sqlite3.connect(db_path)
+    out = {}
+    original_band = cfg["photometric_band"]
+    try:
+        for band in GAIA_BANDS:
+            cfg["photometric_band"] = band
+            conn.execute("DELETE FROM catalog_star_photometry"
+                         " WHERE catalog = 'gaia'")
+            conn.commit()
+            for gid in ("g1", "g2"):
+                save_gaia_fn(gid)
+            rows = conn.execute(
+                "SELECT star_gaia_id, band, mag, mag_err"
+                " FROM catalog_star_photometry WHERE catalog = 'gaia'"
+                " ORDER BY star_gaia_id").fetchall()
+            out[band] = [list(r) for r in rows]
+    finally:
+        cfg["photometric_band"] = original_band
+        conn.close()
+    return out
+
+
 def _stars_record(df, ordered):
     """Canonical JSON form of a star-selection result.
 
@@ -352,6 +389,8 @@ def main(reference_dir="/root/reference"):
             refzp.calculate_zeropoints, db)
         out["normalization"] = run_normalization_scenario(
             refnorm.calculate_coefficient, db)
+        out["gaia_bands"] = run_gaia_band_scenario(
+            refgaia.save_gaia_catalog_photometry_to_database, cfg, db)
     out["_provenance"] = ("computed by the reference implementation at "
                           f"{reference_dir} (astropy/shapely/starred "
                           "stubbed; sqlite3+pandas only)")
