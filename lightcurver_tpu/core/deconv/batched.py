@@ -165,6 +165,11 @@ def _finalize_one_star(best, history, consts, scale, n_epochs, image_size,
         # the FFT op is slow on TPU and forces an all-gather when the
         # star axis is sharded
         spectra["dft_mats"] = consts["dft_mats"]
+    if "fixed_h_render" in consts:
+        # h is fixed at zero: keep skipping its render chain in the
+        # polish baseline and the residual render too (bit-identical —
+        # the fixed render IS the h channel's value)
+        spectra["fixed_h_render"] = consts["fixed_h_render"]
 
     kwargs = {**best, "kwargs_analytic": {**best["kwargs_analytic"],
                                           **fixed["kwargs_analytic"]}}
@@ -353,7 +358,7 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
 
     from ..optimize import (CheckpointMismatch, _check_ckpt_digest,
                             _load_ckpt_carry, materialize_tree,
-                            replicate_tree)
+                            save_checkpoint)
 
     free0, lower, upper, consts, scale = _prepare_stars(
         data, noisemap, psf, keys, n_epochs, image_size, s,
@@ -362,27 +367,6 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
     shared = _shared_consts(image_size, s, irfft_backend)
     carry = _init_carry_stars(free0, n_iter, lr)
     treedef = jax.tree_util.tree_structure(carry)
-
-    def save_state(done, histories):
-        # sharded carries (multi-host star/epoch meshes) gather first
-        # (a collective — every process joins); only process 0
-        # materializes + writes — checkpoint_path must live on storage
-        # every process can read for a pod-scale resume to be consistent
-        gathered = replicate_tree(carry)
-        if jax.process_index() != 0:
-            return
-        leaves = [np.asarray(x)
-                  for x in jax.tree_util.tree_leaves(gathered)]
-        payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
-        payload["n_iter"] = np.int64(n_iter)
-        payload["done"] = np.int64(done)
-        payload["history"] = np.concatenate(histories, axis=1)
-        if inputs_digest is not None:
-            payload["inputs_digest"] = np.str_(inputs_digest)
-        tmp = str(checkpoint_path) + ".tmp"
-        np.savez(tmp, **payload)
-        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz",
-                   checkpoint_path)
 
     def load_state():
         with np.load(checkpoint_path) as z:
@@ -426,7 +410,9 @@ def _fit_stars_checkpointed(data, noisemap, psf, keys, n_epochs,
         # vmapped scan ys: (S, len); star-sharded on a mesh -> gather
         histories.append(materialize_tree(hist))
         done += length
-        save_state(done, histories)
+        save_checkpoint(checkpoint_path, carry, n_iter, done,
+                        np.concatenate(histories, axis=1),
+                        inputs_digest=inputs_digest)
 
     _, _, best, _ = carry
     history = np.concatenate(histories, axis=1)[:, :n_iter]
@@ -484,7 +470,12 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     bad = ~(np.isfinite(data) & np.isfinite(noisemap))
     data = np.where(bad, np.float32(0.0), data)
     noisemap = np.where(bad, np.float32(1e7), noisemap)
-    psf = np.asarray(psf, dtype=np.float32)
+    # the PSF must be finite too: a single NaN PSF pixel would propagate
+    # through the spectra into NaN models, and the nansum VJP would emit
+    # NaN cotangents into the SHARED parameters (the same failure mode
+    # the all-zero-pad guard in _prepare_one_star prevents) — the star
+    # would silently return its init and the GLS polish would NaN
+    psf = np.nan_to_num(np.asarray(psf, dtype=np.float32))
     n_stars, n_epochs_real, image_size = data.shape[:3]
     from ...ops import get_dft_precision, get_irfft_backend
     from ...parallel.batch import (EPOCH_AXIS, auto_fit_mesh,

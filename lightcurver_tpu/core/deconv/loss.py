@@ -73,7 +73,13 @@ def _build_loss_fn(model_config, use_starlet, use_pos, use_pts,
     m = model.m
     n_sc = n_starlet_scales(m)
     if starlet_backend == "pallas":
-        from ...ops.starlet_op import starlet_transform as _starlet
+        from ...ops.starlet_op import starlet_transform as _starlet_op
+
+        def _starlet(img, n_scales):
+            # force the kernel: the op's default dispatch reads the ops
+            # GLOBAL, which may say 'xla' even though this loss was
+            # cache-keyed (and requested) as pallas
+            return _starlet_op(img, n_scales, backend="pallas")
     else:
         _starlet = starlet_transform
 

@@ -335,6 +335,49 @@ class DeconvModel:
             data = data + fixed_h
         return data + kb["mean"][:, None, None]
 
+    def background_only(self, kwargs, consts=None):
+        """The flux-independent channels: h render + per-epoch mean.
+
+        Numerically identical (up to the sign of exact zeros) to
+        ``model(kwargs)`` with every amplitude zeroed — the
+        zero-amplitude point-source terms are exact IEEE zeros
+        (0 × finite spectra through linear matmuls/FFTs) — at none of
+        the point-source render cost.  Each dispatch branch reproduces
+        the corresponding ``model()`` branch's h expression with the
+        same association order, so the GLS polish baseline
+        (core/fisher.linear_flux_solve) stays value-compatible with the
+        previous model-at-zero-flux formulation.
+        """
+        if consts is None:
+            consts = self.consts()
+        kb = kwargs["kwargs_background"]
+        fixed_h = consts.get("fixed_h_render")
+        mats = consts.get("dft_mats")
+        pooled = mats is not None and "Ayp" in mats
+        if fixed_h is not None:
+            h_part = fixed_h
+        elif pooled and "t_re" in consts:
+            # all-real path: h rides the raw t_re/t_im product — same
+            # expression as _model_all_real with s_re = 0 + hp_re
+            from ...ops.dft import (irfft2_pool_matmul_parts,
+                                    rfft2_pad_matmul_parts)
+
+            m = self.m
+            t_re, t_im = consts["t_re"], consts["t_im"]
+            h = kb["h"].reshape(m, m)
+            h_re, h_im = rfft2_pad_matmul_parts(h, mats)
+            gy_re, gy_im, gx_re, gx_im = conv.grid_center_phase_1d(m)
+            cp_re = gy_re[:, None] * gx_re - gy_im[:, None] * gx_im
+            cp_im = gy_re[:, None] * gx_im + gy_im[:, None] * gx_re
+            hp_re = h_re * cp_re - h_im * cp_im
+            hp_im = h_re * cp_im + h_im * cp_re
+            x_re = hp_re * t_re - hp_im * t_im
+            x_im = hp_re * t_im + hp_im * t_re
+            h_part = irfft2_pool_matmul_parts(x_re, x_im, mats)
+        else:
+            h_part = self._h_render(kb["h"], consts)
+        return h_part + kb["mean"][:, None, None]
+
     def point_source_basis(self, kwargs, consts=None):
         """Unit-flux data-grid images of each source: (N, M, n, n).
 

@@ -40,14 +40,10 @@ def linear_flux_solve(kwargs, data, sigma_2, model, consts=None):
     if consts is None:
         consts = model.consts()
     basis = model.point_source_basis(kwargs, consts)     # (N, M, n, n)
-    zero_flux = {
-        **kwargs,
-        "kwargs_analytic": {
-            **kwargs["kwargs_analytic"],
-            "a": 0.0 * kwargs["kwargs_analytic"]["a"],
-        },
-    }
-    baseline = model.model(zero_flux, consts)            # (N, n, n)
+    # flux-independent channels only — value-identical to rendering the
+    # full model at a = 0 (the zero-amplitude terms are exact zeros)
+    # without paying the point-source render for a known-zero output
+    baseline = model.background_only(kwargs, consts)     # (N, n, n)
     # any-NaN pixels get ZERO weight (the loss's nansum convention);
     # a NaN in sigma_2 or data must not poison the Gram matrix or be
     # counted as a zero residual at full weight

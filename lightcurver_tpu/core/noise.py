@@ -100,6 +100,19 @@ def propagate_noise(model, noisemap, kwargs, wavelet_type_list=("starlet",),
     # mean point-source-channel spectrum across epochs as the effective
     # smoothing operator
     mean_ps_hat = model.consts()["ps_hat"].mean(axis=0)
+    # on the matmul backend the adjoint convolution runs as MXU matmuls
+    # — the TPU FFT op is slow and the 200-500-sample MC pass is called
+    # once per ROI/star-photometry task (the batched pipelines already
+    # thread their own mats into _mc_starlet_noise)
+    from ..ops import get_dft_precision, get_irfft_backend
+
+    dft_mats = dft_precision = None
+    if get_irfft_backend() == "mxu":
+        from ..ops.dft import make_dft_mats
+
+        dft_mats = make_dft_mats(conv.pad_len(m), m)
+        dft_precision = get_dft_precision()
     W = _mc_starlet_noise(sigma, mean_ps_hat, m, s, int(num_samples),
-                          int(n_scales), jax.random.PRNGKey(int(seed)))
+                          int(n_scales), jax.random.PRNGKey(int(seed)),
+                          dft_mats=dft_mats, dft_precision=dft_precision)
     return [W]

@@ -600,6 +600,40 @@ def materialize_tree(tree):
     return jax.tree_util.tree_map(np.asarray, replicate_tree(tree))
 
 
+def save_checkpoint(path, carry, n_iter, done, history,
+                    inputs_digest=None):
+    """Write a mid-fit checkpoint: leaves-only npz, atomic replace.
+
+    The SINGLE writer for both the single-fit
+    (:func:`run_adabelief_checkpointed`) and batched-star
+    (core/deconv/batched._fit_stars_checkpointed) paths — the load side
+    is already shared (_load_ckpt_carry/_check_ckpt_digest), and a
+    payload-format change applied to only one writer would break
+    resumes asymmetrically between them.  Sharded carries gather first
+    (multi-host: a COLLECTIVE — every process must call this); only
+    process 0 materializes + writes, so ``path`` must live on storage
+    every process can read for a pod-scale resume to be consistent.
+    """
+    import os
+
+    import numpy as np
+
+    gathered = replicate_tree(carry)
+    if jax.process_index() != 0:
+        return
+    leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(gathered)]
+    payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+    payload["n_iter"] = np.int64(n_iter)
+    payload["done"] = np.int64(done)
+    payload["history"] = np.asarray(history)
+    if inputs_digest is not None:
+        payload["inputs_digest"] = np.str_(inputs_digest)
+    tmp = str(path) + ".tmp"
+    np.savez(tmp, **payload)
+    # np.savez appends .npz to names without it
+    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
+
+
 def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                                checkpoint_path, init_learning_rate=1e-3,
                                schedule_learning_rate=True, consts=None,
@@ -648,27 +682,6 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
                 jnp.asarray(jnp.inf, dtype=jnp.float32))
 
     treedef = jax.tree_util.tree_structure(fresh_carry())
-
-    def save_state(path, carry, done, history):
-        # sharded carries gather first (multi-host, a collective —
-        # every process joins); only process 0 materializes + writes —
-        # checkpoint_path must live on storage every process can read
-        # for a pod-scale resume to be consistent
-        gathered = replicate_tree(carry)
-        if jax.process_index() != 0:
-            return
-        leaves = [np.asarray(x)
-                  for x in jax.tree_util.tree_leaves(gathered)]
-        payload = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
-        payload["n_iter"] = np.int64(n_iter)
-        payload["done"] = np.int64(done)
-        payload["history"] = np.asarray(history)
-        if inputs_digest is not None:
-            payload["inputs_digest"] = np.str_(inputs_digest)
-        tmp = str(path) + ".tmp"
-        np.savez(tmp, **payload)
-        # np.savez appends .npz to names without it
-        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
 
     def load_state(path):
         try:
@@ -722,8 +735,9 @@ def run_adabelief_checkpointed(loss_fn, free0, lower, upper, n_iter,
         histories.append(np.asarray(hist))
         done += length
         if checkpoint_path is not None:
-            save_state(checkpoint_path, carry, done,
-                       np.concatenate(histories))
+            save_checkpoint(checkpoint_path, carry, n_iter, done,
+                            np.concatenate(histories),
+                            inputs_digest=inputs_digest)
 
     history = np.concatenate(histories)[:n_iter]
     final_params, _, best_params, _ = carry
@@ -738,6 +752,11 @@ def relative_loss_differential(loss_history):
 
     lh = np.asarray(loss_history)
     idx = int(0.9 * lh.size)
+    if idx == 0 or idx == lh.size:
+        # a history shorter than 2 entries (smoke/debug n_iter=1) has
+        # no "last 10%" to compare — report a flat plateau instead of
+        # crashing the task's DB storage on a zero-size reduction
+        return 0.0
     initial = np.nanmax(lh[:idx]) - np.nanmin(lh[:idx])
     end = np.nanmax(lh[idx:]) - np.nanmin(lh[idx:])
     if initial == 0:

@@ -103,12 +103,6 @@ class Params:
         """Full kwargs from a free pytree (jit-safe)."""
         return merge_free(free, self.fixed)
 
-    def project(self, free):
-        """Clip a free pytree into the box bounds (jit-safe)."""
-        import jax
-
-        return jax.tree_util.tree_map(jnp.clip, free, self.lower, self.upper)
-
     def set_best(self, free):
         self._best_free = free
 

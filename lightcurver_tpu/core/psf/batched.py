@@ -252,6 +252,14 @@ def build_psf_batched(images, noisemaps, subsampling_factor, masks=None,
     n_frames, n_stars, n_pix = images.shape[:3]
     if masks is None:
         masks = np.isfinite(images)
+    else:
+        # compose with, never replace, the finite guard: a user mask
+        # marking a NaN pixel good would otherwise enter the fit as a
+        # zero-flux measurement at full weight (nan_to_num in
+        # _fit_one_frame) — same joint sanitization as build_psf and
+        # deconv/batched.fit_stars_batched
+        masks = np.asarray(masks, dtype=bool) & np.isfinite(images) \
+            & np.isfinite(np.asarray(noisemaps, dtype=np.float32))
     if stamp_coordinates is None:
         stamp_coordinates = np.zeros((n_frames, n_stars, 2), np.float32)
     if guess_fwhm_pixels is None:

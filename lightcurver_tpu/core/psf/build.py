@@ -331,10 +331,16 @@ def build_psf(image, noisemap, subsampling_factor, n_iter_analytic=100,
     s = int(subsampling_factor)
     m = n_pix * s
     if masks is None:
-        # same default as build_psf_batched: a NaN datum with finite
-        # noise must not enter the fit as a zero-flux measurement at
-        # full weight
         masks = np.isfinite(image)
+    else:
+        # the finite guard composes with a user mask rather than being
+        # replaced by it: a cosmics mask that marks a NaN pixel good
+        # would otherwise turn it (via nan_to_num below) into a
+        # zero-flux measurement at full weight — the exact bias the
+        # isfinite default prevents (same joint sanitization as
+        # deconv/batched.fit_stars_batched)
+        masks = np.asarray(masks, dtype=bool) & np.isfinite(image) \
+            & np.isfinite(noisemap)
     masks_j = jnp.asarray(np.asarray(masks, dtype=bool))
 
     scale = float(np.nanmax(np.where(masks, image, np.nan)))

@@ -52,10 +52,17 @@ def _bwd(n_scales, _residuals, g):
 _starlet_pallas_ad.defvjp(_fwd, _bwd)
 
 
-def starlet_transform(img, n_scales=None):
-    """Backend-dispatching starlet decomposition (see ops.set_backend)."""
+def starlet_transform(img, n_scales=None, backend=None):
+    """Backend-dispatching starlet decomposition.
+
+    ``backend`` None dispatches on the ops global (ops.set_backend); an
+    explicit 'pallas'/'xla' wins over the global — a caller constructed
+    with a specific backend key (core/deconv/loss._build_loss_fn) must
+    run that implementation, not silently fall through to whatever the
+    global happens to be.
+    """
     if n_scales is None:
         n_scales = n_starlet_scales(img.shape[-1])
-    if get_backend() == "pallas":
+    if (backend or get_backend()) == "pallas":
         return _starlet_pallas_ad(img, n_scales)
     return _starlet_jnp(img, n_scales=n_scales)

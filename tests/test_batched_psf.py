@@ -157,3 +157,24 @@ def test_reduced_dft_padding_model_operator_exact():
     # the unit-sum PSF peaks near 6e-3, so scale the f32-noise bound
     # by the peak with a 1e-4 factor (absolute delta measured ~3e-7)
     assert np.abs(fp_red - fp_full).max() < 1e-4 * np.abs(fp_full).max()
+
+
+def test_user_mask_composes_with_finite_guard(frames):
+    """Same contract as build_psf (tests/test_nan_robustness.py): a
+    user mask marking a NaN pixel good must compose with the finite
+    guard, not replace it — the tiny-sigma NaN pixel would otherwise
+    enter as a zero-flux measurement at weight 1/1e-12 and explode the
+    frame's chi2."""
+    from lightcurver_tpu.core.psf.batched import build_psf_batched
+
+    data = np.stack([f["data"] for f in frames])
+    sigma = np.stack([f["sigma"] for f in frames])
+    masks = np.ones_like(data, dtype=bool)
+    data = data.copy()
+    sigma = sigma.copy()
+    data[1, 2, 12, 12] = np.nan        # frame 1, star 2, central pixel
+    sigma[1, 2, 12, 12] = 1e-6
+    out = build_psf_batched(data, sigma, 2, masks=masks,
+                            n_iter_analytic=20, n_iter_adabelief=60)
+    assert np.isfinite(out["chi2"]).all()
+    assert (out["chi2"] < 10.0).all()

@@ -159,3 +159,53 @@ def test_batched_checkpoint_refuses_flipped_fit_flag(tmp_path):
             checkpoint_path=str(ckpt), checkpoint_every=50),
         ckpt, logging.getLogger("test.flagflip"))
     assert np.isfinite(out["fluxes"]).all()
+
+
+def test_fit_stars_batched_nan_psf_pixel_does_not_poison_fit():
+    """A single NaN PSF pixel must not NaN the spectra: the nansum VJP
+    would emit NaN cotangents into the SHARED parameters and the whole
+    star would silently return its init (round-4 core review)."""
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+    from lightcurver_tpu.utilities.synthetic import make_star_stamps
+
+    st = make_star_stamps(n_stars=8, n_pix=16, s=2, seed=9,
+                          fwhm_x=2.6, fwhm_y=2.6)
+    m = st["psf_true"].shape[-1]
+    psf = np.broadcast_to(st["psf_true"], (8, m, m)).copy()
+    clean = fit_stars_batched(st["data"][None], st["sigma"][None],
+                              psf[None], 2, n_iter=300, mesh=None)
+
+    poked = psf.copy()
+    poked[3, 0, 0] = np.nan            # epoch 3, corner PSF pixel
+    out = fit_stars_batched(st["data"][None], st["sigma"][None],
+                            poked[None], 2, n_iter=300, mesh=None)
+    assert np.isfinite(out["fluxes"]).all()
+    assert np.isfinite(out["fluxes_uncertainties"]).all()
+    # a corner pixel of a normalized PSF carries ~no flux: the fit must
+    # land where the clean one does, not at its init
+    np.testing.assert_allclose(out["fluxes"], clean["fluxes"], rtol=0.02)
+
+
+def test_build_psf_user_mask_composes_with_finite_guard():
+    """A user mask marking a NaN pixel good must not convert it into a
+    zero-flux measurement at full weight — the finite guard composes
+    with (never gets replaced by) the supplied mask.  Discriminator:
+    the NaN pixel gets a tiny noise sigma, so the pre-fix behavior
+    (nan_to_num -> data 0 at weight 1/1e-12) would explode the chi2 by
+    many orders of magnitude, while the composed mask excludes the
+    pixel and the fit stays ordinary."""
+    from lightcurver_tpu.core.psf.build import build_psf
+    from lightcurver_tpu.utilities.synthetic import make_star_stamps
+
+    st = make_star_stamps(n_stars=4, n_pix=16, s=2, seed=13,
+                          fwhm_x=2.6, fwhm_y=2.6)
+    masks = np.ones_like(st["data"], dtype=bool)   # everything "good"
+    poked = st["data"].copy()
+    sigma = st["sigma"].copy()
+    poked[1, 8, 8] = np.nan            # bright central pixel, star 1
+    sigma[1, 8, 8] = 1e-6
+    out = build_psf(poked, sigma, 2, masks=masks.copy(),
+                    n_iter_analytic=60, n_iter_adabelief=120)
+    assert np.isfinite(out["chi2"])
+    assert out["chi2"] < 10.0
+    assert np.isfinite(np.asarray(out["narrow_psf"])).all()

@@ -101,3 +101,29 @@ def test_fused_render_interpret_matches_xla():
         mats["Ayp"], mats["Byp"], mats["Cxp"], mats["Sxp"],
         include_h=True, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_explicit_backend_overrides_global(image, monkeypatch):
+    """starlet_transform(backend='pallas') must run the kernel even when
+    the ops GLOBAL says 'xla': a Loss cache-keyed 'pallas'
+    (core/deconv/loss._build_loss_fn) would otherwise silently compare
+    xla against xla in any A/B (round-4 core review)."""
+    from lightcurver_tpu import ops
+    from lightcurver_tpu.ops import starlet_op
+    from lightcurver_tpu.ops.starlet_pallas import starlet_transform_pallas
+
+    calls = []
+
+    def spy(img, n_scales=None):
+        calls.append(n_scales)
+        return starlet_transform_pallas(img, n_scales=n_scales,
+                                        interpret=True)
+
+    monkeypatch.setattr(starlet_op, "starlet_transform_pallas", spy)
+    assert ops.get_backend() == "xla"
+    out = starlet_op.starlet_transform(image, backend="pallas")
+    assert calls == [6]
+    assert out.shape[0] == 7
+    # and without the override the global still rules (xla -> no call)
+    starlet_op.starlet_transform(image)
+    assert calls == [6]
