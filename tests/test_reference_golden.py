@@ -219,3 +219,56 @@ def test_panstarrs_selection_matches_reference(utilities_golden,
         assert got["mag"] == pytest.approx(want["mag"], rel=1e-12)
         assert got["mag_err"] == pytest.approx(want["mag_err"], rel=1e-12)
         assert int(got["catalog_ID"]) == want["catalog_ID"]
+
+
+def test_panstarrs_sentinel_divergence_documented(utilities_golden,
+                                                  monkeypatch):
+    """PS1 -999 sentinels: pin the reference's recorded behavior AND our
+    deliberate divergence.
+
+    MAST can serve -999.0 as a plain float for missing PS1 photometry.
+    The fixture (recorded by running the REFERENCE's own
+    photometric_selection_heuristic, reference
+    utilities/absolute_magnitudes_from_panstarrs.py:118-143) shows the
+    reference's truthiness check passing the sentinel through: it would
+    store mag = -999, mag_err = -999, and even blend a sentinel into a
+    composite (c-band: -481.299).  Ours validates values (finite,
+    mag > -100, err > 0) and rejects those rows; conversely an exact
+    0.0 magnitude is falsy ("missing") to the reference but a valid
+    measurement to us.  Documented in PARITY.md ("Pan-STARRS sentinel
+    handling"); this test fails if EITHER side's behavior drifts.
+    """
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import (
+        panstarrs_sentinel_scenarios)
+
+    import lightcurver_tpu.utilities.absolute_magnitudes_from_panstarrs \
+        as ps
+
+    golden = utilities_golden["panstarrs_selection_sentinel"]
+    # the recorded REFERENCE behavior: sentinels pass its truthiness cut
+    assert golden["sentinel_neg999_requested"]["mag"] == -999.0
+    assert golden["sentinel_neg999_err_only"]["mag_err"] == -999.0
+    assert golden["sentinel_composite_c"]["mag"] == pytest.approx(
+        0.49 * -999.0 + 0.51 * 16.1, rel=1e-12)
+    assert golden["sentinel_zero_mag"] is None
+
+    ours = {}
+    for sc in panstarrs_sentinel_scenarios():
+        monkeypatch.setattr(
+            ps, "get_user_config",
+            lambda band=sc["band"]: {"photometric_band": band})
+        ours[sc["name"]] = ps.photometric_selection_heuristic(
+            pd.DataFrame(sc["rows"]))
+    # our deliberate divergence: reject every -999 sentinel row ...
+    assert ours["sentinel_neg999_requested"] is None
+    assert ours["sentinel_neg999_err_only"] is None
+    assert ours["sentinel_composite_c"] is None
+    # ... and accept an exact 0.0 magnitude with a valid error
+    assert ours["sentinel_zero_mag"] is not None
+    assert ours["sentinel_zero_mag"]["mag"] == 0.0
+    assert ours["sentinel_zero_mag"]["mag_err"] == pytest.approx(0.05)

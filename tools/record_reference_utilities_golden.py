@@ -140,6 +140,41 @@ def panstarrs_scenarios():
     ]
 
 
+def panstarrs_sentinel_scenarios():
+    """PS1 sentinel rows where the implementations DELIBERATELY diverge.
+
+    MAST sometimes serves -999.0 as a plain (unmasked) float for
+    missing PS1 photometry.  The reference's availability check is cell
+    truthiness (reference
+    utilities/absolute_magnitudes_from_panstarrs.py:118), so -999.0 is
+    "available" and flows into the stored magnitude, while an exact 0.0
+    magnitude is "missing".  Our implementation validates the values
+    (finite, mag > -100, err > 0) instead.  These scenarios are
+    recorded with the reference's OWN code to pin its behavior, and the
+    matching test asserts our documented divergence (PARITY.md,
+    "Pan-STARRS sentinel handling") — NOT equality.
+    """
+    return [
+        # requested band carried as a -999 sentinel: reference stores
+        # mag = mag_err = -999; we reject the band
+        {"name": "sentinel_neg999_requested", "band": "r_panstarrs",
+         "rows": [_ps_row(901, 60, r=-999.0, rerr=-999.0)]},
+        # valid magnitude, sentinel ERROR: the reference checks only the
+        # magnitude cell and stores mag_err = -999; we reject
+        {"name": "sentinel_neg999_err_only", "band": "r_panstarrs",
+         "rows": [_ps_row(902, 60, r=15.8, rerr=-999.0)]},
+        # composite c with a sentinel g constituent: the reference
+        # blends the sentinel into the combination; we reject
+        {"name": "sentinel_composite_c", "band": "c_panstarrs",
+         "rows": [_ps_row(903, 60, g=-999.0, gerr=-999.0, r=16.1,
+                          rerr=0.017)]},
+        # exact 0.0 magnitude with a valid error: falsy for the
+        # reference (band "missing"); a valid value for us
+        {"name": "sentinel_zero_mag", "band": "r_panstarrs",
+         "rows": [_ps_row(904, 60, r=0.0, rerr=0.05)]},
+    ]
+
+
 def make_inputs():
     """Deterministic synthetic inputs shared by recorder and test."""
     rng = np.random.default_rng(42)
@@ -301,6 +336,17 @@ def main(reference_dir="/root/reference"):
             "mag_err": float(got["mag_err"]),
             "catalog_ID": int(got["catalog_ID"])}
     out["panstarrs_selection"] = ps_out
+
+    sent_out = {}
+    for sc in panstarrs_sentinel_scenarios():
+        refps.get_user_config = (
+            lambda band=sc["band"]: {"photometric_band": band})
+        got = refps.photometric_selection_heuristic(_FakeTable(sc["rows"]))
+        sent_out[sc["name"]] = None if got is None else {
+            "band": got["band"], "mag": float(got["mag"]),
+            "mag_err": float(got["mag_err"]),
+            "catalog_ID": int(got["catalog_ID"])}
+    out["panstarrs_selection_sentinel"] = sent_out
 
     FIXTURE.parent.mkdir(parents=True, exist_ok=True)
     FIXTURE.write_text(json.dumps(out, indent=1))
