@@ -272,3 +272,34 @@ def test_panstarrs_sentinel_divergence_documented(utilities_golden,
     assert ours["sentinel_zero_mag"] is not None
     assert ours["sentinel_zero_mag"]["mag"] == 0.0
     assert ours["sentinel_zero_mag"]["mag_err"] == pytest.approx(0.05)
+
+
+def test_user_config_derivation_matches_reference(utilities_golden,
+                                                  tmp_path):
+    """Config-derivation semantics == the ACTUAL reference.
+
+    Fixture recorded by tools/record_reference_utilities_golden.py
+    running the reference's get_user_config (reference
+    structure/user_config.py:11-85) on synthetic YAML payloads: ROI
+    name/coordinate extraction, raw_dirs promotion, derived
+    workdir-relative paths plus the plots/logs/frames mkdir side
+    effect, stars_to_* character expansion, gaia-vs-panstarrs survey
+    selection with the declination and unknown-band refusals (exact
+    error strings), and the constraints/astrometry defaults.  Our
+    additive keys (psf_dft_pad, checkpoints_dir, ...) are outside the
+    compared set by construction.
+    """
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import (run_user_config,
+                                                   user_config_scenarios)
+
+    from lightcurver_tpu.structure.user_config import get_user_config
+
+    golden = utilities_golden["user_config"]
+    for i, sc in enumerate(user_config_scenarios()):
+        wd = tmp_path / f"wd{i}"
+        wd.mkdir()
+        got = run_user_config(get_user_config, sc, wd)
+        assert got == golden[sc["name"]], sc["name"]

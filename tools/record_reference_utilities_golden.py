@@ -175,6 +175,97 @@ def panstarrs_sentinel_scenarios():
     ]
 
 
+def user_config_scenarios():
+    """Synthetic user-config YAML payloads covering every derivation
+    branch of the reference's get_user_config (reference
+    structure/user_config.py:11-85): ROI-name/coordinate extraction,
+    raw_dirs str-vs-list promotion, derived workdir paths + the mkdir
+    side effect, stars_to_* string->character-list expansion, the
+    gaia/panstarrs survey selection (incl. the declination refusal and
+    the unknown-band refusal), and the constraints/astrometry defaults.
+    """
+    base = {
+        "ROI": {"myquasar": {"coordinates": [141.25, 2.5]}},
+        "raw_dirs": "/data/raw",
+        "workdir": None,                  # recorder/test substitute tmp
+        "stars_to_use_psf": "abcd",
+        "stars_to_use_norm": ["a", "c"],
+        "stars_to_exclude_psf": "bd",
+        "stars_to_exclude_norm": [],
+        "photometric_band": "r_sdss",
+    }
+    return [
+        {"name": "gaia_base", "config": dict(base)},
+        {"name": "raw_dirs_list",
+         "config": {**base, "raw_dirs": ["/data/a", "/data/b"],
+                    "photometric_band": "V_T"}},
+        {"name": "panstarrs_ok",
+         "config": {**base, "photometric_band": "r_panstarrs",
+                    "constraints_on_frame_columns_for_roi":
+                        {"seeing_arcseconds": [0.0, 1.5]},
+                    "fix_point_source_astrometry": True}},
+        {"name": "panstarrs_too_south",
+         "config": {**base, "photometric_band": "i_panstarrs",
+                    "ROI": {"south": {"coordinates": [141.25, -45.0]}}}},
+        {"name": "unknown_band",
+         "config": {**base, "photometric_band": "u_sdss"}},
+    ]
+
+
+# derived keys both implementations must agree on, recorded verbatim
+USER_CONFIG_SHARED_KEYS = (
+    "roi_name", "ROI_ra_deg", "ROI_dec_deg", "photometric_band",
+    "reference_absolute_photometric_survey", "stars_to_use_psf",
+    "stars_to_use_norm", "stars_to_exclude_psf", "stars_to_exclude_norm",
+    "fix_point_source_astrometry", "constraints_on_frame_columns_for_roi",
+    "constraints_on_normalization_coeff",
+)
+# derived Path keys, recorded relative to the workdir
+USER_CONFIG_PATH_KEYS = (
+    "database_path", "plots_dir", "logs_dir", "frames_dir",
+    "regions_path", "psfs_path",
+)
+
+
+def run_user_config(get_user_config_fn, scenario, workdir):
+    """Run a get_user_config implementation on one scenario and return
+    a JSON-comparable dict (shared by the recorder and the test)."""
+    import os
+    import tempfile
+
+    import yaml
+
+    payload = dict(scenario["config"])
+    payload["workdir"] = str(workdir)
+    fd, cfg_path = tempfile.mkstemp(suffix=".yaml")
+    try:
+        with os.fdopen(fd, "w") as f:
+            yaml.safe_dump(payload, f)
+        old = os.environ.get("LIGHTCURVER_CONFIG")
+        os.environ["LIGHTCURVER_CONFIG"] = cfg_path
+        try:
+            config = get_user_config_fn()
+        except RuntimeError as e:
+            return {"error": f"RuntimeError: {e}"}
+        finally:
+            if old is None:
+                os.environ.pop("LIGHTCURVER_CONFIG", None)
+            else:
+                os.environ["LIGHTCURVER_CONFIG"] = old
+    finally:
+        os.unlink(cfg_path)
+
+    out = {k: config[k] for k in USER_CONFIG_SHARED_KEYS}
+    wd = pathlib.Path(workdir)
+    for k in USER_CONFIG_PATH_KEYS:
+        out[k] = str(pathlib.Path(config[k]).relative_to(wd))
+    out["raw_dirs"] = [str(p) for p in config["raw_dirs"]]
+    # the mkdir side effect: directories created under the workdir
+    out["dirs_created"] = sorted(p.name for p in wd.iterdir()
+                                 if p.is_dir())
+    return out
+
+
 def make_inputs():
     """Deterministic synthetic inputs shared by recorder and test."""
     rng = np.random.default_rng(42)
@@ -347,6 +438,19 @@ def main(reference_dir="/root/reference"):
             "mag_err": float(got["mag_err"]),
             "catalog_ID": int(got["catalog_ID"])}
     out["panstarrs_selection_sentinel"] = sent_out
+
+    # user-config derivation semantics, run by the REFERENCE's own code
+    # (pyyaml is real; astropy's SkyCoord is stubbed and excluded from
+    # the recorded keys)
+    import tempfile
+
+    from lightcurver.structure.user_config import get_user_config
+
+    uc_out = {}
+    for sc in user_config_scenarios():
+        with tempfile.TemporaryDirectory() as wd:
+            uc_out[sc["name"]] = run_user_config(get_user_config, sc, wd)
+    out["user_config"] = uc_out
 
     FIXTURE.parent.mkdir(parents=True, exist_ok=True)
     FIXTURE.write_text(json.dumps(out, indent=1))
