@@ -303,3 +303,105 @@ def test_user_config_derivation_matches_reference(utilities_golden,
         wd.mkdir()
         got = run_user_config(get_user_config, sc, wd)
         assert got == golden[sc["name"]], sc["name"]
+
+
+def test_gaia_queries_match_reference(utilities_golden):
+    """Our Gaia/Vizier ADQL == the reference's, token for token.
+
+    Fixture recorded by running the reference's own
+    find_gaia_stars_in_circle/_in_polygon (reference
+    utilities/gaia.py:28-217) with run_query intercepted: table names,
+    quality-cut WHERE fragments and order, CONTAINS geometry, and the
+    Vizier column renames all pinned.  Queries are compared
+    whitespace-normalized (the shared capture helper does this).
+    """
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import capture_gaia_queries
+
+    import lightcurver_tpu.utilities.gaia as our_gaia
+
+    ours = capture_gaia_queries(our_gaia)
+    golden = utilities_golden["gaia_queries"]
+    assert set(ours) == set(golden)
+    for name in golden:
+        assert ours[name] == golden[name], name
+
+
+def test_workflow_shipped_dag_matches_reference(utilities_golden):
+    """The 12-task DAG and its execution order == the reference's.
+
+    shipped_tasks/shipped_order recorded by running the reference's own
+    WorkflowManager.build_dependency_graph + topological_sort (reference
+    pipeline/workflow_manager.py:129-166) on its shipped YAML.
+    """
+    import sys
+
+    import yaml
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import run_topo
+
+    from lightcurver_tpu.pipeline.workflow_manager import WorkflowManager
+
+    golden = utilities_golden["workflow_ordering"]
+    dag_path = (pathlib.Path(__file__).parents[1] / "lightcurver_tpu"
+                / "pipeline" / "pipeline_dependency_graph.yaml")
+    ours_tasks = yaml.safe_load(dag_path.read_text())["tasks"]
+    assert [{"name": t["name"], "dependencies": sorted(t["dependencies"])}
+            for t in ours_tasks] == golden["shipped_tasks"]
+    assert run_topo(WorkflowManager, ours_tasks) == golden["shipped_order"]
+
+
+def test_workflow_ordering_divergence_documented(utilities_golden):
+    """Pin the reference's DAG bugs and assert we diverge correctly.
+
+    The reference's build_dependency_graph (reference
+    pipeline/workflow_manager.py:129-137) OVERWRITES a node created
+    earlier as someone's dependency, dropping its 'next' edges.  Two
+    recorded consequences on synthetic graphs:
+
+    - out_of_order (dependents declared before dependencies): the
+      reference emits 'e' BEFORE its dependencies 'c'/'d' — not a
+      topological order.  Ours must emit a valid one.
+    - cycle (x<->y): the lost edge makes the reference's cycle check
+      pass, so it silently returns ['x', 'y'] and would EXECUTE a
+      cyclic pipeline.  Ours must refuse.
+
+    The shipped YAML declares tasks in dependency order, where both
+    agree exactly (test above) — the divergence is bug-for-bug only.
+    """
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    from record_reference_utilities_golden import (run_topo,
+                                                   workflow_graph_scenarios)
+
+    from lightcurver_tpu.pipeline.workflow_manager import WorkflowManager
+
+    golden = utilities_golden["workflow_ordering"]
+    scenarios = workflow_graph_scenarios()
+
+    # the reference's recorded result is NOT a topological order ...
+    deps = {t["name"]: t["dependencies"]
+            for t in scenarios["out_of_order"]}
+    ref_pos = {n: i for i, n in enumerate(golden["out_of_order"])}
+    assert sorted(ref_pos) == sorted(deps)
+    assert any(ref_pos[d] > ref_pos[n]
+               for n, ds in deps.items() for d in ds), \
+        "reference output became topological; divergence note is stale"
+
+    # ... ours is: same task set, every dependency before its dependent
+    ours = run_topo(WorkflowManager, scenarios["out_of_order"])
+    assert sorted(ours) == sorted(deps)
+    our_pos = {n: i for i, n in enumerate(ours)}
+    for n, ds in deps.items():
+        for d in ds:
+            assert our_pos[d] < our_pos[n], (d, n)
+
+    # cycle: reference silently returns a bogus order; ours raises
+    assert golden["cycle"] == ["x", "y"]
+    result = run_topo(WorkflowManager, scenarios["cycle"])
+    assert isinstance(result, dict), "our sort accepted a cyclic graph"
+    assert "cycle" in result["error"].lower()

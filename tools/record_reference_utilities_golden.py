@@ -39,16 +39,45 @@ import pandas as pd
 FIXTURE = (pathlib.Path(__file__).resolve().parents[1] / "tests"
            / "fixtures" / "reference_utilities_golden.json")
 
-# modules the reference imports at module scope that are not installed
-# here and play no role in the functions under test
-_STUBS = [
-    "astropy", "astropy.coordinates", "astropy.units", "astropy.stats",
-    "astropy.time", "astropy.io", "astropy.io.fits", "astropy.wcs",
-    "astropy.table", "astropy.visualization", "shapely",
-    "shapely.geometry", "shapely.ops", "ephem", "ruamel", "ruamel.yaml",
-    "astroquery", "astroquery.gaia", "astroquery.mast",
-    "widefield_plate_solver",
-]
+# dependency ROOTS the reference imports that are not installed here and
+# play no role in the functions under test.  A meta-path finder stubs
+# every module under these roots on demand (astropy.nddata, erfa, ... —
+# maintaining an explicit submodule list broke every time a new
+# reference module was pinned); everything else imports for real, so
+# installed packages' optional-dependency probes (scipy's uarray,
+# pandas' pytz) behave normally.
+STUB_ROOTS = frozenset({
+    "astropy", "erfa", "ccdproc", "photutils", "astroquery",
+    "astroalign", "astroscrappy", "sep", "shapely", "ephem", "starred",
+    "widefield_plate_solver", "ruamel",
+})
+
+
+def install_reference_stubs():
+    """Make every module under STUB_ROOTS import as a MagicMock."""
+    import importlib.abc
+    import importlib.machinery
+    from unittest import mock
+
+    class _StubLoader(importlib.abc.Loader):
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    class _StubFinder(importlib.abc.MetaPathFinder):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in STUB_ROOTS:
+                return importlib.machinery.ModuleSpec(
+                    name, _StubLoader(), is_package=True)
+            return None
+
+    sys.meta_path.insert(0, _StubFinder())
 
 
 class _FakeRow:
@@ -266,6 +295,113 @@ def run_user_config(get_user_config_fn, scenario, workdir):
     return out
 
 
+def gaia_query_scenarios():
+    """Gaia/Vizier star-query construction scenarios (recorder + test).
+
+    The ADQL text built by the reference's find_gaia_stars_in_circle /
+    _in_polygon (reference utilities/gaia.py:28-217) IS the calibration
+    -star selection contract: table names (gaiadr3.gaia_source vs the
+    Vizier I/355 mirror with its renamed columns), quality-cut WHERE
+    fragments and their order, and the CONTAINS geometry.  Queries are
+    compared whitespace-normalized (' '.join(q.split())) — the two
+    implementations format the surrounding SELECT differently but must
+    agree on every token.
+    """
+    circle = {"center": (141.25, 2.5), "radius": 0.1}
+    poly = [(10.0, -1.0), (10.2, -1.0), (10.2, -0.8), (10.0, -0.8)]
+    return [
+        {"name": "circle_gaia_all", "region": "circle", "args": (circle,),
+         "kwargs": {"gaia_provider": "gaia",
+                    "astrometric_excess_noise_max": 2.0,
+                    "gmag_range": (16.0, 20.0),
+                    "min_phot_g_mean_flux_over_error": 100.0}},
+        {"name": "circle_vizier_all", "region": "circle",
+         "args": (circle,),
+         "kwargs": {"gaia_provider": "vizier",
+                    "astrometric_excess_noise_max": 2.0,
+                    "gmag_range": (16.0, 20.0),
+                    "min_phot_g_mean_flux_over_error": 100.0}},
+        {"name": "circle_gaia_nofilter", "region": "circle",
+         "args": (circle,), "kwargs": {"gaia_provider": "gaia"}},
+        {"name": "polygon_gaia_gmag", "region": "polygon",
+         "args": (poly,),
+         "kwargs": {"gaia_provider": "gaia",
+                    "gmag_range": (15.0, 21.0)}},
+        {"name": "polygon_vizier_aen_floe", "region": "polygon",
+         "args": (poly,),
+         "kwargs": {"gaia_provider": "vizier",
+                    "astrometric_excess_noise_max": 3.5,
+                    "min_phot_g_mean_flux_over_error": 50.0}},
+    ]
+
+
+def capture_gaia_queries(gaia_module):
+    """Run the query builders with run_query intercepted; return
+    {scenario: normalized ADQL} (shared by the recorder and the test)."""
+    captured = {}
+    original = gaia_module.run_query
+
+    def spy(gaia_provider, adql_query):
+        captured["q"] = " ".join(adql_query.split())
+        return None
+
+    gaia_module.run_query = spy
+    try:
+        out = {}
+        for sc in gaia_query_scenarios():
+            fn = (gaia_module.find_gaia_stars_in_circle
+                  if sc["region"] == "circle"
+                  else gaia_module.find_gaia_stars_in_polygon)
+            fn(*sc["args"], **sc["kwargs"])
+            out[sc["name"]] = captured.pop("q")
+        return out
+    finally:
+        gaia_module.run_query = original
+
+
+def workflow_graph_scenarios():
+    """Task-graph orderings for the workflow manager (recorder + test).
+
+    'out_of_order' declares dependents BEFORE their dependencies: the
+    reference's build_dependency_graph (reference
+    pipeline/workflow_manager.py:129-137) OVERWRITES a pre-created
+    dependency node's 'next' edges when the dependency's own task row
+    arrives later, so its "topological sort" emits 'e' before 'c'/'d'
+    — not a topological order at all.  Recorded to pin the divergence:
+    ours preserves the edges and emits a valid order (asserted in the
+    test).  The shipped 12-task YAML declares tasks in dependency
+    order, where both implementations agree exactly.
+    """
+    return {
+        "out_of_order": [
+            {"name": "e", "dependencies": ["c", "d"]},
+            {"name": "c", "dependencies": ["a"]},
+            {"name": "b", "dependencies": []},
+            {"name": "d", "dependencies": ["a", "b"]},
+            {"name": "a", "dependencies": []},
+            {"name": "f", "dependencies": ["b"]},
+        ],
+        "cycle": [
+            {"name": "x", "dependencies": ["y"]},
+            {"name": "y", "dependencies": ["x"]},
+        ],
+    }
+
+
+def run_topo(workflow_manager_class, tasks):
+    """Build + topologically sort a task list on an uninitialized
+    WorkflowManager (no config/DB side effects); returns the order or
+    {'error': message}."""
+    wm = workflow_manager_class.__new__(workflow_manager_class)
+    wm.pipe_config = {"tasks": tasks}
+    wm.task_graph = {}
+    wm.build_dependency_graph()
+    try:
+        return wm.topological_sort()
+    except Exception as e:
+        return {"error": str(e)}
+
+
 def make_inputs():
     """Deterministic synthetic inputs shared by recorder and test."""
     rng = np.random.default_rng(42)
@@ -370,11 +506,8 @@ def _df_to_json(df):
 
 
 def main(reference_dir="/root/reference"):
-    from unittest import mock
-
     sys.path.insert(0, str(reference_dir))
-    for name in _STUBS:
-        sys.modules.setdefault(name, mock.MagicMock())
+    install_reference_stubs()
 
     from scipy.optimize import minimize
     from lightcurver.utilities.lightcurves_postprocessing import (
@@ -451,6 +584,30 @@ def main(reference_dir="/root/reference"):
         with tempfile.TemporaryDirectory() as wd:
             uc_out[sc["name"]] = run_user_config(get_user_config, sc, wd)
     out["user_config"] = uc_out
+
+    # Gaia/Vizier ADQL construction, run by the REFERENCE's own code
+    # with run_query intercepted (no network)
+    import lightcurver.utilities.gaia as refgaia
+
+    out["gaia_queries"] = capture_gaia_queries(refgaia)
+
+    # workflow-manager task ordering, run by the REFERENCE's own code:
+    # the shipped 12-task DAG plus the out-of-order/cycle edge cases
+    import yaml as _yaml
+
+    from lightcurver.pipeline.workflow_manager import WorkflowManager
+
+    graph_path = (pathlib.Path(reference_dir) / "lightcurver" / "pipeline"
+                  / "pipeline_dependency_graph.yaml")
+    shipped = _yaml.safe_load(graph_path.read_text())
+    wf_out = {"shipped_order": run_topo(WorkflowManager, shipped["tasks"]),
+              "shipped_tasks": [
+                  {"name": t["name"],
+                   "dependencies": sorted(t["dependencies"])}
+                  for t in shipped["tasks"]]}
+    for name, tasks in workflow_graph_scenarios().items():
+        wf_out[name] = run_topo(WorkflowManager, tasks)
+    out["workflow_ordering"] = wf_out
 
     FIXTURE.parent.mkdir(parents=True, exist_ok=True)
     FIXTURE.write_text(json.dumps(out, indent=1))
