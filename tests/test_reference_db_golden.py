@@ -72,6 +72,20 @@ def ours(tmp_path, monkeypatch):
     out["gaia_bands"] = rec.run_gaia_band_scenario(
         gaia_mags.save_gaia_catalog_photometry_to_database, cfg,
         str(db_path))
+    out["chi2_bounds"] = rec.run_chi2_scenario(
+        chi2_selector.get_chi2_bounds, cfg)
+
+    from lightcurver_tpu.processes import frame_star_assignment as assign
+
+    db2_path = tmp_path / "assign.sqlite3"
+    db.initialize_database(db2_path)
+    conn = sqlite3.connect(db2_path)
+    rec.assignment_populate(conn)
+    conn.close()
+    cfg2 = {"database_path": str(db2_path)}
+    monkeypatch.setattr(assign, "get_user_config", lambda: cfg2)
+    out["star_assignment"] = rec.run_assignment_scenario(
+        assign.populate_stars_in_frames, str(db2_path))
     return out
 
 
@@ -145,6 +159,51 @@ def test_normalization_task_matches_reference(golden, ours):
     frame2 = next(r for r in ref if r[0] == 2)
     assert frame2[3] == pytest.approx(0.1 * frame2[2])
     assert next(r for r in ref if r[0] == 3)[2:] == [1.1, 0.011]
+
+
+def test_chi2_bounds_match_reference(golden, ours):
+    """The chi2-gate bound derivation — None / sigma_clip / threshold
+    branch dispatch, the per-mode table choice (PSFs vs
+    star_flux_in_frame) and the median +/- k*std formula — reproduces
+    the reference's own outputs (reference utilities/chi2_selector.py:
+    8-48; the sigma-clip core is OUR stats.sigma_clipped_stats on both
+    sides — see tools/record_reference_db_golden.run_chi2_scenario's
+    scope note)."""
+    import numpy as np
+
+    ref = golden["chi2_bounds"]
+    got = ours["chi2_bounds"]
+    assert set(got) == set(ref)
+    for key in ref:
+        np.testing.assert_allclose(got[key], ref[key], rtol=1e-12,
+                                   err_msg=key)
+    # the scenarios exercised the regimes they claim to: sigma=3 keeps
+    # the 3.5 outlier inside wide bounds, sigma=1 clips down to
+    # degenerate zero-width bounds around the surviving median
+    assert ref["psf_sigma3"][1] > 3.5
+    assert ref["psf_sigma1"][0] == ref["psf_sigma1"][1]
+    assert ref["none_psf"] == [-np.inf, np.inf]
+
+
+def test_star_assignment_matches_reference(golden, ours):
+    """The star<->frame assignment — footprint shrink by intersection
+    of four margin-translated copies (RA margin de-projected by
+    cos(dec)), containment per star, star's-own-hash insertion and the
+    IntegrityError continue path — reproduces the reference's own
+    outputs on axis-aligned AND slanted footprint edges (reference
+    processes/frame_star_assignment.py:10-69; the polygon engine is OUR
+    SimplePolygon on both sides via the recorder's shapely stub — the
+    pin covers the task's margin/assignment semantics)."""
+    assert ours["star_assignment"] == golden["star_assignment"]
+    ref = golden["star_assignment"]
+    # the scenario has teeth: in-margin stars excluded on both edge
+    # orientations, their 1.5x-margin twins kept, the other-hash star
+    # inserted with ITS hash, the pre-seeded (1, a1) pair not duplicated
+    assert [1, "a2", 111] not in ref and [1, "a3", 111] in ref
+    assert [1, "a4", 111] not in ref and [1, "a5", 111] in ref
+    assert [2, "a7", 111] not in ref and [2, "a8", 111] in ref
+    assert [1, "a9", 222] in ref
+    assert sum(r == [1, "a1", 111] for r in ref) == 1
 
 
 def test_gaia_band_polynomials_match_reference(golden, ours):

@@ -239,6 +239,182 @@ def run_normalization_scenario(calculate_coefficient, db_path):
     return [list(r) for r in rows]
 
 
+def run_chi2_scenario(get_chi2_bounds, cfg):
+    """Pin the chi2-gate bound derivation (reference
+    utilities/chi2_selector.py:8-48) across every strategy branch.
+
+    Scope note: the sigma_clip branch calls astropy's
+    ``sigma_clipped_stats``; the recorder plugs OUR
+    ``utilities/stats.sigma_clipped_stats`` into the astropy stub, so
+    the clipping core is shared by construction — what this pins is the
+    reference's WRAPPER semantics (which table is queried per mode, the
+    ``median - k*std`` bound formula, the threshold passthrough and the
+    None -> (-inf, inf) branch), composed with a clip implementation our
+    own tests hold to astropy's documented behavior.
+
+    The PSFs chi2 column is [1.3, 1.1, 0.9, 3.5, 1.05, 0.7] (populate());
+    sigma=3 keeps the 3.5 outlier, sigma=1 iteratively clips it — both
+    regimes are recorded.  star_flux_in_frame carries ten chi2=1.0 rows
+    and one 3.0 (the injected bad fit), collapsing the clipped std to 0.
+    """
+    out = {}
+    scenarios = [
+        ("none_psf", "psf", None),
+        ("psf_sigma3", "psf", {"sigma_clip": 3.0}),
+        ("psf_sigma1", "psf", {"sigma_clip": 1.0}),
+        ("fluxes_sigma25", "fluxes", {"sigma_clip": 2.5}),
+        ("threshold_psf", "psf", {"threshold": [0.5, 2.0]}),
+        ("threshold_fluxes", "fluxes", {"threshold": [0.0, 1.5]}),
+    ]
+    for key, mode, conf in scenarios:
+        cfg[f"{mode}_fit_exclude_strategy"] = conf
+        lo, hi = get_chi2_bounds(mode)
+        out[key] = [float(lo), float(hi)]
+    return out
+
+
+# --- star <-> frame assignment scenario -------------------------------
+# Two footprints: an axis-aligned quad (frame 1) and a rotated convex
+# quad (frame 2), with stars placed at 0.5x and 1.5x the 4-arcsec
+# shrink margin from edges so the cross-translated-intersection scheme
+# (reference processes/frame_star_assignment.py:37-67) is pinned on
+# both edge orientations, plus an always-inside star, a fully-outside
+# star, and a second-footprint-hash star (the reference checks EVERY
+# star against every frame and inserts with the star's own hash).
+
+ASSIGN_FP1 = [[150.0, 2.0], [150.1, 2.0], [150.1, 2.1], [150.0, 2.1]]
+ASSIGN_FP2 = [[150.05, 2.02], [150.15, 2.05],
+              [150.12, 2.15], [150.02, 2.12]]
+
+
+def _assignment_stars():
+    import math
+
+    margin = 4.0 / 3600.0                       # the reference's value
+    mean_dec1 = 2.05                            # mean dec of ASSIGN_FP1
+    ra_margin = margin / math.cos(math.radians(mean_dec1))
+    stars = [
+        # (gaia_id, ra, dec, hash) — comments give intent for frame 1
+        ("a1", 150.05, 2.05, HASH_MAIN),                    # deep inside
+        ("a2", 150.0 + 0.5 * ra_margin, 2.05, HASH_MAIN),   # RA edge, in margin
+        ("a3", 150.0 + 1.5 * ra_margin, 2.05, HASH_MAIN),   # RA edge, beyond
+        ("a4", 150.05, 2.0 + 0.5 * margin, HASH_MAIN),      # dec edge, in margin
+        ("a5", 150.05, 2.0 + 1.5 * margin, HASH_MAIN),      # dec edge, beyond
+        ("a6", 150.2, 2.05, HASH_MAIN),                     # fully outside
+        # near frame 2's slanted lower edge (150.05,2.02)->(150.15,2.05):
+        # ~2 arcsec inside (excluded by the shrink) and ~5.4 arcsec
+        # inside (kept) along the inward normal (-0.2873, 0.9578)
+        ("a7", 150.10 - 0.2873 * 0.0006, 2.035 + 0.9578 * 0.0006,
+         HASH_MAIN),
+        ("a8", 150.10 - 0.2873 * 0.0015, 2.035 + 0.9578 * 0.0015,
+         HASH_MAIN),
+        ("a9", 150.05, 2.05, HASH_OTHER),       # other hash, deep inside
+    ]
+    return stars
+
+
+def assignment_populate(conn):
+    """Deterministic rows for the assignment scenario (fresh DB)."""
+    import json as _json
+
+    cur = conn.cursor()
+    cur.execute("INSERT INTO combined_footprint (id, hash) VALUES (1, ?)",
+                (HASH_MAIN,))
+    cur.execute("INSERT INTO combined_footprint (id, hash) VALUES (2, ?)",
+                (HASH_OTHER,))
+    for fid in (1, 2):
+        cur.execute(
+            "INSERT INTO frames (id, mjd, exptime, gain, image_relpath)"
+            " VALUES (?,?,?,?,?)",
+            (fid, 60000.0 + fid, 120.0, 1.6, f"frames/f{fid}.fits"))
+    for fid, poly in ((1, ASSIGN_FP1), (2, ASSIGN_FP2)):
+        cur.execute("INSERT INTO footprints (frame_id, polygon)"
+                    " VALUES (?,?)", (fid, _json.dumps(poly)))
+    for gid, ra, dec, h in _assignment_stars():
+        cur.execute(
+            "INSERT INTO stars (combined_footprint_hash, name, ra, dec,"
+            " gmag, gaia_id, distance_to_roi_arcsec)"
+            " VALUES (?,?,?,?,?,?,?)", (h, gid, ra, dec, 17.0, gid, 10.0))
+    # pre-seeded pair: the populate loop must hit the IntegrityError
+    # continue path (reference frame_star_assignment.py:62-66) and leave
+    # exactly one row
+    cur.execute(
+        "INSERT INTO stars_in_frames (frame_id, star_gaia_id,"
+        " combined_footprint_hash) VALUES (1, 'a1', ?)", (HASH_MAIN,))
+    conn.commit()
+
+
+def run_assignment_scenario(populate_stars_in_frames, db_path):
+    """Run the full assignment task and read back the join table."""
+    populate_stars_in_frames()
+    conn = sqlite3.connect(db_path)
+    rows = conn.execute(
+        "SELECT frame_id, star_gaia_id, combined_footprint_hash"
+        " FROM stars_in_frames"
+        " ORDER BY frame_id, star_gaia_id,"
+        " combined_footprint_hash").fetchall()
+    conn.close()
+    return [list(r) for r in rows]
+
+
+def _shapely_stub_modules():
+    """shapely.{geometry,intersection} stand-ins backed by OUR geometry.
+
+    The reference's assignment task only touches Polygon(vertices),
+    polygon.exterior.xy, Point(x, y).within(polygon) and
+    shapely.intersection(a, b); all four map onto
+    lightcurver_tpu.utilities.geometry.SimplePolygon.  Like shapely,
+    ``exterior.xy`` returns the CLOSED ring (first vertex repeated) —
+    the reference iterates it verbatim when building the translated
+    copies.
+    """
+    import types
+
+    from lightcurver_tpu.utilities.geometry import SimplePolygon
+
+    class _Exterior:
+        def __init__(self, sp):
+            xs = [float(v) for v in sp.vertices[:, 0]]
+            ys = [float(v) for v in sp.vertices[:, 1]]
+            self.xy = (xs + xs[:1], ys + ys[:1])
+
+    class Polygon:
+        def __init__(self, shell):
+            self._sp = SimplePolygon([tuple(p) for p in shell])
+
+        @property
+        def exterior(self):
+            return _Exterior(self._sp)
+
+    class Point:
+        def __init__(self, x, y):
+            self.x, self.y = float(x), float(y)
+
+        def within(self, polygon):
+            if polygon._sp is None:
+                return False
+            return polygon._sp.contains(self.x, self.y)
+
+    def intersection(a, b):
+        out = Polygon.__new__(Polygon)
+        out._sp = (None if a._sp is None or b._sp is None
+                   else a._sp.intersection(b._sp))
+        return out
+
+    geom = types.ModuleType("shapely.geometry")
+    geom.Point, geom.Polygon = Point, Polygon
+    root = types.ModuleType("shapely")
+    root.geometry, root.intersection = geom, intersection
+    # other reference modules (footprint.py, star_querying.py) import
+    # further shapely names at module-import time; they are never CALLED
+    # here, so MagicMock placeholders keep those imports loadable
+    from unittest import mock as _mock
+
+    geom.__getattr__ = lambda name: _mock.MagicMock()
+    root.__getattr__ = lambda name: _mock.MagicMock()
+    return root, geom
+
+
 # every row of the Gaia colour-transform polynomial table (reference
 # utilities/absolute_magnitudes_from_gaia.py:17-26)
 GAIA_BANDS = ["r_sdss", "i_sdss", "g_sdss", "V", "R", "Ic", "V_T", "B_T"]
@@ -359,10 +535,24 @@ def main(reference_dir="/root/reference"):
     from unittest import mock
 
     sys.path.insert(0, str(reference_dir))
+    # repo root (for lightcurver_tpu) — the script usually runs as
+    # `python tools/record_reference_db_golden.py`, whose sys.path[0]
+    # is tools/
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     for name in _STUBS:
         sys.modules.setdefault(name, mock.MagicMock())
+    # plug OUR sigma-clip core into the astropy stub so the reference's
+    # chi2_selector runs its real arithmetic (see run_chi2_scenario)
+    from lightcurver_tpu.utilities.stats import sigma_clipped_stats
+    sys.modules["astropy.stats"].sigma_clipped_stats = sigma_clipped_stats
+    # replace the MagicMock shapely with the SimplePolygon-backed stub so
+    # the reference's assignment task runs its real geometry
+    shp_root, shp_geom = _shapely_stub_modules()
+    sys.modules["shapely"] = shp_root
+    sys.modules["shapely.geometry"] = shp_geom
 
     import lightcurver.processes.absolute_zeropoint_calculation as refzp
+    import lightcurver.processes.frame_star_assignment as refassign
     import lightcurver.processes.normalization_calculation as refnorm
     import lightcurver.processes.roi_file_preparation as refroi
     import lightcurver.structure.database as refdb
@@ -391,6 +581,18 @@ def main(reference_dir="/root/reference"):
             refnorm.calculate_coefficient, db)
         out["gaia_bands"] = run_gaia_band_scenario(
             refgaia.save_gaia_catalog_photometry_to_database, cfg, db)
+        out["chi2_bounds"] = run_chi2_scenario(refchi2.get_chi2_bounds,
+                                               cfg)
+    with tempfile.TemporaryDirectory() as td:
+        db2 = os.path.join(td, "assign.sqlite3")
+        refdb.initialize_database(db2)
+        conn = sqlite3.connect(db2)
+        assignment_populate(conn)
+        conn.close()
+        cfg2 = {"database_path": db2}
+        refassign.get_user_config = lambda: cfg2
+        out["star_assignment"] = run_assignment_scenario(
+            refassign.populate_stars_in_frames, db2)
     out["_provenance"] = ("computed by the reference implementation at "
                           f"{reference_dir} (astropy/shapely/starred "
                           "stubbed; sqlite3+pandas only)")
