@@ -206,5 +206,11 @@ def get_angle_wcs(wcs_object):
     """
     if hasattr(wcs_object, "north_angle_deg"):
         return float(wcs_object.north_angle_deg())
-    cd = wcs_object.cd
-    return float(np.arctan2(-cd[0, 1], cd[1, 1]) * 180.0 / np.pi)
+    # duck-typed fallback: CD preferred over PC, like the reference
+    matrix = getattr(wcs_object, "cd", None)
+    if matrix is None:
+        matrix = getattr(wcs_object, "pc", None)
+    if matrix is None:
+        raise ValueError("Neither CD nor PC matrix found in WCS.")
+    matrix = np.asarray(matrix, dtype=float)
+    return float(np.arctan2(-matrix[0, 1], matrix[1, 1]) * 180.0 / np.pi)

@@ -86,6 +86,28 @@ def ours(tmp_path, monkeypatch):
     monkeypatch.setattr(assign, "get_user_config", lambda: cfg2)
     out["star_assignment"] = rec.run_assignment_scenario(
         assign.populate_stars_in_frames, str(db2_path))
+
+    import types
+
+    from lightcurver_tpu.utilities import footprint as fp
+
+    state = {}
+    monkeypatch.setattr(db, "get_user_config", lambda: state["cfg"])
+
+    def set_db_path(path):
+        state["cfg"] = {"database_path": path}
+
+    out["footprint"] = rec.run_footprint_scenarios(
+        fp, db.initialize_database, set_db_path, str(tmp_path),
+        lambda **m: types.SimpleNamespace(**m))
+    # our getter (divergence: the reference's crashes, see recorder)
+    set_db_path(str(tmp_path / "fp_getter.sqlite3"))
+    db.initialize_database(state["cfg"]["database_path"])
+    import numpy as np
+    fp.database_insert_single_footprint(
+        7, np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
+    out["footprint"]["our_get_footprint"] = \
+        fp.database_get_footprint(7).tolist()
     return out
 
 
@@ -204,6 +226,39 @@ def test_star_assignment_matches_reference(golden, ours):
     assert [2, "a7", 111] not in ref and [2, "a8", 111] in ref
     assert [1, "a9", 222] in ref
     assert sum(r == [1, "a1", 111] for r in ref) == 1
+
+
+def test_footprint_utilities_match_reference(golden, ours):
+    """Footprint-utility semantics reproduce the reference's own code
+    (reference utilities/footprint.py): the frame-set hash identity
+    (order-insensitive, duplicate-rejecting) and the ROI_disk radius
+    hash — the work-skipping contract — plus the INSERT OR REPLACE
+    footprint roundtrip, the mean + 5*std bad-pointing elimination in
+    BOTH regimes (n=10: the threshold mathematically cannot fire on one
+    outlier, max z-score (n-1)/sqrt(n) < 5; n=40: the outlier is
+    flagged), and the CD/PC north-angle formula incl. the
+    no-matrix ValueError."""
+    import numpy as np
+
+    ref = dict(golden["footprint"])
+    got = dict(ours["footprint"])
+    # divergence keys, asserted separately
+    assert ref.pop("ref_get_footprint_typeerror") is True
+    our_roundtrip = got.pop("our_get_footprint")
+    for key in set(ref) | set(got):
+        if isinstance(ref[key], float):
+            np.testing.assert_allclose(got[key], ref[key], rtol=1e-12,
+                                       err_msg=key)
+        else:
+            assert got[key] == ref[key], key
+    # the scenarios had teeth
+    assert ref["bad_pointings_n10"] == []
+    assert ref["bad_pointings_n40"] == [[40, "bad_pointing"]]
+    assert ref["frames_hash_duplicate_raises"] is True
+    # pinned divergence: the reference's database_get_footprint getter
+    # crashes (json.loads on the row tuple, footprint.py:72-80, dead
+    # code there); ours returns the stored polygon
+    assert our_roundtrip == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
 
 
 def test_gaia_band_polynomials_match_reference(golden, ours):

@@ -415,6 +415,122 @@ def _shapely_stub_modules():
     return root, geom
 
 
+# --- footprint-utilities scenario --------------------------------------
+# Pins reference utilities/footprint.py: the frame-set / ROI-disk hash
+# identity (the work-skipping contract), the INSERT OR REPLACE footprint
+# roundtrip, the mean + 5*std bad-pointing elimination (including the
+# small-n regime where that threshold can mathematically never fire:
+# max z-score over n samples is (n-1)/sqrt(n) < 5 for n <= 26), and the
+# CD/PC north-angle formula.
+
+POINTING_SMALL_N = 10   # one wild outlier — reference flags NOTHING
+POINTING_BIG_N = 40     # same outlier — now beyond mean + 5*std
+
+
+def _pointing_rows(n):
+    """n pointings jittered deterministically, the LAST one 1 deg off."""
+    rows = []
+    for i in range(1, n + 1):
+        dx = 0.0005 * (((i * 7) % 11) - 5)
+        dy = 0.0005 * (((i * 3) % 11) - 5)
+        if i == n:
+            dx += 1.0
+        rows.append((i, [[150.0 + dx, 2.0 + dy], [150.1 + dx, 2.0 + dy],
+                         [150.1 + dx, 2.1 + dy], [150.0 + dx, 2.1 + dy]]))
+    return rows
+
+
+def pointing_populate(conn, n):
+    import json as _json
+
+    for fid, poly in _pointing_rows(n):
+        conn.execute(
+            "INSERT INTO frames (id, mjd, exptime, gain, image_relpath)"
+            " VALUES (?,?,?,?,?)",
+            (fid, 60000.0 + fid, 120.0, 1.6, f"frames/f{fid}.fits"))
+        conn.execute("INSERT INTO footprints (frame_id, polygon)"
+                     " VALUES (?,?)", (fid, _json.dumps(poly)))
+    conn.commit()
+
+
+def run_footprint_scenarios(fp, initialize_database, set_db_path,
+                            tmpdir, make_wcs):
+    """Shared footprint battery.  ``make_wcs(cd=...| pc=...)`` builds the
+    duck-typed WCS each side's get_angle_wcs expects (the reference
+    reads ``wcs_object.wcs.cd``, ours ``wcs_object.cd``)."""
+    import math
+
+    import numpy as np
+
+    out = {}
+    out["frames_hash_unsorted"] = fp.get_frames_hash([3, 1, 2])
+    out["frames_hash_single"] = fp.get_frames_hash([5])
+    out["frames_hash_large"] = fp.get_frames_hash([123456789, 2, 7])
+    try:
+        fp.get_frames_hash([4, 4, 2])
+        out["frames_hash_duplicate_raises"] = False
+    except Exception:
+        out["frames_hash_duplicate_raises"] = True
+    out["combined_hash_roi_disk_int"] = fp.get_combined_footprint_hash(
+        {"star_selection_strategy": "ROI_disk",
+         "ROI_disk_radius_arcseconds": 25}, [9, 8])
+    out["combined_hash_roi_disk_float"] = fp.get_combined_footprint_hash(
+        {"star_selection_strategy": "ROI_disk",
+         "ROI_disk_radius_arcseconds": 25.5}, [9, 8])
+    out["combined_hash_frames_strategy"] = fp.get_combined_footprint_hash(
+        {"star_selection_strategy": "around_ROI",
+         "ROI_disk_radius_arcseconds": 25}, [4, 2])
+
+    # INSERT OR REPLACE roundtrip — the stored text is read back
+    # directly (the reference's own database_get_footprint getter has a
+    # latent TypeError: json.loads on the row TUPLE, footprint.py:72-80;
+    # recorded separately by the recorder)
+    db = os.path.join(tmpdir, "fp_roundtrip.sqlite3")
+    initialize_database(db)
+    set_db_path(db)
+    fp.database_insert_single_footprint(
+        1, np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
+    fp.database_insert_single_footprint(
+        1, np.array([[7.0, 8.0], [9.0, 10.0], [11.0, 12.0]]))
+    conn = sqlite3.connect(db)
+    out["footprint_roundtrip"] = [
+        list(r) for r in conn.execute(
+            "SELECT frame_id, polygon FROM footprints ORDER BY frame_id")]
+    conn.close()
+
+    for key, n in (("bad_pointings_n10", POINTING_SMALL_N),
+                   ("bad_pointings_n40", POINTING_BIG_N)):
+        db = os.path.join(tmpdir, f"{key}.sqlite3")
+        initialize_database(db)
+        set_db_path(db)
+        conn = sqlite3.connect(db)
+        pointing_populate(conn, n)
+        conn.close()
+        fp.identify_and_eliminate_bad_pointings()
+        conn = sqlite3.connect(db)
+        out[key] = [list(r) for r in conn.execute(
+            "SELECT id, comment FROM frames WHERE eliminated = 1"
+            " ORDER BY id")]
+        conn.close()
+
+    s, th = 2e-4, math.radians(30.0)
+    cd_rot = np.array([[-s * math.cos(th), s * math.sin(th)],
+                       [s * math.sin(th), s * math.cos(th)]])
+    th2 = math.radians(20.0)
+    pc_rot = np.array([[math.cos(th2), -math.sin(th2)],
+                       [math.sin(th2), math.cos(th2)]])
+    cd_skew = np.array([[-1.1e-4, 0.3e-4], [0.2e-4, 0.9e-4]])
+    out["angle_cd_rot"] = float(fp.get_angle_wcs(make_wcs(cd=cd_rot)))
+    out["angle_pc_rot"] = float(fp.get_angle_wcs(make_wcs(pc=pc_rot)))
+    out["angle_cd_skew"] = float(fp.get_angle_wcs(make_wcs(cd=cd_skew)))
+    try:
+        fp.get_angle_wcs(make_wcs())
+        out["angle_no_matrix_raises"] = False
+    except Exception:
+        out["angle_no_matrix_raises"] = True
+    return out
+
+
 # every row of the Gaia colour-transform polynomial table (reference
 # utilities/absolute_magnitudes_from_gaia.py:17-26)
 GAIA_BANDS = ["r_sdss", "i_sdss", "g_sdss", "V", "R", "Ic", "V_T", "B_T"]
@@ -553,6 +669,7 @@ def main(reference_dir="/root/reference"):
 
     import lightcurver.processes.absolute_zeropoint_calculation as refzp
     import lightcurver.processes.frame_star_assignment as refassign
+    import lightcurver.utilities.footprint as reffp
     import lightcurver.processes.normalization_calculation as refnorm
     import lightcurver.processes.roi_file_preparation as refroi
     import lightcurver.structure.database as refdb
@@ -593,6 +710,38 @@ def main(reference_dir="/root/reference"):
         refassign.get_user_config = lambda: cfg2
         out["star_assignment"] = run_assignment_scenario(
             refassign.populate_stars_in_frames, db2)
+    with tempfile.TemporaryDirectory() as td:
+        import types
+
+        import numpy as np
+
+        state = {}
+
+        def set_db_path(path):
+            state["cfg"] = {"database_path": path}
+
+        refdb.get_user_config = lambda: state["cfg"]
+
+        def ref_make_wcs(**matrices):
+            return types.SimpleNamespace(
+                wcs=types.SimpleNamespace(**matrices))
+
+        out["footprint"] = run_footprint_scenarios(
+            reffp, refdb.initialize_database, set_db_path, td,
+            ref_make_wcs)
+        # the reference's own database_get_footprint getter crashes:
+        # json.loads receives the (polygon,) row TUPLE (footprint.py:
+        # 72-80, dead code in the reference — no caller).  Ours indexes
+        # the row; record the crash so the divergence stays pinned.
+        set_db_path(os.path.join(td, "fp_getter.sqlite3"))
+        refdb.initialize_database(state["cfg"]["database_path"])
+        reffp.database_insert_single_footprint(
+            7, np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
+        try:
+            reffp.database_get_footprint(7)
+            out["footprint"]["ref_get_footprint_typeerror"] = False
+        except TypeError:
+            out["footprint"]["ref_get_footprint_typeerror"] = True
     out["_provenance"] = ("computed by the reference implementation at "
                           f"{reference_dir} (astropy/shapely/starred "
                           "stubbed; sqlite3+pandas only)")
