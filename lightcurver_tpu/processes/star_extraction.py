@@ -61,6 +61,35 @@ def _moments(image, seg, labels):
     return rows
 
 
+def postprocess_detections(sources):
+    """Star-likeness filter + derived columns + flux-descending order.
+
+    The observable semantics of the reference's post-sep block
+    (reference star_extraction.py:28-49): centroid aliases, the
+    ``elongation < median + 3*std`` point-source filter, the
+    ``FWHM = 2*sqrt(ln2*(a^2 + b^2))`` estimate, ellipticity, and
+    brightest-first ordering — pinned against the reference's own code
+    in tests/test_reference_db_golden.py.
+    """
+    sources = sources.copy()
+    sources["xcentroid"] = sources["x"]
+    sources["ycentroid"] = sources["y"]
+    elongation = sources["a"] / sources["b"]
+    sources["elongation"] = elongation
+    if len(sources):
+        # drop weirdly elongated detections (not star-like).  <= and not
+        # the reference's strict < (reference star_extraction.py:37-41):
+        # with a single detection (or all-equal elongations) std is 0
+        # and the strict comparison discards EVERY source
+        sources = sources[
+            elongation <= elongation.median() + 3 * elongation.std(ddof=0)]
+    sources["FWHM"] = 2.0 * np.sqrt(
+        np.log(2.0) * (sources["a"] ** 2 + sources["b"] ** 2))
+    sources["ellipticity"] = 1.0 - sources["b"] / sources["a"]
+    return sources.sort_values(
+        "flux", ascending=False).reset_index(drop=True)
+
+
 def extract_stars(image_background_subtracted, variance_map,
                   detection_threshold=3, min_area=10, debug_plot_path=None):
     """Detect point-ish sources; returns a DataFrame, brightest first.
@@ -85,22 +114,7 @@ def extract_stars(image_background_subtracted, variance_map,
             _moments(image, seg, labels),
             columns=["x", "y", "flux", "a", "b", "npix", "peak"])
 
-    sources["xcentroid"] = sources["x"]
-    sources["ycentroid"] = sources["y"]
-    elongation = sources["a"] / sources["b"]
-    sources["elongation"] = elongation
-    if len(sources):
-        # drop weirdly elongated detections (not star-like).  <= and not
-        # the reference's strict < (reference star_extraction.py:37-41):
-        # with a single detection (or all-equal elongations) std is 0
-        # and the strict comparison discards EVERY source
-        sources = sources[
-            elongation <= elongation.median() + 3 * elongation.std(ddof=0)]
-    sources["FWHM"] = 2.0 * np.sqrt(
-        np.log(2.0) * (sources["a"] ** 2 + sources["b"] ** 2))
-    sources["ellipticity"] = 1.0 - sources["b"] / sources["a"]
-    sources = sources.sort_values(
-        "flux", ascending=False).reset_index(drop=True)
+    sources = postprocess_detections(sources)
 
     if debug_plot_path is not None:
         from ..plotting.sources_plotting import plot_sources

@@ -108,6 +108,16 @@ def ours(tmp_path, monkeypatch):
         7, np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
     out["footprint"]["our_get_footprint"] = \
         fp.database_get_footprint(7).tolist()
+
+    import pandas as pd
+
+    from lightcurver_tpu.processes.star_extraction import (
+        postprocess_detections)
+
+    out["star_extraction"] = rec.extraction_record(
+        postprocess_detections(pd.DataFrame(rec.sep_detections())))
+    out["star_extraction_single_survivors"] = len(
+        postprocess_detections(pd.DataFrame(rec.sep_single_detection())))
     return out
 
 
@@ -259,6 +269,30 @@ def test_footprint_utilities_match_reference(golden, ours):
     # crashes (json.loads on the row tuple, footprint.py:72-80, dead
     # code there); ours returns the stored polygon
     assert our_roundtrip == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+
+
+def test_star_extraction_postprocess_matches_reference(golden, ours):
+    """The post-detection block — elongation < median + 3*std filter,
+    FWHM = 2*sqrt(ln2*(a^2+b^2)), ellipticity, brightest-first order —
+    reproduces the reference's own code on 14 canned detections
+    (reference processes/star_extraction.py:28-49, run with a fake sep
+    + minimal Table).  Divergence pinned: with ONE detection the
+    reference's strict `<` on a zero-std threshold drops it; ours
+    keeps it (processes/star_extraction.py postprocess_detections)."""
+    import numpy as np
+
+    ref = golden["star_extraction"]
+    got = ours["star_extraction"]
+    assert len(got) == len(ref) == 13  # outlier dropped, moderate kept
+    np.testing.assert_allclose(got, ref, rtol=1e-12)
+    # teeth: the extreme a/b=10 outlier is gone, the a/b=2 survives,
+    # rows are flux-descending
+    assert all(row[0] != 50.0 for row in ref)
+    assert any(row[3] == 2.0 for row in ref)
+    fluxes = [row[2] for row in ref]
+    assert fluxes == sorted(fluxes, reverse=True)
+    assert golden["star_extraction_single_survivors"] == 0
+    assert ours["star_extraction_single_survivors"] == 1
 
 
 def test_gaia_band_polynomials_match_reference(golden, ours):

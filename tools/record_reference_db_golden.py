@@ -45,6 +45,7 @@ _STUBS = [
     "shapely.geometry", "shapely.ops", "ephem", "ruamel", "ruamel.yaml",
     "astroquery", "astroquery.gaia", "astroquery.mast",
     "widefield_plate_solver", "starred", "starred.psf", "starred.psf.psf",
+    "astropy.visualization.stretch",
 ]
 
 
@@ -531,6 +532,97 @@ def run_footprint_scenarios(fp, initialize_database, set_db_path,
     return out
 
 
+# --- star-extraction post-processing scenario ---------------------------
+# Pins the reference's post-sep block (reference
+# processes/star_extraction.py:28-49): the elongation < median + 3*std
+# point-source filter, FWHM = 2*sqrt(ln2*(a^2+b^2)), ellipticity, and
+# brightest-first ordering, by feeding its extract_stars a fake `sep`
+# returning canned detections.  14 detections: one extreme a/b = 10
+# outlier (droppable — with fewer than ~11 detections the 3*std rule
+# mathematically cannot fire, max z-score (n-1)/sqrt(n) < 3) and one
+# moderate a/b = 2 that must SURVIVE.
+
+
+def sep_detections():
+    import numpy as np
+
+    dt = np.dtype([("x", float), ("y", float), ("a", float),
+                   ("b", float), ("flux", float), ("npix", int),
+                   ("peak", float)])
+    rows = [
+        (10.2, 11.5, 2.00, 1.90, 900.0, 40, 50.0),
+        (30.4, 5.1, 2.20, 2.00, 1500.0, 55, 80.0),
+        (7.7, 44.0, 2.10, 1.70, 600.0, 35, 30.0),
+        (50.0, 50.0, 10.0, 1.00, 2000.0, 70, 90.0),   # extreme: dropped
+        (22.2, 33.3, 1.80, 1.70, 1200.0, 30, 66.0),
+        (5.5, 9.9, 2.40, 2.20, 300.0, 25, 20.0),
+        (12.0, 60.0, 2.60, 1.30, 1100.0, 45, 70.0),   # a/b = 2: survives
+        (61.0, 8.0, 1.90, 1.80, 450.0, 28, 24.0),
+        (44.0, 27.0, 2.05, 1.95, 820.0, 38, 41.0),
+        (18.0, 52.0, 2.30, 2.10, 770.0, 33, 37.0),
+        (55.0, 41.0, 1.95, 1.75, 640.0, 31, 29.0),
+        (9.0, 30.0, 2.15, 2.05, 980.0, 42, 52.0),
+        (36.0, 14.0, 2.50, 2.30, 530.0, 27, 23.0),
+        (27.0, 58.0, 1.85, 1.65, 710.0, 29, 34.0),
+    ]
+    return np.array(rows, dtype=dt)
+
+
+def sep_single_detection():
+    import numpy as np
+
+    return sep_detections()[:1].copy()
+
+
+EXTRACTION_COLUMNS = ["x", "y", "flux", "elongation", "FWHM",
+                      "ellipticity"]
+
+
+def extraction_record(table):
+    """Canonical rows of a post-processed detection table (kept in
+    order — the battery pins the brightest-first sort)."""
+    import numpy as np
+
+    cols = [np.asarray(table[c], dtype=float) for c in EXTRACTION_COLUMNS]
+    return [[float(col[i]) for col in cols]
+            for i in range(len(cols[0]))]
+
+
+def _mini_table_cls():
+    """astropy.table.Table stand-in covering exactly what the
+    reference's extract_stars touches: column assignment/reading,
+    boolean-mask row selection, and sort(key, reverse=True)."""
+    import numpy as np
+
+    class MiniTable:
+        def __init__(self):
+            self._cols = {}
+
+        def __setitem__(self, key, value):
+            self._cols[key] = np.asarray(value)
+
+        def __getitem__(self, key):
+            if isinstance(key, str):
+                return self._cols[key]
+            sub = MiniTable()
+            for name, col in self._cols.items():
+                sub._cols[name] = col[key]
+            return sub
+
+        def sort(self, key, reverse=False):
+            order = np.argsort(self._cols[key], kind="stable")
+            if reverse:
+                order = order[::-1]
+            for name in self._cols:
+                self._cols[name] = self._cols[name][order]
+
+        def __len__(self):
+            first = next(iter(self._cols.values()), np.array([]))
+            return len(first)
+
+    return MiniTable
+
+
 # every row of the Gaia colour-transform polynomial table (reference
 # utilities/absolute_magnitudes_from_gaia.py:17-26)
 GAIA_BANDS = ["r_sdss", "i_sdss", "g_sdss", "V", "R", "Ic", "V_T", "B_T"]
@@ -742,6 +834,23 @@ def main(reference_dir="/root/reference"):
             out["footprint"]["ref_get_footprint_typeerror"] = False
         except TypeError:
             out["footprint"]["ref_get_footprint_typeerror"] = True
+
+    # star-extraction post-processing (fake sep + MiniTable)
+    sep_mod = types.ModuleType("sep")
+    sys.modules["sep"] = sep_mod
+    sys.modules["astropy.table"].Table = _mini_table_cls()
+    import lightcurver.processes.star_extraction as refext
+
+    dets = sep_detections()
+    sep_mod.extract = lambda data, thresh, var, minarea: dets
+    out["star_extraction"] = extraction_record(
+        refext.extract_stars(None, None))
+    single = sep_single_detection()
+    sep_mod.extract = lambda data, thresh, var, minarea: single
+    # divergence pin: with ONE detection std = 0 and the reference's
+    # strict `elongation < median + 0` drops it; ours keeps it
+    out["star_extraction_single_survivors"] = len(
+        refext.extract_stars(None, None))
     out["_provenance"] = ("computed by the reference implementation at "
                           f"{reference_dir} (astropy/shapely/starred "
                           "stubbed; sqlite3+pandas only)")
