@@ -424,7 +424,7 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
                       n_iter=2000, uniform_background_per_epoch=False,
                       starlet_global_background=False, lr=1e-3, seed=0,
                       checkpoint_path=None, checkpoint_every=500,
-                      mesh="auto"):
+                      mesh="auto", fetch="numpy"):
     """Joint PSF photometry of many stars in one compiled program.
 
     Args:
@@ -441,6 +441,15 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
             ``checkpoint_every``-iteration segments with the optimizer
             carry checkpointed to this path (resume on re-call); when
             None (default) the whole fit is one compiled program.
+        fetch: "numpy" (default) materializes every result leaf to
+            host numpy before returning.  "device" returns the result
+            tree unmaterialized (jitted dispatch is asynchronous), so a
+            caller fitting several buckets can dispatch the next one
+            while the previous bucket's device->host transfer and
+            store overlap the device compute — the same pattern as
+            ``build_psf_batched(fetch="device")`` / the pipelined PSF
+            store in processes/psf_modelling.py.  Not compatible with
+            ``checkpoint_path`` (segments synchronize anyway).
         mesh: "auto" (default) picks the production mesh for the star
             count (parallel/batch.auto_fit_mesh): a 1-D ``batch`` mesh
             when there are at least as many stars as devices (per-star
@@ -546,4 +555,7 @@ def fit_stars_batched(data, noisemap, psf, subsampling_factor,
     # "auto" was already resolved to a Mesh or None above
     out = gather_to_host(mesh, out)
     out = strip_epoch_axis(strip_batch(out, n_pad), n_epoch_pad)
+    if fetch == "device":
+        # strips are lazy slices; nothing has forced a transfer yet
+        return out
     return jax.tree_util.tree_map(np.asarray, out)

@@ -43,7 +43,14 @@ def populate_stars_in_frames():
             ra_center = float(vertices[0, 0])
             vertices[:, 0] = unwrap_ra(vertices[:, 0], ra_center)
             polygon = SimplePolygon(vertices)
-            mean_dec = float(np.nanmean(polygon.vertices[:, 1]))
+            # mean dec over the CLOSED ring (first vertex repeated):
+            # the reference averages shapely's exterior.xy, which
+            # returns the closed ring, double-weighting vertex 0 —
+            # match it exactly so the de-projected RA margin agrees
+            # to the last bit, not just to ~1e-6 relative
+            closed_dec = np.concatenate([polygon.vertices[:, 1],
+                                         polygon.vertices[:1, 1]])
+            mean_dec = float(np.nanmean(closed_dec))
             ra_margin = margin_deg / np.cos(np.radians(mean_dec))
 
             # shrink = intersection of the four margin-translated copies

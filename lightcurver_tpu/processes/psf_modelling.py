@@ -320,32 +320,34 @@ def _store_psf_result(user_config, regions_file, job, result,
                                + kwargs_moffat["fwhm_y"]) * pixel_scale)
     loss_history = result["adabelief_extra_fields"]["loss_history"]
 
-    # diagnostic plot
-    try:
-        from ..plotting.psf_plotting import plot_psf_diagnostic
+    # diagnostic plot (psf_do_plots: 0 skips it — e.g. headless bench
+    # runs; the reference plots unconditionally, psf_modelling.py:182)
+    if user_config.get("psf_do_plots", 1):
+        try:
+            from ..plotting.psf_plotting import plot_psf_diagnostic
 
-        plots_dir = (user_config["plots_dir"] / "PSFs"
-                     / str(combined_footprint_hash))
-        plots_dir.mkdir(exist_ok=True, parents=True)
-        frame_name = Path(frame["image_relpath"]).stem
-        seeing = frame["seeing_pixels"]
-        # NaN is truthy ('or 0' would print 'seeing: nan'), and the
-        # estimator's -1.0 no-sources sentinel must not print as a
-        # negative arcsecond value (same seeing > 0 gate as
-        # _dispatch_fit_jobs)
-        if seeing is None or not np.isfinite(seeing) or seeing <= 0:
-            seeing = 0.0
-        seeing = seeing * pixel_scale
-        text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"
-                f"seeing moffat: {fwhm_arcsec:.02f}")
-        plot_psf_diagnostic(
-            datas=datas, noisemaps=noisemaps,
-            residuals=result["residuals"],
-            full_psf=result["full_psf"], loss_curve=loss_history,
-            masks=masks, names=names, diagnostic_text=text,
-            save_path=plots_dir / f"{frame['id']}_{frame_name}.jpg")
-    except Exception as e:
-        logger.warning(f"PSF diagnostic plot failed: {e}")
+            plots_dir = (user_config["plots_dir"] / "PSFs"
+                         / str(combined_footprint_hash))
+            plots_dir.mkdir(exist_ok=True, parents=True)
+            frame_name = Path(frame["image_relpath"]).stem
+            seeing = frame["seeing_pixels"]
+            # NaN is truthy ('or 0' would print 'seeing: nan'), and the
+            # estimator's -1.0 no-sources sentinel must not print as a
+            # negative arcsecond value (same seeing > 0 gate as
+            # _dispatch_fit_jobs)
+            if seeing is None or not np.isfinite(seeing) or seeing <= 0:
+                seeing = 0.0
+            seeing = seeing * pixel_scale
+            text = (f"{frame_name}\nseeing estimation: {seeing:.02f}\n"
+                    f"seeing moffat: {fwhm_arcsec:.02f}")
+            plot_psf_diagnostic(
+                datas=datas, noisemaps=noisemaps,
+                residuals=result["residuals"],
+                full_psf=result["full_psf"], loss_curve=loss_history,
+                masks=masks, names=names, diagnostic_text=text,
+                save_path=plots_dir / f"{frame['id']}_{frame_name}.jpg")
+        except Exception as e:
+            logger.warning(f"PSF diagnostic plot failed: {e}")
 
     with _REGIONS_IO_LOCK, h5py.File(regions_file, "r+") as f:
         frame_group = f[frame["image_relpath"]]

@@ -111,6 +111,104 @@ def make_roi_scene(n_epochs=100, n_pix=64, s=2, n_sources=4, noise_sigma=0.3,
     }
 
 
+def make_psf_task_workdir(workdir, n_frames=64, n_stars=8, n_pix=64, s=2,
+                          seed=11, config_overrides=None):
+    """Build a ready-to-run workdir for the PSF-modelling PIPELINE task.
+
+    Creates exactly the inputs ``processes.psf_modelling.model_all_psfs``
+    reads — the frames/stars/stars_in_frames tables and the regions HDF5
+    with per-star stamps — without running the upstream pipeline, so the
+    production task (HDF5 reads, neighbour masking, vmapped fits,
+    pipelined store, DB writes) can be benchmarked end-to-end at any
+    frame count (VERDICT r4 #3: the reference's 2-3 s/frame figure
+    includes load + plot + DB, reference
+    docs/mkdocs/contents/tutorial.md:273-274).
+
+    Returns the config path (set LIGHTCURVER_CONFIG to it).
+    """
+    import sqlite3
+
+    import h5py
+    import yaml
+
+    from pathlib import Path
+
+    from ..structure.database import initialize_database
+    from .star_naming import generate_star_names
+
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    (workdir / "frames").mkdir(exist_ok=True)
+
+    template = (Path(__file__).parent.parent / "pipeline"
+                / "example_config_file" / "config.yaml")
+    with open(template) as f:
+        config = yaml.safe_load(f)
+    config.update({
+        "workdir": str(workdir),
+        "raw_dirs": [str(workdir / "raw")],
+        "already_plate_solved": 1,
+        "star_selection_strategy": "ROI_disk",
+        "ROI_disk_radius_arcseconds": 30,
+        "stamp_size_stars": n_pix,
+        "subsampling_factor": s,
+    })
+    config["ROI"] = {"bench": {"coordinates": [42.2031, 19.22528]}}
+    config.update(config_overrides or {})
+    config_path = workdir / "config.yaml"
+    config_path.write_text(yaml.dump(config))
+
+    initialize_database(workdir / "database.sqlite3")
+
+    # ROI_disk: the footprint hash is the radius hash, frame-independent
+    fhash = hash(config["ROI_disk_radius_arcseconds"])
+    names = generate_star_names(n_stars)
+    conn = sqlite3.connect(workdir / "database.sqlite3")
+    try:
+        for i, name in enumerate(names):
+            conn.execute(
+                "INSERT INTO stars (gaia_id, name, ra, dec, gmag, "
+                "combined_footprint_hash, distance_to_roi_arcsec) "
+                "VALUES (?,?,?,?,?,?,?)",
+                (1000 + i, name, 42.2031 + 1e-3 * i, 19.22528, 17.5,
+                 fhash, 5.0 * (i + 1)))
+        with h5py.File(workdir / "regions.h5", "w") as f:
+            for k in range(n_frames):
+                rel = f"frames/frame_{k:04d}.fits"
+                conn.execute(
+                    "INSERT INTO frames (id, mjd, exptime, gain, "
+                    "image_relpath, plate_solved, eliminated, "
+                    "roi_in_footprint, seeing_pixels, pixel_scale) "
+                    "VALUES (?,?,?,?,?,1,0,1,?,?)",
+                    (k + 1, 60000.0 + k, 30.0, 1.2, rel,
+                     2.4 + 0.01 * (k % 40), 0.2))
+                for gid in range(1000, 1000 + n_stars):
+                    conn.execute(
+                        "INSERT INTO stars_in_frames (frame_id, "
+                        "star_gaia_id, combined_footprint_hash) "
+                        "VALUES (?,?,?)", (k + 1, gid, fhash))
+                st = make_star_stamps(
+                    n_stars=n_stars, n_pix=n_pix, s=s, seed=seed + k,
+                    fwhm_x=2.4 + 0.01 * (k % 40),
+                    fwhm_y=2.4 + 0.01 * (k % 40))
+                grp = f.create_group(rel)
+                grp["frame_shape"] = np.array([2048, 2048])
+                for sub in ("data", "noisemap", "cosmicsmask",
+                            "image_pixel_coordinates"):
+                    grp.create_group(sub)
+                for j, gid in enumerate(range(1000, 1000 + n_stars)):
+                    grp["data"][str(gid)] = st["data"][j]
+                    grp["noisemap"][str(gid)] = st["sigma"][j]
+                    grp["cosmicsmask"][str(gid)] = np.zeros(
+                        (n_pix, n_pix), dtype=bool)
+                    grp["image_pixel_coordinates"][str(gid)] = np.array(
+                        [300.0 + 100.0 * j, 400.0 + 80.0 * j])
+        conn.commit()
+    finally:
+        conn.close()
+    return config_path
+
+
 def make_star_stamps(n_stars=8, n_pix=64, s=2, seed=3, fwhm_x=3.0,
                      fwhm_y=2.6, beta=2.6, flux_range=(200.0, 800.0)):
     """Synthetic single-frame star stamps sharing one PSF (for build_psf)."""

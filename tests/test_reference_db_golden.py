@@ -255,6 +255,21 @@ def test_footprint_utilities_match_reference(golden, ours):
     # divergence keys, asserted separately
     assert ref.pop("ref_get_footprint_typeerror") is True
     our_roundtrip = got.pop("our_get_footprint")
+    # key-set equality first: a one-sided key must fail with a readable
+    # set diff, not a KeyError from the per-key loop below
+    assert set(got) == set(ref)
+    # the frames_hash_*/combined_hash_* golden VALUES pin CPython's
+    # built-in hash() of int tuples/floats, whose modulus depends on
+    # sys.hash_info.width — both implementations still agree on a
+    # 32-bit build (they call the same hash()), but the 64-bit-recorded
+    # fixture values don't apply there, so skip the value pins
+    import sys
+    if sys.hash_info.width != 64:  # pragma: no cover — CI is 64-bit
+        for key in [k for k in ref
+                    if k.startswith(("frames_hash_", "combined_hash_"))
+                    and type(ref[k]) is int]:  # bools are int subclasses
+            ref.pop(key)
+            got.pop(key)
     for key in set(ref) | set(got):
         if isinstance(ref[key], float):
             np.testing.assert_allclose(got[key], ref[key], rtol=1e-12,

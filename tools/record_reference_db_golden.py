@@ -538,9 +538,11 @@ def run_footprint_scenarios(fp, initialize_database, set_db_path,
 # point-source filter, FWHM = 2*sqrt(ln2*(a^2+b^2)), ellipticity, and
 # brightest-first ordering, by feeding its extract_stars a fake `sep`
 # returning canned detections.  14 detections: one extreme a/b = 10
-# outlier (droppable — with fewer than ~11 detections the 3*std rule
-# mathematically cannot fire, max z-score (n-1)/sqrt(n) < 3) and one
-# moderate a/b = 2 that must SURVIVE.
+# outlier (droppable — the Samuelson bound max z-score (n-1)/sqrt(n) < 3
+# below ~11 points applies strictly to MEAN-based thresholds; the
+# reference gate is median + 3*std, for which it is only approximate —
+# here the outlier fires because it inflates std while barely moving
+# the median) and one moderate a/b = 2 that must SURVIVE.
 
 
 def sep_detections():
