@@ -13,7 +13,7 @@ import numpy as np
 
 from ..structure.database import execute_sqlite_query, get_pandas
 from ..structure.user_config import get_user_config
-from .geometry import SimplePolygon
+from .geometry import SimplePolygon, polygon_union
 
 
 def get_frames_hash(frames_ids):
@@ -82,9 +82,13 @@ def calc_common_and_total_footprint(list_of_footprints):
         common = common.intersection(poly)
         if common is None:
             break
-    largest = polygons[0]
-    for poly in polygons[1:]:
-        largest = largest.union(poly)
+    # EXACT n-way union (geometry.polygon_union), then the reference's
+    # simplify(tolerance=0.001, preserve_topology=True) counterpart on
+    # both results (reference utilities/footprint.py:50-58) — keeps the
+    # stored / ADQL-emitted polygons small on heavily dithered stacks
+    largest = polygon_union(polygons).simplify(0.001)
+    if common is not None:
+        common = common.simplify(0.001)
     return common, largest
 
 

@@ -327,3 +327,125 @@ def test_gaia_band_polynomials_match_reference(golden, ours):
             assert row_got[:2] == row_ref[:2], band
             np.testing.assert_allclose(row_got[2:], row_ref[2:],
                                        rtol=1e-12, err_msg=band)
+
+
+# --- footprint union/simplify parity -------------------------------------
+
+def _strip_collinear(ring, eps=1e-9):
+    """Drop vertices collinear with their neighbours: the noding-
+    independent canonical ring (GEOS keeps union nodes on straight
+    boundary runs; our walk does too, but the exact node SET depends on
+    the noding order, so compare the collinear-free form)."""
+    import numpy as np
+
+    v = np.asarray(ring, dtype=float)
+    if len(v) > 1 and np.allclose(v[0], v[-1]):
+        v = v[:-1]
+    scale = max(1.0, float(np.max(np.abs(v))))
+    keep = []
+    n = len(v)
+    for i in range(n):
+        a, b, c = v[i - 1], v[i], v[(i + 1) % n]
+        cross = ((b[0] - a[0]) * (c[1] - a[1])
+                 - (b[1] - a[1]) * (c[0] - a[0]))
+        if abs(cross) > eps * scale * scale:
+            keep.append(v[i])
+    return np.asarray(keep)
+
+
+def _canon(v):
+    """CCW orientation, lexicographically-smallest start vertex."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=float)
+    x, y = v[:, 0], v[:, 1]
+    if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) < 0:
+        v = v[::-1]
+    start = int(np.lexsort((v[:, 1], v[:, 0]))[0])
+    return np.roll(v, -start, axis=0)
+
+
+def _hausdorff_to_ring(points, ring):
+    """max over points of distance to the ring's boundary segments."""
+    import numpy as np
+
+    v = np.asarray(ring, dtype=float)
+    x1, y1 = v[:, 0], v[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    dx, dy = x2 - x1, y2 - y1
+    ll = np.where(dx * dx + dy * dy > 0, dx * dx + dy * dy, 1.0)
+    worst = 0.0
+    for px, py in np.asarray(points, dtype=float):
+        t = np.clip(((px - x1) * dx + (py - y1) * dy) / ll, 0.0, 1.0)
+        d2 = (x1 + t * dx - px) ** 2 + (y1 + t * dy - py) ** 2
+        worst = max(worst, float(np.min(d2)) ** 0.5)
+    return worst
+
+
+def test_footprint_union_matches_reference(golden):
+    """calc_common_and_total_footprint vs the recorded reference run.
+
+    The RAW reduce-union ring must agree exactly (collinear-free
+    canonical form, 2e-9 deg): that is the VERDICT r4 exactness pin.
+    The SIMPLIFIED outputs (reference simplify(0.001) is GEOS
+    TopologyPreservingSimplifier; ours is ring Douglas-Peucker) agree
+    within the simplification tolerance itself — both rings lie within
+    0.001 deg of the raw union, so within 0.0025 of each other — when
+    the fixture was recorded with real shapely (the CI golden lane),
+    and exactly when it was recorded with the SimplePolygon stub.
+    """
+    import numpy as np
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    import record_reference_db_golden as rec
+    from lightcurver_tpu.utilities.footprint import (
+        calc_common_and_total_footprint)
+    from lightcurver_tpu.utilities.geometry import polygon_union
+
+    fu = golden.get("footprint_union")
+    if fu is None:
+        pytest.skip("fixture predates the union scenarios")
+    exact = fu["provenance"] == "stub"
+    for name, fps in rec.union_cases().items():
+        raw_ours = polygon_union([np.array(fp) for fp in fps])
+        np.testing.assert_allclose(
+            raw_ours.area, fu[f"{name}_raw_union_area"], rtol=1e-9,
+            err_msg=name)
+        ref_ring = _canon(_strip_collinear(fu[f"{name}_raw_union"]))
+        our_ring = _canon(_strip_collinear(raw_ours.vertices))
+        assert len(ref_ring) == len(our_ring), name
+        np.testing.assert_allclose(our_ring, ref_ring, atol=2e-9,
+                                   err_msg=name)
+
+        common, largest = calc_common_and_total_footprint(
+            [np.array(fp) for fp in fps])
+        ref_largest = np.asarray(fu[f"{name}_largest"], dtype=float)
+        if exact:
+            np.testing.assert_allclose(
+                largest.area, fu[f"{name}_largest_area"], rtol=1e-9,
+                err_msg=name)
+            np.testing.assert_allclose(
+                _canon(_strip_collinear(largest.vertices)),
+                _canon(_strip_collinear(ref_largest)), atol=2e-9,
+                err_msg=name)
+        else:
+            perim = float(np.sum(np.hypot(
+                *(np.roll(raw_ours.vertices, -1, 0)
+                  - raw_ours.vertices).T)))
+            assert abs(largest.area - fu[f"{name}_largest_area"]) \
+                <= 0.001 * perim + 1e-9, name
+            assert _hausdorff_to_ring(largest.vertices, ref_largest) \
+                <= 0.0025, name
+            assert _hausdorff_to_ring(ref_largest, largest.vertices) \
+                <= 0.0025, name
+        if fu[f"{name}_common"] is not None:
+            assert common is not None, name
+            ref_common = np.asarray(fu[f"{name}_common"], dtype=float)
+            if exact:
+                np.testing.assert_allclose(
+                    _canon(_strip_collinear(common.vertices)),
+                    _canon(_strip_collinear(ref_common)), atol=2e-9,
+                    err_msg=name)
+            else:
+                assert _hausdorff_to_ring(common.vertices, ref_common) \
+                    <= 0.0025, name

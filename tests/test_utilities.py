@@ -14,8 +14,8 @@ class TestGeometry:
         inter = a.intersection(b)
         assert inter.area == pytest.approx(1.0)
         union = a.union(b)
-        # convex hull of two offset unit-overlap squares
-        assert union.area >= 7.0
+        # EXACT union: 4 + 4 - 1 overlap (round 5; hull gave >= 7)
+        assert union.area == pytest.approx(7.0, abs=1e-12)
 
     def test_contains_and_margin(self):
         from lightcurver_tpu.utilities.geometry import SimplePolygon

@@ -387,6 +387,42 @@ def _shapely_stub_modules():
         def exterior(self):
             return _Exterior(self._sp)
 
+        @property
+        def area(self):
+            return 0.0 if self._sp is None else float(self._sp.area)
+
+        @property
+        def is_empty(self):
+            return self._sp is None
+
+        @classmethod
+        def _wrap(cls, sp):
+            out = cls.__new__(cls)
+            out._sp = sp
+            return out
+
+        def intersection(self, other):
+            if self._sp is None or other._sp is None:
+                return Polygon._wrap(None)
+            return Polygon._wrap(self._sp.intersection(other._sp))
+
+        def union(self, other):
+            from lightcurver_tpu.utilities.geometry import polygon_union
+
+            if self._sp is None:
+                return Polygon._wrap(other._sp)
+            if other._sp is None:
+                return Polygon._wrap(self._sp)
+            return Polygon._wrap(polygon_union([self._sp, other._sp]))
+
+        def simplify(self, tolerance, preserve_topology=True):
+            if self._sp is None:
+                # shapely's empty geometry simplifies fine; the
+                # reference's `except TypeError` arm is what a None
+                # intersection reaches — emulate that path
+                raise TypeError("cannot simplify empty stub polygon")
+            return Polygon._wrap(self._sp.simplify(tolerance))
+
     class Point:
         def __init__(self, x, y):
             self.x, self.y = float(x), float(y)
@@ -529,6 +565,89 @@ def run_footprint_scenarios(fp, initialize_database, set_db_path,
         out["angle_no_matrix_raises"] = False
     except Exception:
         out["angle_no_matrix_raises"] = True
+    return out
+
+
+# --- footprint union/simplify scenario ----------------------------------
+# Pins reference calc_common_and_total_footprint (reference
+# utilities/footprint.py:31-60): shapely reduce-intersection +
+# reduce-union, both simplified at tolerance 0.001.  When REAL shapely
+# is importable (the CI golden lane) the recorded rings are shapely's
+# own; locally the SimplePolygon-backed stub records our semantics and
+# the provenance flag tells the test to treat them as self-goldens.
+# Cases are proper-overlap stacks (single-ring unions); vertex-touching
+# unions are excluded — shapely returns a MultiPolygon there, which the
+# reference's own downstream `largest_footprint['coordinates'][0]`
+# consumer (reference processes/star_querying.py:66) mis-reads anyway
+# (documented in PARITY.md).
+
+
+def union_cases():
+    """name -> list of (4,2) footprint vertex lists (deterministic)."""
+    import numpy as np
+
+    def sq(x0, y0, w, h):
+        return [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]]
+
+    rng = np.random.default_rng(19)
+    dither = [sq(150.0 + dx, 2.0 + dy, 0.1, 0.1)
+              for dx, dy in rng.normal(0.0, 3e-4, (12, 2))]
+    rot = []
+    for k in range(4):
+        th = np.pi * k / 7.0
+        rotm = np.array([[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]])
+        base = np.array([[-0.1, -0.04], [0.1, -0.04],
+                         [0.1, 0.04], [-0.1, 0.04]])
+        rot.append((base @ rotm.T + [30.0, -5.0]).tolist())
+    return {
+        "l_pair": [sq(10.0, 5.0, 0.2, 0.2), sq(10.1, 5.1, 0.2, 0.2)],
+        "partial_edge": [sq(10.0, 5.0, 0.2, 0.1), sq(10.05, 5.1, 0.1, 0.1)],
+        "triple": [sq(10.0, 5.0, 0.2, 0.2), sq(10.1, 5.05, 0.2, 0.2),
+                   sq(10.05, 5.12, 0.2, 0.2)],
+        "dither12": dither,
+        "rotated4": rot,
+    }
+
+
+def canon_ring(geom):
+    """Exterior ring canonicalized: CCW, lex-min start, closing vertex
+    dropped, rounded to 1e-9 deg; works on shapely and stub polygons."""
+    import numpy as np
+
+    if geom is None or getattr(geom, "is_empty", False):
+        return None
+    xs, ys = geom.exterior.xy
+    v = np.round(np.column_stack([np.asarray(xs), np.asarray(ys)]), 9)
+    if len(v) > 1 and np.allclose(v[0], v[-1]):
+        v = v[:-1]
+    x, y = v[:, 0], v[:, 1]
+    if np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)) < 0:
+        v = v[::-1]
+    start = int(np.lexsort((v[:, 1], v[:, 0]))[0])
+    return np.roll(v, -start, axis=0).tolist()
+
+
+def run_union_scenarios(reffp, shapely_mod, provenance):
+    """Record calc_common_and_total_footprint + the RAW reduce-union."""
+    from functools import reduce
+
+    import numpy as np
+
+    out = {"provenance": provenance}
+    for name, fps in union_cases().items():
+        common, largest = reffp.calc_common_and_total_footprint(
+            [np.array(fp) for fp in fps])
+        out[f"{name}_common"] = canon_ring(common)
+        out[f"{name}_largest"] = canon_ring(largest)
+        out[f"{name}_common_area"] = (None if common is None
+                                      else float(common.area))
+        out[f"{name}_largest_area"] = float(largest.area)
+        # the RAW (unsimplified) union ring: the exactness pin proper
+        polys = [shapely_mod.geometry.Polygon(fp) for fp in fps]
+        raw = reduce(lambda x, y: x.union(y), polys)
+        out[f"{name}_raw_union"] = canon_ring(raw)
+        out[f"{name}_raw_union_area"] = float(raw.area)
     return out
 
 
@@ -755,11 +874,22 @@ def main(reference_dir="/root/reference"):
     # chi2_selector runs its real arithmetic (see run_chi2_scenario)
     from lightcurver_tpu.utilities.stats import sigma_clipped_stats
     sys.modules["astropy.stats"].sigma_clipped_stats = sigma_clipped_stats
-    # replace the MagicMock shapely with the SimplePolygon-backed stub so
-    # the reference's assignment task runs its real geometry
-    shp_root, shp_geom = _shapely_stub_modules()
-    sys.modules["shapely"] = shp_root
-    sys.modules["shapely.geometry"] = shp_geom
+    # prefer REAL shapely (the CI golden lane installs it) so the
+    # recorded union/simplify rings are the reference's own; fall back
+    # to the SimplePolygon-backed stub so the reference's assignment
+    # task still runs its real geometry locally
+    sys.modules.pop("shapely", None)
+    sys.modules.pop("shapely.geometry", None)
+    try:
+        import shapely  # noqa: F401
+        import shapely.geometry  # noqa: F401
+
+        shapely_provenance = "shapely"
+    except ImportError:
+        shp_root, shp_geom = _shapely_stub_modules()
+        sys.modules["shapely"] = shp_root
+        sys.modules["shapely.geometry"] = shp_geom
+        shapely_provenance = "stub"
 
     import lightcurver.processes.absolute_zeropoint_calculation as refzp
     import lightcurver.processes.frame_star_assignment as refassign
@@ -836,6 +966,9 @@ def main(reference_dir="/root/reference"):
             out["footprint"]["ref_get_footprint_typeerror"] = False
         except TypeError:
             out["footprint"]["ref_get_footprint_typeerror"] = True
+
+    out["footprint_union"] = run_union_scenarios(
+        reffp, sys.modules["shapely"], shapely_provenance)
 
     # star-extraction post-processing (fake sep + MiniTable)
     sep_mod = types.ModuleType("sep")
