@@ -21,11 +21,31 @@ def star_set():
             np.stack(true_flux))
 
 
-def test_flux_recovery_and_fisher_calibration(star_set):
+# one shared budget for the whole module (each distinct n_iter is a
+# separate compiled scan program) and shared reference fits
+N_ITER = 200
+
+
+@pytest.fixture(scope="module")
+def ref_fit(star_set):
     from lightcurver_tpu.core.deconv.batched import fit_stars_batched
 
+    data, noise, psf, _ = star_set
+    return fit_stars_batched(data, noise, psf, 2, n_iter=N_ITER)
+
+
+@pytest.fixture(scope="module")
+def ref_fit_gb(star_set):
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+
+    data, noise, psf, _ = star_set
+    return fit_stars_batched(data, noise, psf, 2, n_iter=N_ITER,
+                             starlet_global_background=True)
+
+
+def test_flux_recovery_and_fisher_calibration(star_set, ref_fit):
     data, noise, psf, true_flux = star_set
-    out = fit_stars_batched(data, noise, psf, 2, n_iter=400)
+    out = ref_fit
     assert out["fluxes"].shape == (5, 6)
     assert (out["chi2"] < 1.5).all()
     # unbiased at the percent level
@@ -38,10 +58,10 @@ def test_flux_recovery_and_fisher_calibration(star_set):
     pulls = (out["fluxes"] - true_flux) / out["fluxes_uncertainties"]
     assert 0.7 < float(np.std(pulls)) < 1.4
     # loss history contract: exactly n_iter entries
-    assert out["loss_history"].shape == (5, 400)
+    assert out["loss_history"].shape == (5, N_ITER)
 
 
-def test_starlet_global_background(star_set):
+def test_starlet_global_background(star_set, ref_fit_gb):
     """Regression: the per-star PRNG key must be usable inside vmap.
 
     Round-1 bug: _fit_one_star passed the (2,)-shaped split key as a
@@ -49,11 +69,8 @@ def test_starlet_global_background(star_set):
     starlet_global_background=True (reachable from the
     star_photometry_starlet_global_background config flag).
     """
-    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
-
     data, noise, psf, true_flux = star_set
-    out = fit_stars_batched(data, noise, psf, 2, n_iter=300,
-                            starlet_global_background=True)
+    out = ref_fit_gb
     assert out["fluxes"].shape == (5, 6)
     assert np.isfinite(out["fluxes"]).all()
     assert (out["chi2"] < 1.5).all()
@@ -63,7 +80,7 @@ def test_starlet_global_background(star_set):
     assert np.isfinite(out["starlet_background"]).all()
 
 
-def test_padded_epochs_have_zero_weight(star_set):
+def test_padded_epochs_have_zero_weight(star_set, ref_fit):
     from lightcurver_tpu.core.deconv.batched import fit_stars_batched
 
     data, noise, psf, true_flux = star_set
@@ -73,15 +90,16 @@ def test_padded_epochs_have_zero_weight(star_set):
     noise_p = np.pad(noise, pad, constant_values=1e7)
     psf_p = np.concatenate([psf, psf[:, :2]], axis=1)
 
-    ref = fit_stars_batched(data, noise, psf, 2, n_iter=200)
-    padded = fit_stars_batched(data_p, noise_p, psf_p, 2, n_iter=200)
+    ref = ref_fit
+    padded = fit_stars_batched(data_p, noise_p, psf_p, 2, n_iter=N_ITER)
     np.testing.assert_allclose(padded["fluxes"][:, :6], ref["fluxes"],
                                rtol=2e-2)
     # dummy epochs contribute ~zero chi2
     assert (padded["chi2_per_frame"][:, 6:] < 1e-3).all()
 
 
-def test_padding_does_not_contaminate_starlet_weights(star_set):
+def test_padding_does_not_contaminate_starlet_weights(star_set,
+                                                      ref_fit_gb):
     """Heavy padding + starlet background: the regularization statistics
     (noise median, mean PSF spectrum) must come from REAL epochs only —
     dummy 1e7-noise epochs would inflate the l1 threshold by orders of
@@ -97,9 +115,8 @@ def test_padding_does_not_contaminate_starlet_weights(star_set):
     psf_p = np.concatenate([psf, psf[:, -1:].repeat(n_pad, axis=1)],
                            axis=1)
 
-    ref = fit_stars_batched(data, noise, psf, 2, n_iter=200,
-                            starlet_global_background=True)
-    padded = fit_stars_batched(data_p, noise_p, psf_p, 2, n_iter=200,
+    ref = ref_fit_gb
+    padded = fit_stars_batched(data_p, noise_p, psf_p, 2, n_iter=N_ITER,
                                starlet_global_background=True)
     np.testing.assert_allclose(padded["fluxes"][:, :n_pad],
                                ref["fluxes"], rtol=2e-2)
@@ -125,10 +142,10 @@ def test_single_star_api_matches_batched(star_set):
 
     data, noise, psf, true_flux = star_set
     single = do_one_star_forward_modelling(
-        data[0], noise[0], psf[0], 2, n_iter=300,
+        data[0], noise[0], psf[0], 2, n_iter=N_ITER,
         starlet_global_background=False)
     batched = fit_stars_batched(data[:1], noise[:1], psf[:1], 2,
-                                n_iter=300, mesh=None)
+                                n_iter=N_ITER, mesh=None)
     np.testing.assert_allclose(single["fluxes"], batched["fluxes"][0],
                                rtol=1e-3)
     np.testing.assert_allclose(single["chi2_per_frame"],

@@ -138,7 +138,7 @@ def test_sharded_fit_pads_non_divisible(n_epochs):
 
     data, sigma_2, psf, xs, ys, s = ge._toy_problem(
         n_epochs=n_epochs, n_pix=12, s=2, n_sources=2)
-    n_iter = 60 if n_epochs > 20 else 120
+    n_iter = 60
 
     model, kwargs_init, kwargs_up, kwargs_down, kwargs_fixed = setup_model(
         data, sigma_2, psf, xs, ys, s)

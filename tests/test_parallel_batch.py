@@ -42,6 +42,22 @@ def star_set():
     return np.stack(data), np.stack(noise), np.stack(psf)
 
 
+# every parity test below compares against the SAME unsharded fit at the
+# SAME n_iter=80 budget: one reference fit and one compiled trip count
+# for the whole module instead of five (the scan length is static, so
+# every distinct n_iter is a separate XLA program)
+STAR_N_ITER = 80
+
+
+@pytest.fixture(scope="module")
+def star_ref(star_set):
+    from lightcurver_tpu.core.deconv.batched import fit_stars_batched
+
+    data, noise, psf = star_set
+    return fit_stars_batched(data, noise, psf, 2, n_iter=STAR_N_ITER,
+                             mesh=None)
+
+
 def test_pad_batch_arrays_pads_and_shards():
     from lightcurver_tpu.parallel.batch import (batch_mesh,
                                                 pad_batch_arrays,
@@ -76,7 +92,7 @@ def test_psf_batch_sharded_matches_unsharded(psf_frames):
     from lightcurver_tpu.parallel.batch import batch_mesh
 
     data, sigma = psf_frames
-    kw = dict(n_iter_analytic=25, n_iter_adabelief=100)
+    kw = dict(n_iter_analytic=20, n_iter_adabelief=80)
     ref = build_psf_batched(data, sigma, 2, mesh=None, **kw)
     shd = build_psf_batched(data, sigma, 2, mesh=batch_mesh(8), **kw)
 
@@ -102,15 +118,15 @@ def test_psf_batch_sharded_matches_unsharded(psf_frames):
                                rtol=1e-5)
 
 
-def test_star_photometry_sharded_matches_unsharded(star_set):
+def test_star_photometry_sharded_matches_unsharded(star_set, star_ref):
     """Star-sharded joint photometry reproduces the single-device fit."""
     from lightcurver_tpu.core.deconv.batched import fit_stars_batched
     from lightcurver_tpu.parallel.batch import batch_mesh
 
     data, noise, psf = star_set
-    kw = dict(n_iter=200)
-    ref = fit_stars_batched(data, noise, psf, 2, mesh=None, **kw)
-    shd = fit_stars_batched(data, noise, psf, 2, mesh=batch_mesh(8), **kw)
+    ref = star_ref
+    shd = fit_stars_batched(data, noise, psf, 2, mesh=batch_mesh(8),
+                            n_iter=STAR_N_ITER)
 
     # convergence-level parity (see the PSF test above for why not
     # bitwise); fluxes are the payload — hold them tighter
@@ -124,7 +140,7 @@ def test_star_photometry_sharded_matches_unsharded(star_set):
                                rtol=2e-2)
 
 
-def test_auto_mesh_is_used_by_default(star_set):
+def test_auto_mesh_is_used_by_default(star_set, star_ref):
     """mesh="auto" on a multi-device backend shards without opting in —
     the production tasks (processes/psf_modelling.py,
     processes/star_photometry.py) pick the pod up for free."""
@@ -136,10 +152,8 @@ def test_auto_mesh_is_used_by_default(star_set):
     from lightcurver_tpu.core.deconv.batched import fit_stars_batched
 
     data, noise, psf = star_set
-    out_auto = fit_stars_batched(data, noise, psf, 2, n_iter=60)
-    out_none = fit_stars_batched(data, noise, psf, 2, n_iter=60,
-                                 mesh=None)
-    np.testing.assert_allclose(out_auto["fluxes"], out_none["fluxes"],
+    out_auto = fit_stars_batched(data, noise, psf, 2, n_iter=STAR_N_ITER)
+    np.testing.assert_allclose(out_auto["fluxes"], star_ref["fluxes"],
                                rtol=2e-3)
 
 
@@ -207,24 +221,25 @@ def test_star_batch_sharded_step_has_no_collectives(star_set):
     assert _collective_ops(hlo) == [], _collective_ops(hlo)[:5]
 
 
-def test_star_photometry_sharded_checkpoint_roundtrip(star_set, tmp_path):
+def test_star_photometry_sharded_checkpoint_roundtrip(star_set, star_ref,
+                                                      tmp_path):
     """The segmented/checkpointed batched fit also runs sharded."""
     from lightcurver_tpu.core.deconv.batched import fit_stars_batched
     from lightcurver_tpu.parallel.batch import batch_mesh
 
     data, noise, psf = star_set
     ckpt = tmp_path / "stars.ckpt"
-    out = fit_stars_batched(data, noise, psf, 2, n_iter=80,
+    out = fit_stars_batched(data, noise, psf, 2, n_iter=STAR_N_ITER,
                             mesh=batch_mesh(8),
                             checkpoint_path=str(ckpt),
                             checkpoint_every=30)
     assert ckpt.exists()
-    ref = fit_stars_batched(data, noise, psf, 2, n_iter=80, mesh=None)
-    np.testing.assert_allclose(out["fluxes"], ref["fluxes"], rtol=2e-3)
-    assert out["loss_history"].shape == (5, 80)
+    np.testing.assert_allclose(out["fluxes"], star_ref["fluxes"],
+                               rtol=2e-3)
+    assert out["loss_history"].shape == (5, STAR_N_ITER)
 
 
-def test_star_photometry_2d_mesh_matches_unsharded(star_set):
+def test_star_photometry_2d_mesh_matches_unsharded(star_set, star_ref):
     """(batch, epoch) mesh: 5 stars on 8 devices -> a (2, 4) mesh
     shards each star's epoch axis too.  Stars pad 5->6, epochs pad
     6->8 with standard dummy epochs; both pads strip from the result
@@ -234,9 +249,10 @@ def test_star_photometry_2d_mesh_matches_unsharded(star_set):
     from lightcurver_tpu.parallel.batch import batch_epoch_mesh
 
     data, noise, psf = star_set
-    ref = fit_stars_batched(data, noise, psf, 2, n_iter=150, mesh=None)
+    ref = star_ref
     mesh = batch_epoch_mesh(2, 4)
-    shd = fit_stars_batched(data, noise, psf, 2, n_iter=150, mesh=mesh)
+    shd = fit_stars_batched(data, noise, psf, 2, n_iter=STAR_N_ITER,
+                            mesh=mesh)
 
     assert shd["fluxes"].shape == ref["fluxes"].shape
     np.testing.assert_allclose(shd["fluxes"], ref["fluxes"], rtol=2e-3)
