@@ -1141,7 +1141,9 @@ def run_config(n):
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-lane":
+        run_cpu_lane()
+    elif len(sys.argv) > 1:
         run_config(int(sys.argv[1]))
     else:
         main()
