@@ -405,3 +405,101 @@ def test_workflow_ordering_divergence_documented(utilities_golden):
     result = run_topo(WorkflowManager, scenarios["cycle"])
     assert isinstance(result, dict), "our sort accepted a cyclic graph"
     assert "cycle" in result["error"].lower()
+
+
+# ---------------------------------------------------------------------
+# Independent cross-implementation oracle (tools/independent_oracle.py):
+# torch + float64 + scipy's Fortran L-BFGS-B — the same optimizer
+# library the reference's STARRED stack drives — re-implementing the
+# documented model equations with none of the core's machinery.  This
+# is the standing substitute for the unrecordable STARRED head-to-head
+# (test_matches_reference_golden skip): two independent implementations
+# agreeing on the committed golden inputs to far below the sub-mmag bar.
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    import independent_oracle
+
+    return independent_oracle
+
+
+@pytest.fixture(scope="module")
+def golden_inputs():
+    return np.load(FIXTURES / "golden_inputs.npz")
+
+
+def test_oracle_render_matches_core(oracle, golden_inputs):
+    """The two forward-model implementations agree at float32 precision
+    on random parameters (the core is float32; the oracle float64)."""
+    import jax.numpy as jnp
+
+    from lightcurver_tpu.core.deconv.model import DeconvModel
+
+    rng = np.random.RandomState(0)
+    N, n, s = 4, 16, 2
+    m = n * s
+    psf = rng.rand(N, m, m).astype(np.float32) + 1.0
+    a = rng.rand(N) * 100
+    c_x, c_y = 0.3, -0.2
+    dx = rng.randn(N) * 0.5
+    dy = rng.randn(N) * 0.5
+    mean = rng.randn(N) * 0.1
+
+    model = DeconvModel(psf, s, n, N, 1)
+    kwargs = {
+        "kwargs_analytic": {
+            "a": jnp.asarray(a, jnp.float32),
+            "c_x": jnp.asarray([c_x], jnp.float32),
+            "c_y": jnp.asarray([c_y], jnp.float32),
+            "dx": jnp.asarray(dx, jnp.float32),
+            "dy": jnp.asarray(dy, jnp.float32),
+            "alpha": jnp.zeros(N, jnp.float32),
+        },
+        "kwargs_background": {"h": jnp.zeros(m * m, jnp.float32),
+                              "mean": jnp.asarray(mean, jnp.float32)},
+        "kwargs_sersic": {},
+    }
+    ours = np.asarray(model.model(kwargs))
+    theirs = oracle.render_photometry_model(psf, s, a, c_x, c_y, dx, dy,
+                                            mean=mean)
+    assert np.abs(ours - theirs).max() / np.abs(ours).max() < 1e-5
+
+
+def test_oracle_photometry_parity(oracle, golden_inputs, our_outputs):
+    """Independent torch/scipy joint fit lands on the same fluxes as the
+    core's AdaBelief+GLS fit: measured 3e-6 mag (0.003 mmag) — the
+    sub-mmag bar with 300x margin — and chi2 to ~1e-6 relative."""
+    z = golden_inputs
+    res = oracle.fit_photometry(z["phot_data"], z["phot_noise"],
+                                z["phot_psf"],
+                                int(z["subsampling_factor"]))
+    assert res["scipy_result"].success
+
+    ours = np.asarray(our_outputs["phot_fluxes"])
+    dmag = 2.5 * np.abs(np.log10(res["fluxes"] / ours))
+    assert float(dmag.max()) < 1e-4, f"flux disagreement {dmag} mag"
+    np.testing.assert_allclose(res["chi2_per_frame"],
+                               our_outputs["phot_chi2_per_frame"],
+                               rtol=1e-3)
+
+
+def test_oracle_moffat_parity(oracle, golden_inputs, our_outputs):
+    """Independent scipy-L-BFGS-B Moffat fit reproduces the core's
+    phase-1 FWHM solution (measured 0.3%; asserted 1%)."""
+    z = golden_inputs
+    res = oracle.fit_moffat(z["psf_stars"], z["psf_noise"],
+                            int(z["subsampling_factor"]))
+    assert res["scipy_result"].success
+    assert res["fwhm_x"] == pytest.approx(our_outputs["psf_fwhm_x"],
+                                          rel=0.01)
+    assert res["fwhm_y"] == pytest.approx(our_outputs["psf_fwhm_y"],
+                                          rel=0.01)
+    # the oracle stops at the analytic phase; the core's recorded chi2
+    # includes the pixel-grid phase, which can only improve the fit
+    assert res["chi2"] < 2.0
+    assert our_outputs["psf_chi2"] <= res["chi2"] * 1.05
