@@ -305,3 +305,257 @@ def fit_moffat(image, noisemap, s, maxiter=2000, fwhm0=3.0):
         "loss": float(val),
         "scipy_result": res,
     }
+
+
+# --------------------------------------------------------------------
+# joint ROI deconvolution (multi-source + shared starlet-regularized
+# background) — the headline workload
+# --------------------------------------------------------------------
+
+def _grid_center_phase(L, m):
+    """exp(+2 pi i (fy + fx) c), c = (m - 1) / 2 — re-centers a PSF
+    array at index 0 so conv with a gridded image is peak-aligned."""
+    fy, fx = _freqs(L)
+    c = (m - 1) / 2.0
+    return torch.exp(2j * math.pi * ((fy + fx) * c))
+
+
+def _starlet(img, n_scales):
+    """A-trous starlet, B3 kernel [1,4,6,4,1]/16, mirror boundary
+    (edge-repeating, numpy 'symmetric'); detail finest-first, coarse
+    last — the documented core/starlet.py contract."""
+    w = (1 / 16, 4 / 16, 6 / 16, 4 / 16, 1 / 16)
+
+    def smooth_axis(x, d, axis):
+        x = x.movedim(axis, -1)
+        p = 2 * d
+        xp = torch.cat([x[..., :p].flip(-1), x, x[..., -p:].flip(-1)],
+                       dim=-1)
+        n = x.shape[-1]
+        out = sum(w[k] * xp[..., k * d:k * d + n] for k in range(5))
+        return out.movedim(-1, axis)
+
+    coeffs, cur = [], img
+    for j in range(n_scales):
+        sm = smooth_axis(smooth_axis(cur, 2 ** j, -1), 2 ** j, -2)
+        coeffs.append(cur - sm)
+        cur = sm
+    coeffs.append(cur)
+    return torch.stack(coeffs)
+
+
+class RoiProblem:
+    """The joint-deconvolution objective, assembled in torch.
+
+    Mirrors the documented loss (core/deconv/loss.py module docstring):
+    0.5 * chi2 + starlet-l1 on h (hf strength on the finest scale,
+    'scales' on the middle ones, coarse free) + positivity on h and a.
+    """
+
+    def __init__(self, data, sigma_2, psf, s, lambda_scales=1.0,
+                 lambda_hf=1.0, lambda_pos=100.0, W=None,
+                 lambda_pts=0.0, pts_weights=None, lambda_flux_uni=0.0):
+        data = torch.as_tensor(np.asarray(data, np.float64))
+        self.data = data
+        self.sigma_2 = torch.as_tensor(np.asarray(sigma_2, np.float64))
+        self.n_epochs, self.n_pix = data.shape[0], data.shape[-1]
+        self.s = s
+        self.m = self.n_pix * s
+        self.L = 2 * self.m
+        psf = torch.as_tensor(np.asarray(psf, np.float64))
+        psf = _pad_center(psf, self.m)
+        psf = psf / psf.sum(dim=(-2, -1), keepdim=True)
+        self.psf_hat = torch.fft.rfft2(psf, s=(self.L, self.L))
+        self.r_hat = _r_hat(self.L)
+        self.grid_phase = _grid_center_phase(self.L, self.m)
+        self.n_scales = int(math.log2(self.m))
+        self.lambda_scales = lambda_scales
+        self.lambda_hf = lambda_hf
+        self.lambda_pos = lambda_pos
+        self.W = (torch.as_tensor(np.asarray(W, np.float64))
+                  if W is not None
+                  else torch.ones(self.n_scales + 1, self.m, self.m))
+        self.lambda_pts = lambda_pts
+        self.pts_weights = (torch.as_tensor(
+            np.asarray(pts_weights, np.float64))
+            if pts_weights is not None else None)
+        self.lambda_flux_uni = lambda_flux_uni
+
+    def render(self, kw):
+        """Forward model (N, n, n) from a kwargs-like dict of tensors."""
+        N = self.n_epochs
+        ka = kw["kwargs_analytic"]
+        M = ka["c_x"].shape[0]
+        a = ka["a"].reshape(N, M)
+        th = torch.deg2rad(ka["alpha"])[:, None]
+        px = torch.cos(th) * ka["c_x"] - torch.sin(th) * ka["c_y"] \
+            + ka["dx"][:, None]
+        py = torch.sin(th) * ka["c_x"] + torch.cos(th) * ka["c_y"] \
+            + ka["dy"][:, None]
+        # sum of per-source phase ramps (N, L, L//2+1)
+        ramps = _shift_phase(self.L, self.s * px, self.s * py)
+        spec = (ramps * a[..., None, None].to(torch.complex128)).sum(dim=1)
+        total = spec * self.psf_hat * self.r_hat
+        h = kw["kwargs_background"]["h"].reshape(self.m, self.m)
+        h_hat = torch.fft.rfft2(h, s=(self.L, self.L))
+        total = total + h_hat * self.psf_hat * self.grid_phase
+        fine = torch.fft.irfft2(total, s=(self.L, self.L))[
+            ..., :self.m, :self.m]
+        out = _downsample(fine, self.s)
+        return out + kw["kwargs_background"]["mean"][:, None, None]
+
+    def loss(self, kw):
+        res = (self.data - self.render(kw)) ** 2 / self.sigma_2
+        total = 0.5 * res.sum()
+        h = kw["kwargs_background"]["h"].reshape(self.m, self.m)
+        coeffs = _starlet(h, self.n_scales)
+        wabs = self.W * coeffs.abs()
+        total = total + self.lambda_hf * wabs[0].sum() \
+            + self.lambda_scales * wabs[1:-1].sum()
+        if self.lambda_pos:
+            a = kw["kwargs_analytic"]["a"]
+            total = total + self.lambda_pos * (
+                torch.clamp(-h, min=0.0).sum()
+                + torch.clamp(-a, min=0.0).sum())
+        if self.lambda_pts and self.pts_weights is not None:
+            total = total + self.lambda_pts * (
+                self.pts_weights * h.abs()).sum()
+        if self.lambda_flux_uni:
+            M = kw["kwargs_analytic"]["c_x"].shape[0]
+            a = kw["kwargs_analytic"]["a"].reshape(self.n_epochs, M)
+            mean = a.mean(dim=0)
+            var = ((a - mean) ** 2).mean(dim=0)
+            total = total + self.lambda_flux_uni * (
+                var / (mean ** 2 + 1e-12)).sum()
+        return total
+
+
+def _adabelief(loss_fn, x0, lower, upper, n_iter, lr, b1=0.9, b2=0.999,
+               eps=1e-16):
+    """Projected AdaBelief (Zhuang+ 2020), written from the paper."""
+    x = x0.clone().requires_grad_(True)
+    mt = torch.zeros_like(x)
+    st = torch.zeros_like(x)
+    for t in range(1, n_iter + 1):
+        val = loss_fn(x)
+        (g,) = torch.autograd.grad(val, x)
+        with torch.no_grad():
+            mt = b1 * mt + (1 - b1) * g
+            st = b2 * st + (1 - b2) * (g - mt) ** 2 + eps
+            mhat = mt / (1 - b1 ** t)
+            shat = st / (1 - b2 ** t)
+            x -= lr * mhat / (shat.sqrt() + eps)
+            x.clamp_(min=lower, max=upper)
+        x.requires_grad_(True)
+    return x.detach()
+
+
+def fit_roi(data, sigma_2, psf, s, kwargs_init, kwargs_down, kwargs_up,
+            lambda_scales=1.0, lambda_hf=1.0, lambda_pos=100.0, W=None,
+            lambda_pts=0.0, pts_weights=None, lambda_flux_uni=0.0,
+            n_iter=5000, lr=1e-2, fixed_keys=(), polish_lbfgsb=False):
+    """Independent minimization of the joint-deconvolution objective.
+
+    Takes the SAME problem definition as the core (same init, same
+    bounds, same regularization constants) and minimizes with this
+    module's own machinery: torch autograd + projected AdaBelief +
+    a closed-form per-epoch GLS flux solve at the fitted
+    positions/background (the model is linear in the fluxes).
+    """
+    prob = RoiProblem(data, sigma_2, psf, s, lambda_scales=lambda_scales,
+                      lambda_hf=lambda_hf, lambda_pos=lambda_pos, W=W,
+                      lambda_pts=lambda_pts, pts_weights=pts_weights,
+                      lambda_flux_uni=lambda_flux_uni)
+
+    # flatten the free pytree deterministically; fixed_keys stay at init
+    fixed_keys = set(fixed_keys)
+    fixed_vals = {(grp, key): torch.as_tensor(
+        np.asarray(kwargs_init[grp][key], np.float64))
+        for grp, key in fixed_keys}
+    names, shapes, pieces, lo, hi = [], [], [], [], []
+    for grp in ("kwargs_analytic", "kwargs_background"):
+        for key in sorted(kwargs_init[grp]):
+            if (grp, key) in fixed_keys:
+                continue
+            v = np.asarray(kwargs_init[grp][key], np.float64).ravel()
+            names.append((grp, key))
+            shapes.append(np.asarray(kwargs_init[grp][key]).shape)
+            pieces.append(v)
+            lo.append(np.broadcast_to(
+                np.asarray(kwargs_down[grp][key], np.float64),
+                v.shape).ravel())
+            hi.append(np.broadcast_to(
+                np.asarray(kwargs_up[grp][key], np.float64),
+                v.shape).ravel())
+    x0 = torch.as_tensor(np.concatenate(pieces))
+    lower = torch.as_tensor(np.concatenate(lo))
+    upper = torch.as_tensor(np.concatenate(hi))
+
+    def unpack(x):
+        kw = {"kwargs_analytic": {}, "kwargs_background": {},
+              "kwargs_sersic": {}}
+        off = 0
+        for (grp, key), shp in zip(names, shapes):
+            size = int(np.prod(shp)) if shp else 1
+            kw[grp][key] = x[off:off + size].reshape(shp)
+            off += size
+        for (grp, key), val in fixed_vals.items():
+            kw[grp][key] = val
+        return kw
+
+    x = _adabelief(lambda xx: prob.loss(unpack(xx)), x0, lower, upper,
+                   n_iter, lr)
+    if polish_lbfgsb:
+        # exact quasi-Newton polish — valid when the nonsmooth l1 term
+        # is constant (h in fixed_keys), where the objective is smooth
+        bnds = [(float(l) if math.isfinite(l) else None,
+                 float(u) if math.isfinite(u) else None)
+                for l, u in zip(lower.tolist(), upper.tolist())]
+        res = _scipy_lbfgsb(lambda xx: prob.loss(unpack(xx)),
+                            np.asarray(x), bnds, maxiter=2000)
+        x = torch.as_tensor(res.x)
+    kw = unpack(x)
+    kw = {g: {k: v.detach().clone() for k, v in d.items()}
+          for g, d in kw.items()}
+
+    # exact GLS flux polish (linear in a): per-epoch normal equations
+    N, M = prob.n_epochs, kw["kwargs_analytic"]["c_x"].shape[0]
+    with torch.no_grad():
+        base = dict(kw)
+        a_eye = torch.eye(M, dtype=torch.float64)
+        basis = []
+        zero_h = {"kwargs_background": {
+            "h": torch.zeros_like(kw["kwargs_background"]["h"]),
+            "mean": torch.zeros(N, dtype=torch.float64)},
+            "kwargs_analytic": kw["kwargs_analytic"],
+            "kwargs_sersic": {}}
+        for j in range(M):
+            kw_j = {"kwargs_analytic": dict(kw["kwargs_analytic"]),
+                    "kwargs_background": zero_h["kwargs_background"],
+                    "kwargs_sersic": {}}
+            kw_j["kwargs_analytic"] = {
+                **kw["kwargs_analytic"],
+                "a": a_eye[j].repeat(N)}
+            basis.append(prob.render(kw_j))          # (N, n, n)
+        B = torch.stack(basis, dim=1)                # (N, M, n, n)
+        kw_c = {"kwargs_analytic": {**kw["kwargs_analytic"],
+                                    "a": torch.zeros(N * M)},
+                "kwargs_background": kw["kwargs_background"],
+                "kwargs_sersic": {}}
+        C = prob.render(kw_c)                        # (N, n, n)
+        wgt = 1.0 / prob.sigma_2
+        rhs = torch.einsum("nmyx,nyx->nm", B, wgt * (prob.data - C))
+        mat = torch.einsum("nmyx,nkyx,nyx->nmk", B, B, wgt)
+        a = torch.linalg.solve(mat, rhs)             # (N, M)
+        kw["kwargs_analytic"]["a"] = a.reshape(-1)
+        model = prob.render(kw)
+        chi2 = float((((prob.data - model) ** 2) / prob.sigma_2).sum()
+                     / model.numel())
+        final_loss = float(prob.loss(kw))
+    return {
+        "kwargs": {g: {k: np.asarray(v) for k, v in d.items()}
+                   for g, d in kw.items()},
+        "fluxes": np.asarray(a),
+        "reduced_chi2": chi2,
+        "loss": final_loss,
+    }
