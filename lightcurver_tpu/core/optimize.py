@@ -762,3 +762,36 @@ def relative_loss_differential(loss_history):
     if initial == 0:
         return 0.0
     return float(end / initial)
+
+
+# a converged fit plateaus at rld ~ 1e-3; above this the last 10% of
+# iterations still moved the loss by > 2% of the initial descent —
+# the fixed budget ended while the optimizer was still descending
+UNCONVERGED_RLD_THRESHOLD = 0.02
+
+
+def warn_if_unconverged(loss_history, logger, label, budget_key,
+                        threshold=UNCONVERGED_RLD_THRESHOLD):
+    """Log (and return) the plateau metric; warn when it says the fixed
+    iteration budget ended mid-descent.
+
+    The reference stores ``relative_loss_differential`` silently
+    (reference processes/psf_modelling.py:205-208); measured here
+    (tools/exp_roi_oracle.py, round 5): at extreme SNR the reference
+    budgets can leave a joint fit visibly unconverged (an independent
+    minimizer reached 36% lower loss), so the pipeline now SAYS so
+    instead of only persisting the number.
+
+    Args:
+        loss_history: per-iteration loss values of the finished fit.
+        logger: task logger.
+        label: what was being fitted (e.g. "PSF of frame 12").
+        budget_key: the config key the user should raise.
+    """
+    rld = relative_loss_differential(loss_history)
+    if rld > threshold:
+        logger.warning(
+            f"{label}: loss still descending when the iteration budget "
+            f"ran out (relative_loss_differential {rld:.3f} > "
+            f"{threshold}); consider raising '{budget_key}'")
+    return rld

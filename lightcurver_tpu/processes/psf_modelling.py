@@ -22,7 +22,7 @@ from ..structure.user_config import get_user_config
 from ..utilities.footprint import get_combined_footprint_hash
 from ..utilities.image_coordinates import rescale_image_coordinates
 from ..core.psf.build import build_psf
-from ..core.optimize import relative_loss_differential
+from ..core.optimize import warn_if_unconverged
 from .star_extraction import _segment
 
 
@@ -363,13 +363,16 @@ def _store_psf_result(user_config, regions_file, job, result,
                 "kwargs_distortion"].items():
             distortion_group[key] = value
 
+    rld = warn_if_unconverged(loss_history, logger,
+                              f"Frame {frame['id']} PSF pixel fit",
+                              "psf_n_iter_pixels")
     execute_sqlite_query(
         """REPLACE INTO PSFs (frame_id, chi2,
            relative_loss_differential, psf_ref,
            combined_footprint_hash, subsampling_factor,
            fwhm_moffat_arcseconds) VALUES (?, ?, ?, ?, ?, ?, ?)""",
         params=(frame["id"], float(result["chi2"]),
-                relative_loss_differential(loss_history), psf_ref,
+                rld, psf_ref,
                 combined_footprint_hash,
                 user_config["subsampling_factor"], fwhm_arcsec),
         is_select=False)

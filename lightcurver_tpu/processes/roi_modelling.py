@@ -542,8 +542,14 @@ def do_modelling_of_roi():
             starlet_background=np.asarray(background_only))
     except Exception as e:
         logger.warning(f"ROI modelling plot failed: {e}")
+    from ..core.optimize import warn_if_unconverged
+
+    rld = warn_if_unconverged(optim.loss_history, logger,
+                              f"ROI {roi} stage-2 joint fit",
+                              "roi_deconv_all_iters")
     logger.info("Finished modelling the ROI. Global reduced chi2: "
-                f"{float(np.mean(per_epoch['reduced_chi2'])):.02f}.")
+                f"{float(np.mean(per_epoch['reduced_chi2'])):.02f} "
+                f"(loss plateau metric {rld:.4f}).")
 
 
 def get_fluxes_dataframe_from_model(model, kwargs, kwargs_down, kwargs_up,

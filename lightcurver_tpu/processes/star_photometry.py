@@ -25,7 +25,7 @@ from ..utilities.image_coordinates import rescale_image_coordinates
 from ..core.deconv.model import setup_model
 from ..core.deconv.loss import Loss
 from ..core.params import Params
-from ..core.optimize import Optimizer, relative_loss_differential
+from ..core.optimize import Optimizer, warn_if_unconverged
 from ..core.noise import propagate_noise
 from ..core.fisher import get_flux_uncertainties
 from ..core.psf.distortion import apply_distortion
@@ -427,7 +427,9 @@ def _store_star_result(user_config, job, result, footprint_hash,
     except Exception as e:
         logger.warning(f"Star modelling plot failed: {e}")
 
-    rld = relative_loss_differential(result["loss_curve"])
+    rld = warn_if_unconverged(result["loss_curve"], logger,
+                              f"Star {star['name']} joint fit",
+                              "star_deconv_n_iter")
     flux_data = [
         (footprint_hash, int(frame["id"]), star["gaia_id"],
          float(result["fluxes"][j]),

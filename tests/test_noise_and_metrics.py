@@ -64,6 +64,32 @@ def test_relative_loss_differential():
     assert relative_loss_differential(history) > 0.05
 
 
+def test_warn_if_unconverged(caplog):
+    """The tasks now SAY when a fixed budget ended mid-descent (round-5
+    finding: an independent minimizer reached 36% lower loss at extreme
+    SNR within the same budget) instead of only persisting the metric."""
+    import logging
+
+    from lightcurver_tpu.core.optimize import warn_if_unconverged
+
+    logger = logging.getLogger("test_warn_if_unconverged")
+
+    converged = np.concatenate([np.linspace(100, 1, 90),
+                                np.full(10, 1.0)])
+    with caplog.at_level(logging.WARNING, logger=logger.name):
+        rld = warn_if_unconverged(converged, logger, "fit A", "some_key")
+    assert rld == pytest.approx(0.0, abs=1e-6)
+    assert not caplog.records
+
+    still_descending = np.linspace(100, 0, 100)
+    with caplog.at_level(logging.WARNING, logger=logger.name):
+        rld = warn_if_unconverged(still_descending, logger, "fit B",
+                                  "roi_deconv_all_iters")
+    assert rld > 0.05
+    assert any("roi_deconv_all_iters" in r.message and "fit B" in r.message
+               for r in caplog.records)
+
+
 class TestClosedFormGridWeights:
     """Closed-form starlet noise weights vs a large-sample MC oracle.
 
