@@ -521,21 +521,15 @@ def fit_roi(data, sigma_2, psf, s, kwargs_init, kwargs_down, kwargs_up,
     # exact GLS flux polish (linear in a): per-epoch normal equations
     N, M = prob.n_epochs, kw["kwargs_analytic"]["c_x"].shape[0]
     with torch.no_grad():
-        base = dict(kw)
         a_eye = torch.eye(M, dtype=torch.float64)
         basis = []
-        zero_h = {"kwargs_background": {
-            "h": torch.zeros_like(kw["kwargs_background"]["h"]),
-            "mean": torch.zeros(N, dtype=torch.float64)},
-            "kwargs_analytic": kw["kwargs_analytic"],
-            "kwargs_sersic": {}}
+        zero_bg = {"h": torch.zeros_like(kw["kwargs_background"]["h"]),
+                   "mean": torch.zeros(N, dtype=torch.float64)}
         for j in range(M):
-            kw_j = {"kwargs_analytic": dict(kw["kwargs_analytic"]),
-                    "kwargs_background": zero_h["kwargs_background"],
+            kw_j = {"kwargs_analytic": {**kw["kwargs_analytic"],
+                                        "a": a_eye[j].repeat(N)},
+                    "kwargs_background": zero_bg,
                     "kwargs_sersic": {}}
-            kw_j["kwargs_analytic"] = {
-                **kw["kwargs_analytic"],
-                "a": a_eye[j].repeat(N)}
             basis.append(prob.render(kw_j))          # (N, n, n)
         B = torch.stack(basis, dim=1)                # (N, M, n, n)
         kw_c = {"kwargs_analytic": {**kw["kwargs_analytic"],
