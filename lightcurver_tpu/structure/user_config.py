@@ -96,6 +96,7 @@ def get_user_config():
     config.setdefault("fix_point_source_astrometry", False)
     config.setdefault("deconv_checkpoint_every", 0)
     config.setdefault("psf_do_plots", 1)
+    config.setdefault("star_fit_batch_size", 32)
     # absent key == null: the ROI tasks derive the workdir default
     # themselves (a missing key otherwise KeyErrors at the LAST two
     # pipeline stages for notebook users bypassing the template check)

@@ -134,6 +134,11 @@ def workdir(tmp_path_factory):
         "psf_n_iter_analytic": 40, "psf_n_iter_pixels": 150,
         "psf_fit_exclude_strategy": {"threshold": [0.0, 2.0]},
         "star_deconv_n_iter": 200,
+        # < the 8-star field: the star task must run MULTIPLE pipelined
+        # buckets (dispatch/fetch overlap, per-bucket epoch padding) and
+        # every downstream assertion (fluxes, gates, normalization, ROI)
+        # then validates the bucketed path end-to-end
+        "star_fit_batch_size": 3,
         "roi_deconv_translations_iters": 30,
         "roi_deconv_all_iters": 300,
         "point_sources": {ps: list(_sky(dx, dy))
