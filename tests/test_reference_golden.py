@@ -503,3 +503,41 @@ def test_oracle_moffat_parity(oracle, golden_inputs, our_outputs):
     # includes the pixel-grid phase, which can only improve the fit
     assert res["chi2"] < 2.0
     assert our_outputs["psf_chi2"] <= res["chi2"] * 1.05
+
+
+@pytest.mark.slow
+def test_oracle_psf_grid_phase_parity(oracle, golden_inputs, our_outputs):
+    """Independent phase 2 (free pixel grid, starlet-l1 with the core's
+    closed-form W as the shared problem constant, own AdaBelief)
+    reaches the same final chi2 regime as the core's build_psf
+    (measured 0.358 vs 0.394 — 9%; asserted 15%), completing the
+    two-phase PSF chain cross-check."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lightcurver_tpu.core.psf.build import (
+        _propagate_noise_to_grid_weights)
+    from lightcurver_tpu.core.psf.model import PSFModel
+
+    z = golden_inputs
+    s = int(z["subsampling_factor"])
+    image, noisemap = z["psf_stars"], z["psf_noise"]
+    n_stars, n_pix = image.shape[0], image.shape[-1]
+
+    mof = oracle.fit_moffat(image, noisemap, s)
+    scale = float(np.nanmax(image))
+    model = PSFModel(n_stars, n_pix, s)
+    a0 = np.clip(np.nansum(image / scale, axis=(1, 2)), 1e-3, None)
+    W = np.asarray(_propagate_noise_to_grid_weights(
+        model, noisemap / scale, jnp.mean(jnp.asarray(a0))))
+
+    res = oracle.fit_psf_grid(image, noisemap, s, mof["fwhm_x"],
+                              mof["fwhm_y"], mof["beta"], W, lam=1.0,
+                              n_iter=2000, lr=5e-4)
+    # the grid phase must IMPROVE on the analytic phase ...
+    assert res["chi2"] < mof["chi2"]
+    # ... and land in the core's final-chi2 regime
+    assert res["chi2"] == pytest.approx(our_outputs["psf_chi2"],
+                                        rel=0.15)
+    # the fitted narrow PSF is a unit-sum positive-core profile
+    assert res["narrow_psf"].sum() == pytest.approx(1.0, abs=1e-6)

@@ -553,3 +553,85 @@ def fit_roi(data, sigma_2, psf, s, kwargs_init, kwargs_down, kwargs_up,
         "reduced_chi2": chi2,
         "loss": final_loss,
     }
+
+
+def fit_psf_grid(image, noisemap, s, fwhm_x, fwhm_y, beta, W, lam=1.0,
+                 n_iter=3000, lr=5e-4):
+    """Independent phase 2 of the narrow-PSF fit: the free pixel grid.
+
+    Same spec as core/psf/build.py phase 2: Moffat fixed at the
+    analytic solution, free per-star fluxes/positions and the grid g
+    with t = normalize(Moffat + g); starlet-l1 on g over the detail
+    scales with per-coefficient noise weights W (passed in — W is part
+    of the problem definition, computed closed-form by the core);
+    masked chi2 data term with the star-0 position pin; this module's
+    own projected AdaBelief.
+
+    Returns the final reduced chi2 (per-star mean over unmasked
+    pixels) and the normalized narrow PSF.
+    """
+    image = np.asarray(image, np.float64)
+    noisemap = np.asarray(noisemap, np.float64)
+    n_stars, n_pix = image.shape[0], image.shape[-1]
+    m = n_pix * s
+    L = 2 * m
+    n_sc = int(math.log2(m))
+
+    masks = torch.as_tensor(np.isfinite(image))
+    scale = float(np.nanmax(image))
+    data = torch.as_tensor(np.nan_to_num(image / scale))
+    sig2 = torch.as_tensor(
+        np.where(np.isfinite(image),
+                 np.nan_to_num(noisemap / scale, nan=1e8) ** 2, 1.0))
+    good = masks.sum(dim=(-2, -1)).to(torch.float64)
+    W_t = torch.as_tensor(np.asarray(W, np.float64))
+
+    r_hat = _r_hat(L)
+    moffat = _moffat_fine(m, s, torch.as_tensor(float(fwhm_x)),
+                          torch.as_tensor(float(fwhm_y)),
+                          torch.as_tensor(float(beta)))
+    a0 = np.clip(np.nansum(image / scale, axis=(1, 2)), 1e-3, None)
+
+    # [a(N), x0(N), y0(N), g(m*m)]
+    x_init = np.concatenate([a0, np.zeros(2 * n_stars), np.zeros(m * m)])
+    lower = torch.as_tensor(np.concatenate(
+        [np.zeros(n_stars), np.full(2 * n_stars, -3.0),
+         np.full(m * m, -np.inf)]))
+    upper = torch.as_tensor(np.concatenate(
+        [np.full(n_stars, np.inf), np.full(2 * n_stars, 3.0),
+         np.full(m * m, np.inf)]))
+
+    def loss(x):
+        a = x[:n_stars]
+        sx = x[n_stars:2 * n_stars]
+        sy = x[2 * n_stars:3 * n_stars]
+        g = x[3 * n_stars:].reshape(m, m)
+        t = moffat + g
+        t = t / t.sum()
+        t_hat = torch.fft.rfft2(t, s=(L, L))
+        model = _render(t_hat[None], r_hat, a, sx, sy, m, s)
+        res2 = ((data - model) ** 2) / sig2
+        res2 = torch.where(masks, res2, torch.zeros(()))
+        chi2 = res2.sum(dim=(-2, -1)) / torch.clamp(good, min=1.0)
+        pin = 0.5 * ((sx[0] / 1e-3) ** 2 + (sy[0] / 1e-3) ** 2)
+        coeffs = _starlet(g, n_sc)
+        reg = lam * (W_t[:-1] * coeffs[:-1].abs()).sum()
+        return 0.5 * chi2.sum() * n_pix ** 2 + pin + reg
+
+    x = _adabelief(loss, torch.as_tensor(x_init), lower, upper,
+                   n_iter, lr)
+    with torch.no_grad():
+        a = x[:n_stars]
+        sx = x[n_stars:2 * n_stars]
+        sy = x[2 * n_stars:3 * n_stars]
+        g = x[3 * n_stars:].reshape(m, m)
+        t = moffat + g
+        t = t / t.sum()
+        t_hat = torch.fft.rfft2(t, s=(L, L))
+        model = _render(t_hat[None], r_hat, a, sx, sy, m, s)
+        res2 = ((data - model) ** 2) / sig2
+        res2 = torch.where(masks, res2, torch.zeros(()))
+        chi2 = float((res2.sum(dim=(-2, -1))
+                      / torch.clamp(good, min=1.0)).mean())
+    return {"chi2": chi2, "narrow_psf": np.asarray(t),
+            "loss": float(loss(x))}
